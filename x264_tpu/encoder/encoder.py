@@ -1,0 +1,317 @@
+"""Encoder core: lifecycle + per-frame orchestration.
+
+TPU-native re-design of reference encoder/encoder.c (4603 LoC). The reference
+drives a per-MB serial hot loop (slice_write, encoder.c:2752); here each frame
+runs as batched device passes (analysis -> wavefront commit -> host entropy),
+per SURVEY.md §7.1.
+
+Public API mirrors x264.h:936-1021: Encoder(params), .headers(),
+.encode(pic) -> (nals, PicOut), .close(), .reconfig(), .delayed_frames().
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from .. import params as P
+from ..entropy import nal as nal_mod
+from ..entropy import sets
+from ..entropy.bits import BitWriter
+from ..entropy.slice_hdr import (SLICE_TYPE_B, SLICE_TYPE_I, SLICE_TYPE_P,
+                                 SliceHeader, slice_header_write)
+
+# frame types (reference x264.h:255-263)
+TYPE_AUTO, TYPE_IDR, TYPE_I, TYPE_P, TYPE_BREF, TYPE_B, TYPE_KEYFRAME = \
+    0, 1, 2, 3, 4, 5, 6
+
+
+@dataclass
+class Picture:
+    """Input picture (reference x264_picture_t, x264.h:864-906)."""
+    planes: list                   # [Y, U, V] numpy arrays (input size)
+    pts: int = 0
+    i_type: int = TYPE_AUTO
+    qp_offset: float = 0.0
+    forced_qp: int = -1
+    param: Optional[P.Params] = None
+
+
+@dataclass
+class PicOut:
+    pts: int = 0
+    dts: int = 0
+    i_type: int = TYPE_IDR
+    b_keyframe: bool = False
+    qp: int = 0
+    recon: Optional[list] = None   # reconstructed planes (display size)
+    psnr: Optional[tuple] = None
+    ssim: Optional[float] = None
+
+
+class EncoderError(Exception):
+    pass
+
+
+def validate_parameters(p: P.Params) -> P.Params:
+    """Clamp/reconcile params (reference validate_parameters encoder.c:423).
+
+    Round-1 subset: grows as features land."""
+    p = p.copy()
+    if p.width <= 0 or p.height <= 0:
+        raise EncoderError(f"invalid size {p.width}x{p.height}")
+    if p.width % 2 or (p.height % 2 and p.csp == P.CSP_I420):
+        raise EncoderError("width/height must be even for 4:2:0")
+    if p.bitdepth not in (8, 10):
+        raise EncoderError("bitdepth must be 8 or 10")
+    qp_max_spec = P.QP_MAX_SPEC + p.qp_bd_offset
+    p.rc.qp_min = max(0, min(p.rc.qp_min, qp_max_spec))
+    p.rc.qp_max = max(0, min(p.rc.qp_max, qp_max_spec))
+    if p.rc.rc_method == P.RC_CQP:
+        if p.rc.qp_constant < 0:
+            p.rc.qp_constant = 23 + p.qp_bd_offset
+        qp = p.rc.qp_constant
+        p.rc.qp_min = p.rc.qp_max = qp
+        p.rc.aq_mode = P.AQ_NONE
+        p.rc.mb_tree = False
+    p.frame_reference = max(1, min(p.frame_reference, P.REF_MAX))
+    p.bframe = max(0, min(p.bframe, P.BFRAME_MAX))
+    if p.keyint_max <= 0:
+        p.keyint_max = 1
+    if p.keyint_min < 0:
+        p.keyint_min = min(p.keyint_max // 10, 25) if p.keyint_max > 1 else 1
+    p.keyint_min = max(1, min(p.keyint_min, p.keyint_max // 2 + 1))
+    if p.keyint_max == 1:
+        p.scenecut_threshold = 0
+        p.intra_refresh = False
+    p.rc.lookahead = max(0, min(p.rc.lookahead, P.LOOKAHEAD_MAX))
+    p.rc.lookahead = min(p.rc.lookahead, p.keyint_max)
+    if p.bframe == 0:
+        p.bframe_pyramid = P.B_PYRAMID_NONE
+        p.bframe_adaptive = P.B_ADAPT_NONE
+    # round-1 feature gates
+    if p.interlaced:
+        raise EncoderError("interlaced encoding not yet implemented")
+    if p.bitdepth != 8:
+        raise EncoderError("10-bit not yet wired end-to-end")
+    return p
+
+
+class Encoder:
+    """Top-level encoder (reference x264_t + x264_encoder_* API)."""
+
+    def __init__(self, params: P.Params) -> None:
+        self.p = validate_parameters(params)
+        self.sps = sets.sps_init(self.p, self.p.sps_id)
+        self.pps = sets.pps_init(self.p, self.sps, self.p.sps_id)
+        self.mb_w, self.mb_h = self.p.mb_width, self.p.mb_height
+        self.frame_num = 0          # frame_num syntax element
+        self.idr_pic_id = 0
+        self.frames_in = 0          # pictures accepted
+        self.frames_out = 0
+        self.last_keyframe = -(1 << 30)
+        self.poc = 0
+        self._frame_core = None     # lazy: device pipeline
+        self._dpb: list = []        # reference frames (ReconFrame)
+        self._closed = False
+        # stats accumulation (reference encoder_close stats, encoder.c:4196)
+        self.stats = {"frames": 0, "bytes": 0,
+                      "count": {"I": 0, "P": 0, "B": 0},
+                      "qp_sum": {"I": 0.0, "P": 0.0, "B": 0.0},
+                      "bytes_by_type": {"I": 0, "P": 0, "B": 0},
+                      "ssd": np.zeros(3, dtype=np.float64),
+                      "psnr_frames": 0}
+
+    # ------------------------------------------------------------- headers
+    def headers(self) -> list[nal_mod.NAL]:
+        """SPS+PPS (+SEI version) NALs (reference x264_encoder_headers)."""
+        nals = [
+            nal_mod.nal_encode(nal_mod.NAL_SPS, nal_mod.NAL_PRIORITY_HIGHEST,
+                               sets.sps_write(self.sps)),
+            nal_mod.nal_encode(nal_mod.NAL_PPS, nal_mod.NAL_PRIORITY_HIGHEST,
+                               sets.pps_write(self.pps)),
+        ]
+        return nals
+
+    def delayed_frames(self) -> int:
+        return 0   # no lookahead buffering yet (lands with B-frames)
+
+    # ------------------------------------------------------------- encode
+    def encode(self, pic: Optional[Picture]) -> tuple[list, Optional[PicOut]]:
+        """Encode one picture; returns (nals, pic_out).
+
+        With lookahead this will buffer and return earlier frames; round-1
+        path is zero-delay (IDR/I/P only)."""
+        if self._closed:
+            raise EncoderError("encoder closed")
+        if pic is None:
+            return [], None      # flush: nothing buffered yet
+        planes = self._pad_to_mb(pic.planes)
+
+        # --- slicetype decision (keyint logic; lookahead lands later) ---
+        idx = self.frames_in
+        self.frames_in += 1
+        if pic.i_type in (TYPE_IDR, TYPE_KEYFRAME, TYPE_I):
+            ftype = TYPE_IDR   # open-gop I not yet supported
+        elif pic.i_type == TYPE_AUTO:
+            if idx - self.last_keyframe >= self.p.keyint_max or idx == 0:
+                ftype = TYPE_IDR
+            elif not self._dpb:
+                ftype = TYPE_IDR
+            else:
+                ftype = TYPE_P
+        else:
+            ftype = pic.i_type
+
+        is_idr = ftype == TYPE_IDR
+        if is_idr:
+            self.last_keyframe = idx
+            self.frame_num = 0
+            self.poc = 0
+            self._dpb.clear()
+
+        # --- rate control (CQP / flat CRF for now) ---
+        qp = self._decide_qp(ftype, pic)
+
+        # --- encode frame ---
+        nals, recon = self._encode_frame(planes, ftype, qp, pic)
+
+        if is_idr:
+            self.idr_pic_id = (self.idr_pic_id + 1) % 65536
+
+        out = PicOut(pts=pic.pts, dts=pic.pts, i_type=ftype,
+                     b_keyframe=is_idr, qp=qp,
+                     recon=[r[:self.p.height, :self.p.width] if i == 0 else
+                            r[:self._chroma_h(), :self._chroma_w()]
+                            for i, r in enumerate(recon)] if recon else None)
+        self.frames_out += 1
+        tkey = {TYPE_IDR: "I", TYPE_I: "I", TYPE_P: "P",
+                TYPE_B: "B", TYPE_BREF: "B"}[ftype]
+        self.stats["frames"] += 1
+        self.stats["count"][tkey] += 1
+        self.stats["qp_sum"][tkey] += qp
+        nbytes = sum(len(n.payload) + 4 for n in nals)
+        self.stats["bytes"] += nbytes
+        self.stats["bytes_by_type"][tkey] += nbytes
+        if self.p.analyse.psnr and recon is not None:
+            for i, (a, b) in enumerate(zip(self._crop(planes), out.recon)):
+                d = a.astype(np.float64) - b.astype(np.float64)
+                self.stats["ssd"][i] += float((d * d).sum())
+            self.stats["psnr_frames"] += 1
+            out.psnr = self._frame_psnr(self._crop(planes), out.recon)
+        return nals, out
+
+    # ------------------------------------------------------------ helpers
+    def _chroma_w(self) -> int:
+        return self.p.width // (2 if self.p.chroma_format_idc == 1 else
+                                2 if self.p.chroma_format_idc == 2 else 1)
+
+    def _chroma_h(self) -> int:
+        return self.p.height // (2 if self.p.chroma_format_idc == 1 else 1)
+
+    def _crop(self, planes):
+        return [planes[0][:self.p.height, :self.p.width],
+                planes[1][:self._chroma_h(), :self._chroma_w()],
+                planes[2][:self._chroma_h(), :self._chroma_w()]]
+
+    def _frame_psnr(self, src, rec):
+        peak = (1 << self.p.bitdepth) - 1
+        vals = []
+        for a, b in zip(src, rec):
+            d = a.astype(np.float64) - b.astype(np.float64)
+            mse = (d * d).mean()
+            vals.append(10 * np.log10(peak * peak / max(mse, 1e-12)))
+        return tuple(vals)
+
+    def _pad_to_mb(self, planes: list) -> list:
+        """Pad planes to MB-aligned sizes by edge replication
+        (reference expand_border_mod16, frame.c:640)."""
+        out = []
+        for i, pl in enumerate(planes):
+            if i == 0:
+                th, tw = self.mb_h * 16, self.mb_w * 16
+            else:
+                cdiv_w = 2 if self.p.chroma_format_idc in (1, 2) else 1
+                cdiv_h = 2 if self.p.chroma_format_idc == 1 else 1
+                th, tw = self.mb_h * 16 // cdiv_h, self.mb_w * 16 // cdiv_w
+            ph, pw = th - pl.shape[0], tw - pl.shape[1]
+            if ph or pw:
+                pl = np.pad(pl, ((0, ph), (0, pw)), mode="edge")
+            out.append(pl)
+        return out
+
+    def _decide_qp(self, ftype: int, pic: Picture) -> int:
+        if pic.forced_qp >= 0:
+            return pic.forced_qp
+        rc = self.p.rc
+        if rc.rc_method == P.RC_CQP:
+            q = rc.qp_constant
+            if ftype in (TYPE_IDR, TYPE_I):
+                q = int(round(q - 3.38))  # ip_factor 1.4 in qscale ~ -3.38 qp
+            elif ftype in (TYPE_B, TYPE_BREF):
+                q = int(round(q + 2.21))
+            # reference applies f_ip_factor via qscale; CQP uses constant
+            q = rc.qp_constant
+            if ftype in (TYPE_IDR, TYPE_I):
+                q = max(0, q - int(round(6.0 * np.log2(rc.ip_factor))))
+            elif ftype in (TYPE_B, TYPE_BREF):
+                q = q + int(round(6.0 * np.log2(rc.pb_factor)))
+        else:
+            # CRF v0: constant quantizer from rf_constant (no AQ/mbtree yet)
+            q = int(round(rc.rf_constant))
+            if ftype in (TYPE_IDR, TYPE_I):
+                q = q - int(round(6.0 * np.log2(rc.ip_factor)))
+            elif ftype in (TYPE_B, TYPE_BREF):
+                q = q + int(round(6.0 * np.log2(rc.pb_factor)))
+        return int(np.clip(q, rc.qp_min, rc.qp_max))
+
+    # -------------------------------------------------------- frame encode
+    def _encode_frame(self, planes, ftype, qp, pic):
+        from . import frame_encode
+        return frame_encode.encode_frame(self, planes, ftype, qp)
+
+    def _slice_header(self, ftype: int, qp: int, first_mb: int = 0,
+                      last_mb: int = -1) -> SliceHeader:
+        sh = SliceHeader(sps=self.sps, pps=self.pps)
+        sh.slice_type = (SLICE_TYPE_I if ftype in (TYPE_IDR, TYPE_I) else
+                         SLICE_TYPE_P if ftype == TYPE_P else SLICE_TYPE_B)
+        sh.first_mb = first_mb
+        sh.last_mb = last_mb if last_mb >= 0 else self.mb_w * self.mb_h - 1
+        sh.frame_num = self.frame_num
+        sh.idr = ftype == TYPE_IDR
+        sh.idr_pic_id = self.idr_pic_id
+        sh.poc_lsb = self.poc % (1 << self.sps.log2_max_poc_lsb)
+        sh.qp = qp
+        sh.num_ref_idx_l0_active = max(1, len(self._dpb))
+        sh.num_ref_idx_override = (
+            sh.slice_type == SLICE_TYPE_P
+            and sh.num_ref_idx_l0_active != self.pps.num_ref_idx_l0_active)
+        if not self.p.deblocking_filter:
+            sh.disable_deblocking_filter_idc = 1
+        sh.alpha_c0_offset = self.p.deblocking_filter_alphac0 * 2
+        sh.beta_offset = self.p.deblocking_filter_beta * 2
+        return sh
+
+    # --------------------------------------------------------------- misc
+    def reconfig(self, new_params: P.Params) -> None:
+        """Runtime re-config of the mutable subset (encoder.c:1862)."""
+        mutable = ["rc", "analyse", "deblocking_filter",
+                   "deblocking_filter_alphac0", "deblocking_filter_beta",
+                   "keyint_max", "scenecut_threshold"]
+        for name in mutable:
+            setattr(self.p, name, getattr(new_params, name))
+
+    def intra_refresh(self) -> None:
+        self.last_keyframe = -(1 << 30)   # force IDR next frame (PIR TODO)
+
+    def invalidate_reference(self, pts: int) -> int:
+        self._dpb.clear()    # conservative: force re-key (refined later)
+        self.last_keyframe = -(1 << 30)
+        return 0
+
+    def close(self) -> dict:
+        self._closed = True
+        return self.stats

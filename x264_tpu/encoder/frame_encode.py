@@ -1,0 +1,56 @@
+"""Per-frame encode dispatch: analysis/commit on device, entropy on host.
+
+Reference analogue: slices_write/slice_write (encoder.c:3159/2752), but
+re-expressed as whole-frame batched passes instead of a per-MB loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..entropy import nal as nal_mod
+from ..entropy.slice_hdr import slice_header_write
+
+
+def encode_frame(enc, planes, ftype, qp):
+    """Returns (nals, recon_planes)."""
+    from .encoder import TYPE_IDR, TYPE_I, TYPE_P
+    if enc.p.force_pcm:
+        if ftype not in (TYPE_IDR, TYPE_I):
+            raise NotImplementedError("PCM mode is intra-only")
+        return encode_frame_pcm(enc, planes, ftype, qp)
+    if ftype in (TYPE_IDR, TYPE_I):
+        from . import intra
+        return intra.encode_iframe(enc, planes, ftype, qp)
+    if ftype == TYPE_P:
+        from . import inter
+        return inter.encode_pframe(enc, planes, ftype, qp)
+    raise NotImplementedError("B-frames land with the lookahead milestone")
+
+
+def encode_frame_pcm(enc, planes, ftype, qp):
+    """I_PCM frame: raw samples, mb_type 25 (spec 7.3.5 / 8.3.5).
+
+    First-light path that exercises NAL/slice plumbing with trivially
+    correct reconstruction (recon == source)."""
+    sh = enc._slice_header(ftype, qp)
+    bw = slice_header_write(sh, nal_ref_idc=nal_mod.NAL_PRIORITY_HIGHEST)
+    y, u, v = planes
+    for mby in range(enc.mb_h):
+        for mbx in range(enc.mb_w):
+            bw.write_ue(25)           # mb_type I_PCM
+            bw.byte_align_zero()      # pcm_alignment_zero_bit
+            yb = y[mby * 16:(mby + 1) * 16, mbx * 16:(mbx + 1) * 16]
+            ub = u[mby * 8:(mby + 1) * 8, mbx * 8:(mbx + 1) * 8]
+            vb = v[mby * 8:(mby + 1) * 8, mbx * 8:(mbx + 1) * 8]
+            bw.extend_bytes(yb.astype(np.uint8).tobytes())
+            bw.extend_bytes(ub.astype(np.uint8).tobytes())
+            bw.extend_bytes(vb.astype(np.uint8).tobytes())
+    bw.rbsp_trailing()
+    from .encoder import TYPE_IDR
+    nal_type = (nal_mod.NAL_SLICE_IDR if ftype == TYPE_IDR
+                else nal_mod.NAL_SLICE)
+    nals = [nal_mod.nal_encode(nal_type, nal_mod.NAL_PRIORITY_HIGHEST,
+                               bw.getvalue())]
+    recon = [y.copy(), u.copy(), v.copy()]
+    return nals, recon

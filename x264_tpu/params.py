@@ -284,6 +284,7 @@ class Params:
     # TPU-specific extensions (no reference equivalent)
     tpu_backend: str = "auto"        # 'auto' | 'xla' | 'pallas' | 'numpy'
     tpu_batch_frames: int = 1        # frames analysed per device dispatch
+    force_pcm: bool = False          # debug: emit I_PCM macroblocks only
 
     # ---- derived helpers -------------------------------------------------
     @property
