@@ -21,3 +21,8 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+# NOTE: do NOT enable jax_compilation_cache_dir here — the persistent cache
+# interacts pathologically with this image's XLA build (400s+ hangs on
+# cache writes for scan-heavy programs). In-process caching is enough.

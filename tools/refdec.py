@@ -1,0 +1,644 @@
+"""refdec — independent reference H.264 decoder (conformance oracle).
+
+Replicates the role of the JM reference decoder in the reference's regression
+test (doc/regression_test.txt): decode the encoder's bitstream with SEPARATE
+code and compare against the encoder's reconstruction, byte-exact.
+
+Written directly from ITU-T H.264 spec sections 7/8/9 in plain numpy. It
+deliberately shares no transform/prediction/entropy code with the encoder
+package (it re-implements everything scalar-style) so shared-bug blind spots
+are minimized. Coverage grows with the encoder: currently baseline-profile
+I slices (I16x16 / I4x4 / I_PCM) + P slices as they land, CAVLC.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from x264_tpu.entropy import vlc_tables as V  # spec tables (shared constants)
+
+
+# ---------------------------------------------------------------- bitreader
+class BitReader:
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
+        self.pos = 0
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | int(self.bits[self.pos])
+            self.pos += 1
+        return v
+
+    def u1(self) -> int:
+        v = int(self.bits[self.pos])
+        self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.bits[self.pos] == 0:
+            zeros += 1
+            self.pos += 1
+            if zeros > 40:
+                raise ValueError("bad ue")
+        self.pos += 1
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+    def byte_align(self):
+        self.pos = (self.pos + 7) & ~7
+
+    def more_rbsp(self) -> bool:
+        # ignoring trailing stop bit handling for brevity
+        return self.pos < len(self.bits) - 8
+
+
+def unescape(data: bytes) -> bytes:
+    out = bytearray()
+    zeros = 0
+    for b in data:
+        if zeros >= 2 and b == 3:
+            zeros = 0
+            continue
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def split_nals(stream: bytes):
+    i = 0
+    nals = []
+    n = len(stream)
+    while i < n:
+        # find start code
+        j = stream.find(b"\x00\x00\x01", i)
+        if j < 0:
+            break
+        j += 3
+        k = stream.find(b"\x00\x00\x01", j)
+        end = k if k >= 0 else n
+        # strip trailing zeros belonging to next start code
+        seg = stream[j:end]
+        while seg and seg[-1] == 0 and k >= 0:
+            seg = seg[:-1]
+        nals.append(seg)
+        i = end
+    return nals
+
+
+# --------------------------------------------------------------- param sets
+@dataclass
+class DecSPS:
+    profile: int = 0
+    chroma_format_idc: int = 1
+    bitdepth: int = 8
+    log2_max_frame_num: int = 4
+    poc_type: int = 0
+    log2_max_poc_lsb: int = 4
+    num_ref_frames: int = 1
+    mb_w: int = 0
+    mb_h: int = 0
+    frame_mbs_only: bool = True
+    direct8x8: bool = True
+    crop: tuple = (0, 0, 0, 0)
+
+
+@dataclass
+class DecPPS:
+    cabac: bool = False
+    num_ref_idx_l0: int = 1
+    num_ref_idx_l1: int = 1
+    weighted_pred: bool = False
+    weighted_bipred_idc: int = 0
+    pic_init_qp: int = 26
+    chroma_qp_index_offset: int = 0
+    deblocking_control: bool = True
+    constrained_intra: bool = False
+    transform_8x8: bool = False
+    second_chroma_qp_offset: int = 0
+
+
+def parse_sps(r: BitReader) -> DecSPS:
+    s = DecSPS()
+    s.profile = r.u(8)
+    r.u(8)  # constraints+reserved
+    r.u(8)  # level
+    r.ue()  # sps id
+    if s.profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        s.chroma_format_idc = r.ue()
+        if s.chroma_format_idc == 3:
+            r.u1()
+        s.bitdepth = r.ue() + 8
+        r.ue()  # chroma bitdepth
+        r.u1()  # transform bypass
+        if r.u1():  # scaling matrices
+            raise NotImplementedError("scaling lists")
+    s.log2_max_frame_num = r.ue() + 4
+    s.poc_type = r.ue()
+    if s.poc_type == 0:
+        s.log2_max_poc_lsb = r.ue() + 4
+    elif s.poc_type == 1:
+        raise NotImplementedError("poc type 1")
+    s.num_ref_frames = r.ue()
+    r.u1()  # gaps allowed
+    s.mb_w = r.ue() + 1
+    s.mb_h = r.ue() + 1
+    s.frame_mbs_only = bool(r.u1())
+    if not s.frame_mbs_only:
+        r.u1()
+    s.direct8x8 = bool(r.u1())
+    if r.u1():  # crop
+        s.crop = (r.ue(), r.ue(), r.ue(), r.ue())
+    # ignore VUI
+    return s
+
+
+def parse_pps(r: BitReader) -> DecPPS:
+    p = DecPPS()
+    r.ue()  # pps id
+    r.ue()  # sps id
+    p.cabac = bool(r.u1())
+    if r.u1():
+        raise NotImplementedError("pic_order_present")
+    if r.ue() != 0:
+        raise NotImplementedError("slice groups")
+    p.num_ref_idx_l0 = r.ue() + 1
+    p.num_ref_idx_l1 = r.ue() + 1
+    p.weighted_pred = bool(r.u1())
+    p.weighted_bipred_idc = r.u(2)
+    p.pic_init_qp = r.se() + 26
+    r.se()  # init qs
+    p.chroma_qp_index_offset = r.se()
+    p.deblocking_control = bool(r.u1())
+    p.constrained_intra = bool(r.u1())
+    r.u1()  # redundant pic cnt
+    if r.more_rbsp():
+        p.transform_8x8 = bool(r.u1())
+        if r.u1():
+            raise NotImplementedError("pps scaling lists")
+        p.second_chroma_qp_offset = r.se()
+    return p
+
+
+# -------------------------------------------------------------- cavlc block
+NC_CLASS = lambda nc: 0 if nc < 2 else 1 if nc < 4 else 2 if nc < 8 else 3
+
+# decode-side VLC: build prefix->value maps once
+def _build_vlc_dec(codes, lens):
+    """dict (len, code) -> index tuple."""
+    table = {}
+    it = np.ndindex(codes.shape)
+    for idx in it:
+        ln = int(lens[idx])
+        if ln > 0:
+            table[(ln, int(codes[idx]))] = idx
+    return table
+
+_DEC_COEFF = [_build_vlc_dec(V.COEFF_TOKEN_CODE[i], V.COEFF_TOKEN_LEN[i])
+              for i in range(6)]
+# per-row tables: VLC codes are only prefix-free within a row
+_DEC_TZ_ROW = [_build_vlc_dec(V.TOTAL_ZEROS_CODE[i], V.TOTAL_ZEROS_LEN[i])
+               for i in range(15)]
+_DEC_TZ22_ROW = [_build_vlc_dec(V.TOTAL_ZEROS_2x2_CODE[i],
+                                V.TOTAL_ZEROS_2x2_LEN[i]) for i in range(3)]
+_DEC_RUN_ROW = [_build_vlc_dec(V.RUN_BEFORE_CODE[i], V.RUN_BEFORE_LEN[i])
+                for i in range(7)]
+
+
+def _read_vlc(r: BitReader, table, maxlen=24):
+    ln = 0
+    code = 0
+    while ln < maxlen:
+        code = (code << 1) | r.u1()
+        ln += 1
+        if (ln, code) in table:
+            return table[(ln, code)]
+    raise ValueError(f"vlc desync at bit {r.pos}")
+
+
+def read_coeff_token(r: BitReader, nc: int):
+    """Returns (total_coeff, trailing_ones)."""
+    cls = 4 if nc == -1 else NC_CLASS(nc)
+    # coeff0 is part of the same prefix code space; try unified read
+    # build per-class full tables lazily
+    tab = dict(_DEC_COEFF[cls]) if cls < 6 else None
+    full = {}
+    full.update({k: (v[0] + 1, v[1]) for k, v in _DEC_COEFF[cls].items()})
+    full[(int(V.COEFF0_TOKEN_LEN[cls]), int(V.COEFF0_TOKEN_CODE[cls]))] = \
+        (0, 0)
+    ln = 0
+    code = 0
+    while ln < 20:
+        code = (code << 1) | r.u1()
+        ln += 1
+        if (ln, code) in full:
+            return full[(ln, code)]
+    raise ValueError(f"coeff_token desync at bit {r.pos}")
+
+
+def residual_block(r: BitReader, nc: int, max_coeff: int):
+    """Decode one CAVLC residual block -> (coeffs[max_coeff], total)."""
+    total, t1 = read_coeff_token(r, nc)
+    coeffs = np.zeros(max_coeff, np.int32)
+    if total == 0:
+        return coeffs, 0
+    levels = []
+    for _ in range(t1):
+        levels.append(-1 if r.u1() else 1)
+    sl = 1 if (total > 10 and t1 < 3) else 0
+    for i in range(t1, total):
+        # level_prefix
+        prefix = 0
+        while r.u1() == 0:
+            prefix += 1
+            if prefix > 32:
+                raise ValueError("level_prefix desync")
+        if prefix == 14 and sl == 0:
+            suffix_size = 4
+        elif prefix >= 15:
+            suffix_size = prefix - 3 if prefix > 15 else 12 if sl == 0 \
+                else max(sl, 12 if prefix == 15 else sl)
+            if prefix == 15:
+                suffix_size = 12 if sl == 0 else 12
+            # per spec: prefix==15 -> 12 bits (any sl); prefix>15: prefix-3
+        else:
+            suffix_size = sl
+        if prefix >= 16:
+            suffix_size = prefix - 3
+        suffix = r.u(suffix_size) if suffix_size else 0
+        level_code = (min(15, prefix) << sl) + suffix
+        if prefix >= 15 and sl == 0:
+            level_code += 15
+        if prefix >= 16:
+            level_code += (1 << (prefix - 3)) - 4096
+        if i == t1 and t1 < 3:
+            level_code += 2
+        lv = (level_code + 2) >> 1 if level_code % 2 == 0 \
+            else -((level_code + 1) >> 1)
+        levels.append(lv)
+        if sl == 0:
+            sl = 1
+        if abs(lv) > (3 << (sl - 1)) and sl < 6:
+            sl += 1
+    # total_zeros
+    if total < max_coeff:
+        tab = _DEC_TZ22_ROW[total - 1] if max_coeff == 4 \
+            else _DEC_TZ_ROW[total - 1]
+        (tz,) = _read_vlc(r, tab, maxlen=10)
+    else:
+        tz = 0
+    # runs
+    runs = []
+    zleft = tz
+    for i in range(total - 1):
+        if zleft > 0:
+            (run,) = _read_vlc(r, _DEC_RUN_ROW[min(zleft - 1, 6)], maxlen=12)
+        else:
+            run = 0
+        runs.append(run)
+        zleft -= run
+    runs.append(zleft)
+    # place coefficients: reverse order, starting at highest freq
+    pos = total - 1 + tz  # scan index of highest-frequency coeff
+    k = pos
+    for i, lv in enumerate(levels):
+        coeffs[k] = lv
+        if i < total - 1:
+            k -= 1 + runs[i]
+    return coeffs, total
+
+
+# ------------------------------------------------------------- scans/tables
+ZIG4 = np.array([0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15])
+CHROMA_QP = np.array(list(range(30)) +
+                     [29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37,
+                      37, 38, 38, 38, 39, 39, 39, 39])
+ZBLK_X = np.array([0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3])
+ZBLK_Y = np.array([0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3])
+
+
+def dequant4(c_scan, qp):
+    V4 = np.array([[10, 13, 16], [11, 14, 18], [13, 16, 20],
+                   [14, 18, 23], [16, 20, 25], [18, 23, 29]])
+    cls = np.array([(r & 1) + (c & 1) for r in range(4) for c in range(4)]
+                   ).reshape(4, 4)
+    blk = np.zeros((4, 4), np.int64)
+    blk.flat[ZIG4] = c_scan
+    mf16 = V4[qp % 6][cls] * 16
+    sh = qp // 6 - 4
+    if sh >= 0:
+        return (blk * mf16) << sh
+    return (blk * mf16 + (1 << (-sh - 1))) >> (-sh)
+
+
+def idct4(d):
+    d = d.astype(np.int64)
+    def stage(a):
+        o = np.empty_like(a)
+        e0 = a[0] + a[2]; e1 = a[0] - a[2]
+        e2 = (a[1] >> 1) - a[3]; e3 = a[1] + (a[3] >> 1)
+        o[0] = e0 + e3; o[1] = e1 + e2; o[2] = e1 - e2; o[3] = e0 - e3
+        return o
+    h = stage(d)
+    v = stage(h.T).T
+    return (v + 32) >> 6
+
+
+def ihadamard4(x):
+    H = np.array([[1, 1, 1, 1], [1, 1, -1, -1],
+                  [1, -1, -1, 1], [1, -1, 1, -1]], np.int64)
+    return H @ x.astype(np.int64) @ H
+
+
+# ------------------------------------------------------------------ decoder
+class Decoder:
+    """Stateful decoder for one elementary stream."""
+
+    def __init__(self):
+        self.sps = None
+        self.pps = None
+        self.frames = []          # decoded (display-cropped) frames
+
+    # -- intra prediction (spec 8.3), scalar per MB --
+    def pred16(self, mode, plane, mx, my):
+        p = plane
+        x0, y0 = mx * 16, my * 16
+        if mode == 0:    # V
+            return np.tile(p[y0 - 1, x0:x0 + 16], (16, 1))
+        if mode == 1:    # H
+            return np.tile(p[y0:y0 + 16, x0 - 1][:, None], (1, 16))
+        if mode == 2:    # DC
+            at, al = my > 0, mx > 0
+            if at and al:
+                s = int(p[y0 - 1, x0:x0 + 16].sum()) + \
+                    int(p[y0:y0 + 16, x0 - 1].sum())
+                return np.full((16, 16), (s + 16) >> 5)
+            if at:
+                return np.full((16, 16),
+                               (int(p[y0 - 1, x0:x0 + 16].sum()) + 8) >> 4)
+            if al:
+                return np.full((16, 16),
+                               (int(p[y0:y0 + 16, x0 - 1].sum()) + 8) >> 4)
+            return np.full((16, 16), 128)
+        # plane
+        t = p[y0 - 1, x0:x0 + 16].astype(np.int64)
+        l = p[y0:y0 + 16, x0 - 1].astype(np.int64)  # noqa: E741
+        z = int(p[y0 - 1, x0 - 1])
+        tp = np.concatenate([[z], t])
+        lp = np.concatenate([[z], l])
+        hh = sum((x + 1) * (tp[9 + x] - tp[7 - x]) for x in range(8))
+        vv = sum((y + 1) * (lp[9 + y] - lp[7 - y]) for y in range(8))
+        a = 16 * (l[15] + t[15])
+        b = (5 * hh + 32) >> 6
+        c = (5 * vv + 32) >> 6
+        xs = np.arange(16) - 7
+        return np.clip((a + b * xs[None, :] + c * xs[:, None] + 16) >> 5,
+                       0, 255)
+
+    def predc(self, mode, plane, mx, my):
+        p = plane
+        x0, y0 = mx * 8, my * 8
+        at, al = my > 0, mx > 0
+        if mode == 0:   # DC per quadrant
+            out = np.zeros((8, 8), np.int64)
+            for qy in range(2):
+                for qx in range(2):
+                    st = int(p[y0 - 1, x0 + qx * 4:x0 + qx * 4 + 4].sum()) \
+                        if at else 0
+                    sl = int(p[y0 + qy * 4:y0 + qy * 4 + 4, x0 - 1].sum()) \
+                        if al else 0
+                    if qx == qy:
+                        if at and al:
+                            d = (st + sl + 4) >> 3
+                        elif at:
+                            d = (st + 2) >> 2
+                        elif al:
+                            d = (sl + 2) >> 2
+                        else:
+                            d = 128
+                    elif qx == 1 and qy == 0:
+                        d = (st + 2) >> 2 if at else \
+                            ((sl + 2) >> 2 if al else 128)
+                    else:
+                        d = (sl + 2) >> 2 if al else \
+                            ((st + 2) >> 2 if at else 128)
+                    out[qy * 4:qy * 4 + 4, qx * 4:qx * 4 + 4] = d
+            return out
+        if mode == 1:   # H
+            return np.tile(p[y0:y0 + 8, x0 - 1][:, None], (1, 8))
+        if mode == 2:   # V
+            return np.tile(p[y0 - 1, x0:x0 + 8], (8, 1))
+        t = p[y0 - 1, x0:x0 + 8].astype(np.int64)
+        l = p[y0:y0 + 8, x0 - 1].astype(np.int64)  # noqa: E741
+        z = int(p[y0 - 1, x0 - 1])
+        tp = np.concatenate([[z], t])
+        lp = np.concatenate([[z], l])
+        hh = sum((x + 1) * (tp[5 + x] - tp[3 - x]) for x in range(4))
+        vv = sum((y + 1) * (lp[5 + y] - lp[3 - y]) for y in range(4))
+        a = 16 * (l[7] + t[7])
+        b = (17 * hh + 16) >> 5
+        c = (17 * vv + 16) >> 5
+        xs = np.arange(8) - 3
+        return np.clip((a + b * xs[None, :] + c * xs[:, None] + 16) >> 5,
+                       0, 255)
+
+    # -- slice decode --
+    def decode(self, stream: bytes):
+        for nal in split_nals(stream):
+            ntype = nal[0] & 0x1F
+            payload = unescape(nal[1:])
+            r = BitReader(payload)
+            if ntype == 7:
+                self.sps = parse_sps(r)
+            elif ntype == 8:
+                self.pps = parse_pps(r)
+            elif ntype in (1, 5):
+                self.decode_slice(r, idr=(ntype == 5))
+        return self.frames
+
+    def decode_slice(self, r: BitReader, idr: bool):
+        sps, pps = self.sps, self.pps
+        if pps.cabac:
+            raise NotImplementedError("CABAC decode")
+        first_mb = r.ue()
+        slice_type = r.ue() % 5
+        r.ue()  # pps id
+        r.u(sps.log2_max_frame_num)
+        if idr:
+            r.ue()  # idr_pic_id
+        if sps.poc_type == 0:
+            r.u(sps.log2_max_poc_lsb)
+        if slice_type != 2:
+            raise NotImplementedError("P/B slices (coming with encoder)")
+        if idr:
+            r.u1()
+            r.u1()
+        qp = pps.pic_init_qp + r.se()
+        if pps.deblocking_control:
+            disable_idc = r.ue()
+            if disable_idc != 1:
+                r.se()
+                r.se()
+        # frame buffers with -1 edge pad emulated by index -1 (top row/left
+        # col physically present as padding)
+        W, H = sps.mb_w * 16, sps.mb_h * 16
+        y = np.zeros((H, W), np.int64)
+        u = np.zeros((H // 2, W // 2), np.int64)
+        v = np.zeros((H // 2, W // 2), np.int64)
+        nnz_l = np.zeros((sps.mb_h * 4, sps.mb_w * 4), np.int32)
+        nnz_c = np.zeros((2, sps.mb_h * 2, sps.mb_w * 2), np.int32)
+        if first_mb != 0:
+            raise NotImplementedError("multi-slice")
+        for mbidx in range(sps.mb_w * sps.mb_h):
+            mx, my = mbidx % sps.mb_w, mbidx // sps.mb_w
+            mb_type = r.ue()
+            if mb_type == 25:
+                r.byte_align()
+                yb = np.array([r.u(8) for _ in range(256)]).reshape(16, 16)
+                ub = np.array([r.u(8) for _ in range(64)]).reshape(8, 8)
+                vb = np.array([r.u(8) for _ in range(64)]).reshape(8, 8)
+                y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = yb
+                u[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = ub
+                v[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = vb
+                nnz_l[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 16
+                nnz_c[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 16
+                continue
+            if mb_type == 0:
+                raise NotImplementedError("I4x4 (coming)")
+            if not 1 <= mb_type <= 24:
+                raise ValueError(f"bad I mb_type {mb_type} at mb {mbidx}")
+            pred_mode = (mb_type - 1) % 4
+            cbp_c = ((mb_type - 1) // 4) % 3
+            cbp_l = 15 * ((mb_type - 1) // 12)
+            chroma_mode = r.ue()
+            qp += r.se()
+            self._decode_i16(r, y, u, v, nnz_l, nnz_c, mx, my, pred_mode,
+                             chroma_mode, cbp_l, cbp_c, qp, sps, pps)
+        # crop: syntax units are SubWidthC/SubHeightC (=2 for 4:2:0)
+        cl, cr, ct, cb = sps.crop
+        top, bot, left, right = ct * 2, cb * 2, cl * 2, cr * 2
+        self.frames.append((
+            y[top:H - bot, left:W - right].astype(np.uint8),
+            u[top // 2:(H - bot) // 2, left // 2:(W - right) // 2]
+            .astype(np.uint8),
+            v[top // 2:(H - bot) // 2, left // 2:(W - right) // 2]
+            .astype(np.uint8)))
+
+    def _nc(self, nnz, bx, by):
+        has_a, has_b = bx > 0, by > 0
+        na = nnz[by, bx - 1] if has_a else 0
+        nb = nnz[by - 1, bx] if has_b else 0
+        if has_a and has_b:
+            return (int(na) + int(nb) + 1) >> 1
+        if has_a:
+            return int(na)
+        if has_b:
+            return int(nb)
+        return 0
+
+    def _decode_i16(self, r, y, u, v, nnz_l, nnz_c, mx, my, pred_mode,
+                    chroma_mode, cbp_l, cbp_c, qp, sps, pps):
+        # luma DC
+        nc = self._nc(nnz_l, mx * 4, my * 4)
+        dc_scan, _ = residual_block(r, nc, 16)
+        dc_blk = np.zeros((4, 4), np.int64)
+        dc_blk.flat[ZIG4] = dc_scan
+        f = ihadamard4(dc_blk)
+        per = qp // 6
+        mf16 = int(np.array([10, 11, 13, 14, 16, 18])[qp % 6]) * 16
+        if per >= 6:
+            dcv = (f * mf16) << (per - 6)
+        else:
+            dcv = (f * mf16 + (1 << (5 - per))) >> (6 - per)
+        # luma AC: 16 blocks in z-scan coding order
+        ac = np.zeros((16, 16), np.int64)   # [raster blk, 16 coeffs w/ pos0]
+        totals = np.zeros(16, np.int32)
+        if cbp_l:
+            for cidx in range(16):
+                bx4, by4 = int(ZBLK_X[cidx]), int(ZBLK_Y[cidx])
+                raster = by4 * 4 + bx4
+                nc = self._nc(nnz_l, mx * 4 + bx4, my * 4 + by4)
+                coeffs, tot = residual_block(r, nc, 15)
+                ac[raster, 1:] = coeffs
+                totals[raster] = tot
+                nnz_l[my * 4 + by4, mx * 4 + bx4] = tot
+        else:
+            nnz_l[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+        pred = self.pred16(pred_mode, y if my or mx else y, mx, my)
+        out = np.zeros((16, 16), np.int64)
+        for raster in range(16):
+            by4, bx4 = raster // 4, raster % 4
+            d = dequant4(ac[raster], qp)
+            d[0, 0] = dcv[by4, bx4]
+            res = idct4(d)
+            blk = pred[by4 * 4:by4 * 4 + 4, bx4 * 4:bx4 * 4 + 4] + res
+            out[by4 * 4:by4 * 4 + 4, bx4 * 4:bx4 * 4 + 4] = blk
+        y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = np.clip(out, 0, 255)
+
+        # chroma
+        qpc_idx = np.clip(qp + pps.chroma_qp_index_offset, 0, 51)
+        qpc = int(CHROMA_QP[qpc_idx])
+        for ci, plane in ((0, u), (1, v)):
+            if cbp_c:
+                nc = -1
+                dcs, _ = residual_block(r, -1, 4)
+            else:
+                dcs = np.zeros(4, np.int32)
+            dc2 = np.array([[dcs[0], dcs[1]], [dcs[2], dcs[3]]], np.int64)
+            H2 = np.array([[1, 1], [1, -1]], np.int64)
+            f2 = H2 @ dc2 @ H2
+            mf16 = int(np.array([10, 11, 13, 14, 16, 18])[qpc % 6]) * 16
+            dcv2 = ((f2 * mf16) << (qpc // 6)) >> 5
+            setattr(self, f"_cdc{ci}", dcs)
+            if ci == 0:
+                self._pending = []
+            self._pending.append((plane, dcv2))
+        # chroma AC after both DCs
+        cac = np.zeros((2, 4, 16), np.int64)
+        for ci in range(2):
+            for blk in range(4):
+                bx2, by2 = blk % 2, blk // 2
+                if cbp_c == 2:
+                    nc = self._nc(nnz_c[ci], mx * 2 + bx2, my * 2 + by2)
+                    coeffs, tot = residual_block(r, nc, 15)
+                    cac[ci, blk, 1:] = coeffs
+                    nnz_c[ci, my * 2 + by2, mx * 2 + bx2] = tot
+                else:
+                    nnz_c[ci, my * 2 + by2, mx * 2 + bx2] = 0
+        for ci, plane in ((0, u), (1, v)):
+            predc = self.predc(chroma_mode, plane, mx, my)
+            dcv2 = self._pending[ci][1]
+            outc = np.zeros((8, 8), np.int64)
+            for blk in range(4):
+                bx2, by2 = blk % 2, blk // 2
+                d = dequant4(cac[ci, blk], qpc)
+                d[0, 0] = dcv2[by2, bx2]
+                res = idct4(d)
+                outc[by2 * 4:by2 * 4 + 4, bx2 * 4:bx2 * 4 + 4] = \
+                    predc[by2 * 4:by2 * 4 + 4, bx2 * 4:bx2 * 4 + 4] + res
+            plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
+                np.clip(outc, 0, 255)
+
+
+def decode_file(path: str):
+    return Decoder().decode(open(path, "rb").read())
+
+
+if __name__ == "__main__":
+    frames = decode_file(sys.argv[1])
+    print(f"decoded {len(frames)} frames")
+    if len(sys.argv) > 2:
+        with open(sys.argv[2], "wb") as f:
+            for fr in frames:
+                for pl in fr:
+                    f.write(pl.tobytes())

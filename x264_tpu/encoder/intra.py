@@ -1,0 +1,276 @@
+"""Intra (I) frame encoding: batched mode decision + wavefront commit.
+
+Reference analogues: mb_analyse_intra (analyse.c:668) for the decision,
+x264_macroblock_encode I16x16 path (macroblock.c:126) + chroma
+(macroblock.c:259) for the commit, but re-expressed as whole-frame tensor
+passes (SURVEY.md §7.1):
+
+  1. DECIDE (one batched pass, no recon deps): per-MB intra mode costs are
+     evaluated against *source* neighbors — the two-phase approximation the
+     reference itself makes for threads (doc/threads.txt:41).
+  2. COMMIT (lax.scan over wavefront diagonals): exact reconstruction with
+     true decoded neighbors; produces quantized coefficients + recon planes.
+  3. ENTROPY (host, vectorized CAVLC in entropy/cavlc.py).
+
+Round-1 scope: I16x16 luma + 8x8 chroma modes (I4x4/I8x8 land next).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..entropy import nal as nal_mod
+from ..entropy.slice_hdr import slice_header_write
+from ..ops import dct, pixel, predict, quant
+from ..ops.tables import ZIGZAG4_FRAME, chroma_qp
+from . import wavefront
+from .encoder import TYPE_IDR
+
+
+def _mb_tiles(plane, s):
+    """[H, W] -> [mbh, mbw, s, s]"""
+    h, w = plane.shape
+    return plane.reshape(h // s, s, w // s, s).swapaxes(1, 2)
+
+
+# ---------------------------------------------------------------- decision
+@jax.jit
+def decide_modes(y, u, v):
+    """Batched I16x16 + chroma mode decision from source neighbors.
+
+    Returns (i16_mode [mbh, mbw], chroma_mode [mbh, mbw])."""
+    mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
+
+    def neighbors(plane, s):
+        t = _mb_tiles(plane, s)              # [mbh, mbw, s, s]
+        # source top rows / left cols shifted from neighbor tiles
+        top = jnp.roll(t[:, :, s - 1, :], 1, axis=0)       # [mbh,mbw,s]
+        left = jnp.roll(t[:, :, :, s - 1], 1, axis=1)
+        tl = jnp.roll(jnp.roll(t[:, :, s - 1, s - 1], 1, 0), 1, 1)
+        return t, top, left, tl
+
+    ay = jnp.arange(mbh)[:, None] > 0
+    ax = jnp.arange(mbw)[None, :] > 0
+    at = jnp.broadcast_to(ay, (mbh, mbw))
+    al = jnp.broadcast_to(ax, (mbh, mbw))
+
+    ty, top_y, left_y, tl_y = neighbors(y, 16)
+    preds = predict.predict_16x16_all(left_y, top_y, tl_y, al, at)
+    costs = pixel.satd(preds, ty[:, :, None])             # [mbh,mbw,4]
+    valid = predict.predict_16x16_mode_valid(al, at, at & al)
+    costs = jnp.where(valid, costs, 1 << 28)
+    i16_mode = jnp.argmin(costs, axis=-1).astype(jnp.int32)
+
+    tu, top_u, left_u, tl_u = neighbors(u, 8)
+    tv, top_v, left_v, tl_v = neighbors(v, 8)
+    pu = predict.predict_chroma_all(left_u, top_u, tl_u, al, at)
+    pv = predict.predict_chroma_all(left_v, top_v, tl_v, al, at)
+    ccosts = pixel.satd(pu, tu[:, :, None]) + pixel.satd(pv, tv[:, :, None])
+    cvalid = predict.predict_chroma_mode_valid(al, at, at & al)
+    ccosts = jnp.where(cvalid, ccosts, 1 << 28)
+    chroma_mode = jnp.argmin(ccosts, axis=-1).astype(jnp.int32)
+    return i16_mode, chroma_mode
+
+
+# ------------------------------------------------------------------ commit
+def _gather_edges(pad, mbx, mby, s):
+    """From a padded plane [(H+1),(W+1)] gather top [L,s], left [L,s],
+    tl [L] for MBs at (mbx,mby) in units of s."""
+    r0 = mby * s
+    c0 = mbx * s
+    ar = jnp.arange(s, dtype=jnp.int32)
+    top = pad[r0[:, None], c0[:, None] + 1 + ar[None, :]]
+    left = pad[r0[:, None] + 1 + ar[None, :], c0[:, None]]
+    tl = pad[r0, c0]
+    return top, left, tl
+
+
+def _luma_blocks(mb):
+    """[L,16,16] -> [L,16,4,4] raster 4x4 blocks."""
+    L = mb.shape[0]
+    return mb.reshape(L, 4, 4, 4, 4).swapaxes(2, 3).reshape(L, 16, 4, 4)
+
+
+def _luma_merge(blocks):
+    """[L,16,4,4] -> [L,16,16]"""
+    L = blocks.shape[0]
+    return blocks.reshape(L, 4, 4, 4, 4).swapaxes(2, 3).reshape(L, 16, 16)
+
+
+def _chroma_blocks(mb):
+    L = mb.shape[0]
+    return mb.reshape(L, 2, 4, 2, 4).swapaxes(2, 3).reshape(L, 4, 4, 4)
+
+
+def _chroma_merge(blocks):
+    L = blocks.shape[0]
+    return blocks.reshape(L, 2, 2, 4, 4).swapaxes(2, 3).reshape(L, 8, 8)
+
+
+def _encode_luma_i16(src, pred, qp):
+    """I16x16 luma transform path for [L] MBs. Returns (dc_lv [L,4,4],
+    ac_lv [L,16,4,4] pos0-zeroed, recon [L,16,16])."""
+    res = src.astype(jnp.int32) - pred
+    blocks = _luma_blocks(res)                       # [L,16,4,4]
+    w = dct.dct4x4(blocks)
+    dcs = w[:, :, 0, 0].reshape(-1, 4, 4)            # raster DC grid
+    had = dct.dct4x4dc(dcs)
+    dc_lv = quant.quant4x4_dc(had, qp)
+    ac_lv = quant.quant4x4(w, qp[:, None], True)
+    ac_lv = ac_lv.at[:, :, 0, 0].set(0)
+    # reconstruction
+    f = dct.ihadamard4x4(dc_lv)
+    dc_vals = quant.dequant4x4_dc(f, qp)
+    d = quant.dequant4x4(ac_lv, qp[:, None])
+    d = d.at[:, :, 0, 0].set(dc_vals.reshape(-1, 16))
+    r = dct.idct4x4(d)
+    recon = jnp.clip(pred + _luma_merge(r), 0, 255)
+    return dc_lv, ac_lv, recon
+
+
+def _encode_chroma_i8(src, pred, qpc):
+    """Chroma 8x8 path (one component). Returns (dc_lv [L,2,2],
+    ac_lv [L,4,4,4] pos0-zeroed, recon [L,8,8])."""
+    res = src.astype(jnp.int32) - pred
+    blocks = _chroma_blocks(res)                     # [L,4,4,4]
+    w = dct.dct4x4(blocks)
+    dcs = w[:, :, 0, 0].reshape(-1, 2, 2)
+    had = dct.hadamard2x2(dcs)
+    dc_lv = quant.quant2x2_dc(had, qpc, True)
+    ac_lv = quant.quant4x4(w, qpc[:, None], True)
+    ac_lv = ac_lv.at[:, :, 0, 0].set(0)
+    f = dct.ihadamard2x2(dc_lv)
+    dc_vals = quant.dequant2x2_dc(f, qpc)
+    d = quant.dequant4x4(ac_lv, qpc[:, None])
+    d = d.at[:, :, 0, 0].set(dc_vals.reshape(-1, 4))
+    r = dct.idct4x4(d)
+    recon = jnp.clip(pred + _chroma_merge(r), 0, 255)
+    return dc_lv, ac_lv, recon
+
+
+@partial(jax.jit, static_argnames=("mbw", "mbh"))
+def commit_i16x16(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
+                  sched_x, sched_y, sched_valid, *, mbw, mbh):
+    """Wavefront commit: exact recon + quantized coefficients.
+
+    Returns dict of [D, L, ...] coefficient tensors + recon planes."""
+    H, W = y.shape
+    ty = _mb_tiles(y, 16)
+    tu = _mb_tiles(u, 8)
+    tv = _mb_tiles(v, 8)
+    pad_y = jnp.zeros((H + 1, W + 1), jnp.int32)
+    pad_u = jnp.zeros((H // 2 + 1, W // 2 + 1), jnp.int32)
+    pad_v = jnp.zeros((H // 2 + 1, W // 2 + 1), jnp.int32)
+
+    ar16 = jnp.arange(16, dtype=jnp.int32)
+    ar8 = jnp.arange(8, dtype=jnp.int32)
+
+    def step(carry, xs):
+        py, pu, pv = carry
+        mbx, mby, valid = xs
+        at = (mby > 0) & valid
+        al = (mbx > 0) & valid
+        atl = at & al
+
+        # ---- luma ----
+        top, left, tl = _gather_edges(py, mbx, mby, 16)
+        preds = predict.predict_16x16_all(left, top, tl, al, at)
+        mode = i16_mode[mby, mbx]
+        pred = jnp.take_along_axis(
+            preds, mode[:, None, None, None], axis=1)[:, 0]
+        src = ty[mby, mbx]
+        qp = qp_mb[mby, mbx]
+        dc_lv, ac_lv, recon = _encode_luma_i16(src, pred, qp)
+        # scatter recon (invalid lanes -> OOB drop)
+        bigx = jnp.where(valid, mbx, mbw + 99)
+        rows = (mby * 16)[:, None, None] + 1 + ar16[None, :, None]
+        cols = (bigx * 16)[:, None, None] + 1 + ar16[None, None, :]
+        py = py.at[rows, cols].set(recon, mode="drop")
+
+        # ---- chroma ----
+        ctop_u, cleft_u, ctl_u = _gather_edges(pu, mbx, mby, 8)
+        ctop_v, cleft_v, ctl_v = _gather_edges(pv, mbx, mby, 8)
+        cmode = chroma_mode[mby, mbx]
+        pu_all = predict.predict_chroma_all(cleft_u, ctop_u, ctl_u, al, at)
+        pv_all = predict.predict_chroma_all(cleft_v, ctop_v, ctl_v, al, at)
+        pred_u = jnp.take_along_axis(
+            pu_all, cmode[:, None, None, None], axis=1)[:, 0]
+        pred_v = jnp.take_along_axis(
+            pv_all, cmode[:, None, None, None], axis=1)[:, 0]
+        qpc = qpc_mb[mby, mbx]
+        udc, uac, urec = _encode_chroma_i8(tu[mby, mbx], pred_u, qpc)
+        vdc, vac, vrec = _encode_chroma_i8(tv[mby, mbx], pred_v, qpc)
+        crows = (mby * 8)[:, None, None] + 1 + ar8[None, :, None]
+        ccols = (bigx * 8)[:, None, None] + 1 + ar8[None, None, :]
+        pu = pu.at[crows, ccols].set(urec, mode="drop")
+        pv = pv.at[crows, ccols].set(vrec, mode="drop")
+
+        out = {"dc": dc_lv, "ac": ac_lv,
+               "udc": udc, "uac": uac, "vdc": vdc, "vac": vac}
+        return (py, pu, pv), out
+
+    (py, pu, pv), ys = jax.lax.scan(
+        step, (pad_y, pad_u, pad_v), (sched_x, sched_y, sched_valid))
+    recon = (py[1:, 1:].astype(jnp.uint8), pu[1:, 1:].astype(jnp.uint8),
+             pv[1:, 1:].astype(jnp.uint8))
+    return ys, recon
+
+
+# ------------------------------------------------------------- frame entry
+_SCHED_CACHE = {}
+
+
+def encode_iframe(enc, planes, ftype, qp):
+    """Full I-frame: decide -> commit -> CAVLC. Returns (nals, recon)."""
+    if enc.p.cabac:
+        raise NotImplementedError("CABAC lands in a later milestone; "
+                                  "use --no-cabac")
+    mbw, mbh = enc.mb_w, enc.mb_h
+    key = (mbw, mbh)
+    if key not in _SCHED_CACHE:
+        _SCHED_CACHE[key] = wavefront.schedule(mbw, mbh)
+    sx, sy, sv, diag_of, lane_of = _SCHED_CACHE[key]
+
+    y, u, v = [jnp.asarray(p) for p in planes]
+    i16_mode, chroma_mode = decide_modes(y, u, v)
+    qp_mb = jnp.full((mbh, mbw), qp, jnp.int32)
+    qpc_mb = jnp.asarray(
+        chroma_qp(np.full((mbh, mbw), qp), enc.p.analyse.chroma_qp_offset),
+        dtype=jnp.int32)
+    ys, recon = commit_i16x16(
+        y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
+        jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(sv),
+        mbw=mbw, mbh=mbh)
+
+    # ---- host entropy ----
+    n_mb = mbw * mbh
+    g = lambda a: wavefront.gather_raster(np.asarray(a), diag_of, lane_of)
+    dc = g(ys["dc"]).reshape(n_mb, 16)[:, ZIGZAG4_FRAME]
+    ac = g(ys["ac"]).reshape(n_mb, 16, 16)[:, :, ZIGZAG4_FRAME]
+    udc = g(ys["udc"]).reshape(n_mb, 4)          # raster 2x2 scan
+    vdc = g(ys["vdc"]).reshape(n_mb, 4)
+    uac = g(ys["uac"]).reshape(n_mb, 4, 16)[:, :, ZIGZAG4_FRAME]
+    vac = g(ys["vac"]).reshape(n_mb, 4, 16)[:, :, ZIGZAG4_FRAME]
+    cdc = np.stack([udc, vdc], axis=1)           # [N,2,4]
+    cac = np.stack([uac, vac], axis=1)           # [N,2,4,16]
+
+    from ..entropy.cavlc import encode_i16x16_frame
+    sh = enc._slice_header(ftype, qp)
+    bw = slice_header_write(sh, nal_mod.NAL_PRIORITY_HIGHEST)
+    encode_i16x16_frame(
+        bw, np.asarray(i16_mode).reshape(-1),
+        np.asarray(chroma_mode).reshape(-1),
+        np.full(n_mb, qp, np.int32), int(qp),
+        dc, ac, cdc, cac, mbw, mbh)
+    bw.rbsp_trailing()
+    nal_type = (nal_mod.NAL_SLICE_IDR if ftype == TYPE_IDR
+                else nal_mod.NAL_SLICE)
+    nals = [nal_mod.nal_encode(nal_type, nal_mod.NAL_PRIORITY_HIGHEST,
+                               bw.getvalue())]
+    enc.frame_num = (enc.frame_num + 1) % (1 << enc.sps.log2_max_frame_num)
+    enc.poc += 2
+    return nals, [np.asarray(r) for r in recon]
