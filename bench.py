@@ -1,0 +1,67 @@
+"""Benchmark: 1080p intra encode fps on one TPU chip.
+
+Prints one JSON line {"metric", "value", "unit", "vs_baseline"}.
+Baseline target (BASELINE.json north star): 10x realtime 1080p30 = 300 fps.
+Round-1 path: all-intra I16x16 CQP (milestone config 1 equivalent);
+P-frames/lookahead milestones will move this to the medium-equivalent chain.
+"""
+
+import json
+import time
+
+import numpy as np
+
+TARGET_FPS = 300.0   # 10x realtime @ 30fps on one chip
+
+
+def synth_1080p(n):
+    rng = np.random.default_rng(0)
+    h, w = 1088, 1920
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for i in range(n):
+        y = np.clip(128 + 60 * np.sin(xx / 37 + i * .7) * np.cos(yy / 23)
+                    + rng.integers(-8, 8, (h, w)), 0, 255).astype(np.uint8)
+        u = np.clip(128 + 50 * np.sin(xx[::2, ::2] / 51), 0,
+                    255).astype(np.uint8)
+        v = np.clip(128 + 50 * np.cos(yy[::2, ::2] / 47), 0,
+                    255).astype(np.uint8)
+        frames.append([y, u, v])
+    return frames
+
+
+def main():
+    from x264_tpu import param_default_preset
+    from x264_tpu.encoder.encoder import Encoder, Picture, TYPE_IDR
+    from x264_tpu.entropy.nal import annexb_bytes
+
+    p = param_default_preset("medium")
+    p.width, p.height = 1920, 1080
+    p.cabac = False
+    p.deblocking_filter = False
+    p.rc.rc_method = 0
+    p.rc.qp_constant = 26
+    enc = Encoder(p)
+
+    frames = synth_1080p(4)
+    # warmup (compile)
+    enc.encode(Picture(frames[0], pts=0, i_type=TYPE_IDR))
+    n_bench = 8
+    t0 = time.time()
+    total_bytes = 0
+    for i in range(n_bench):
+        nals, out = enc.encode(Picture(frames[i % len(frames)], pts=i + 1,
+                                       i_type=TYPE_IDR))
+        total_bytes += sum(len(n.payload) for n in nals)
+    dt = time.time() - t0
+    fps = n_bench / dt
+    print(json.dumps({
+        "metric": "encode_fps_1080p_intra",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / TARGET_FPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

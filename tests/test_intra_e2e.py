@@ -37,6 +37,7 @@ def encode(frames, w, h, qp=26):
     p.deblocking_filter = False
     p.rc.rc_method = 0
     p.rc.qp_constant = qp
+    p.full_recon = True
     enc = Encoder(p)
     stream = annexb_bytes(enc.headers())
     recons = []

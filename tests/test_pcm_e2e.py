@@ -23,6 +23,7 @@ def make_frames(n, w, h, seed=0):
 
 
 def encode_stream(p, frames, force_type=TYPE_IDR):
+    p.full_recon = True
     enc = Encoder(p)
     stream = annexb_bytes(enc.headers())
     recons = []

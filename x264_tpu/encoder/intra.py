@@ -220,12 +220,41 @@ def commit_i16x16(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
     return ys, recon
 
 
+@partial(jax.jit, static_argnames=("mbw", "mbh", "cap_words"))
+def encode_iframe_device(y, u, v, qp_mb, qpc_mb, sched_x, sched_y,
+                         sched_valid, diag_of, lane_of, *, mbw, mbh,
+                         cap_words):
+    """Fused device pass: mode decision + wavefront commit + CAVLC entropy +
+    bit packing — the whole frame in one dispatch. Only the packed slice
+    payload (and recon, for the DPB) leaves the chip."""
+    from ..entropy.cavlc_jax import encode_i16x16_frame_dev
+    i16_mode, chroma_mode = decide_modes(y, u, v)
+    ys, recon = commit_i16x16(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
+                              sched_x, sched_y, sched_valid,
+                              mbw=mbw, mbh=mbh)
+    n_mb = mbw * mbh
+    g = lambda a: a[diag_of, lane_of]            # diag order -> raster
+    dc_blk = g(ys["dc"])
+    ac_blk = g(ys["ac"])
+    cdc_blk = jnp.stack([g(ys["udc"]), g(ys["vdc"])], axis=1)
+    cac_blk = jnp.stack([g(ys["uac"]), g(ys["vac"])], axis=1)
+    qp_flat = qp_mb.reshape(-1)
+    words, total_bits = encode_i16x16_frame_dev(
+        i16_mode.reshape(-1), chroma_mode.reshape(-1), qp_flat,
+        qp_flat[0], dc_blk, ac_blk, cdc_blk, cac_blk,
+        mbw=mbw, mbh=mbh, cap_words=cap_words)
+    return words, total_bits, recon
+
+
 # ------------------------------------------------------------- frame entry
 _SCHED_CACHE = {}
 
+CAP_BYTES_PER_MB = 256    # device payload buffer budget (asserted on host)
+
 
 def encode_iframe(enc, planes, ftype, qp):
-    """Full I-frame: decide -> commit -> CAVLC. Returns (nals, recon)."""
+    """Full I-frame: decide -> commit -> CAVLC, all on device.
+    Returns (nals, recon)."""
     if enc.p.cabac:
         raise NotImplementedError("CABAC lands in a later milestone; "
                                   "use --no-cabac")
@@ -236,36 +265,30 @@ def encode_iframe(enc, planes, ftype, qp):
     sx, sy, sv, diag_of, lane_of = _SCHED_CACHE[key]
 
     y, u, v = [jnp.asarray(p) for p in planes]
-    i16_mode, chroma_mode = decide_modes(y, u, v)
     qp_mb = jnp.full((mbh, mbw), qp, jnp.int32)
     qpc_mb = jnp.asarray(
         chroma_qp(np.full((mbh, mbw), qp), enc.p.analyse.chroma_qp_offset),
         dtype=jnp.int32)
-    ys, recon = commit_i16x16(
-        y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
+    cap_words = (mbw * mbh * CAP_BYTES_PER_MB) // 4
+    words, total_bits, recon = encode_iframe_device(
+        y, u, v, qp_mb, qpc_mb,
         jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(sv),
-        mbw=mbw, mbh=mbh)
+        jnp.asarray(diag_of), jnp.asarray(lane_of),
+        mbw=mbw, mbh=mbh, cap_words=cap_words)
 
-    # ---- host entropy ----
-    n_mb = mbw * mbh
-    g = lambda a: wavefront.gather_raster(np.asarray(a), diag_of, lane_of)
-    dc = g(ys["dc"]).reshape(n_mb, 16)[:, ZIGZAG4_FRAME]
-    ac = g(ys["ac"]).reshape(n_mb, 16, 16)[:, :, ZIGZAG4_FRAME]
-    udc = g(ys["udc"]).reshape(n_mb, 4)          # raster 2x2 scan
-    vdc = g(ys["vdc"]).reshape(n_mb, 4)
-    uac = g(ys["uac"]).reshape(n_mb, 4, 16)[:, :, ZIGZAG4_FRAME]
-    vac = g(ys["vac"]).reshape(n_mb, 4, 16)[:, :, ZIGZAG4_FRAME]
-    cdc = np.stack([udc, vdc], axis=1)           # [N,2,4]
-    cac = np.stack([uac, vac], axis=1)           # [N,2,4,16]
-
-    from ..entropy.cavlc import encode_i16x16_frame
+    # ---- host: slice header + payload merge ----
+    from ..entropy.bits import append_bitstring
+    from ..entropy.cavlc_jax import words_to_bytes
+    total_bits = int(total_bits)
+    if total_bits > cap_words * 32 - 32:
+        raise RuntimeError("CAVLC payload overflowed device buffer "
+                           f"({total_bits} bits > cap); raise "
+                           "CAP_BYTES_PER_MB")
+    n_words = (total_bits + 31) // 32
+    payload, nbits = words_to_bytes(np.asarray(words[:n_words]), total_bits)
     sh = enc._slice_header(ftype, qp)
     bw = slice_header_write(sh, nal_mod.NAL_PRIORITY_HIGHEST)
-    encode_i16x16_frame(
-        bw, np.asarray(i16_mode).reshape(-1),
-        np.asarray(chroma_mode).reshape(-1),
-        np.full(n_mb, qp, np.int32), int(qp),
-        dc, ac, cdc, cac, mbw, mbh)
+    append_bitstring(bw, payload, nbits)
     bw.rbsp_trailing()
     nal_type = (nal_mod.NAL_SLICE_IDR if ftype == TYPE_IDR
                 else nal_mod.NAL_SLICE)
@@ -273,4 +296,7 @@ def encode_iframe(enc, planes, ftype, qp):
                                bw.getvalue())]
     enc.frame_num = (enc.frame_num + 1) % (1 << enc.sps.log2_max_frame_num)
     enc.poc += 2
-    return nals, [np.asarray(r) for r in recon]
+    if enc.p.analyse.psnr or enc.p.analyse.ssim or enc.p.dump_yuv \
+            or enc.p.full_recon:
+        recon = [np.asarray(r) for r in recon]
+    return nals, list(recon)

@@ -143,6 +143,42 @@ class BitWriter:
         self._bytes.extend(np.packbits(head).tobytes())
 
 
+def append_bitstring(bw: "BitWriter", data: bytes, nbits: int) -> None:
+    """Append `nbits` bits (MSB-first packed in `data`) to a BitWriter at an
+    arbitrary bit offset. Vectorized byte-shift merge."""
+    if nbits == 0:
+        return
+    a = np.frombuffer(data, dtype=np.uint8)[: (nbits + 7) // 8]
+    s = bw._nbits
+    if s == 0:
+        full, rem = divmod(nbits, 8)
+        bw._bytes.extend(a[:full].tobytes())
+        if rem:
+            bw._acc = int(a[full]) >> (8 - rem)
+            bw._nbits = rem
+        return
+    # shift the payload right by s bits and merge with pending acc
+    hi = (a >> s).astype(np.uint8)
+    lo = ((a.astype(np.uint16) << (8 - s)) & 0xFF).astype(np.uint8)
+    merged = hi.copy()
+    merged[0] |= (bw._acc << (8 - s)) & 0xFF
+    merged[1:] |= lo[:-1]
+    total = s + nbits
+    full, rem = divmod(total, 8)
+    bw._acc = 0
+    bw._nbits = 0
+    if full:
+        bw._bytes.extend(merged[:full].tobytes())
+    if rem:
+        # remaining bits: bits [full*8, total) of the merged stream
+        if full < len(merged):
+            tailbyte = int(merged[full])
+        else:
+            tailbyte = int(lo[-1])
+        bw._acc = tailbyte >> (8 - rem)
+        bw._nbits = rem
+
+
 def pack_codes_to_bits(codes: np.ndarray,
                        lengths: np.ndarray) -> tuple[np.ndarray, int]:
     """Expand (code, length) pairs into a flat bit array (uint8 0/1).

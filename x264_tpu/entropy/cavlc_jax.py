@@ -1,0 +1,303 @@
+"""Device-side CAVLC: code generation AND bit packing on the TPU.
+
+The reference writes CAVLC serially through a host bit engine
+(encoder/cavlc.c + bs_t). Here the entire MB-layer entropy stage is device
+tensor code: per-block (code, length) syntax elements via vectorized table
+gathers, then a two-scatter-add bit packer (each ≤32-bit element lands in at
+most two consecutive 32-bit words of the output), so a frame's slice payload
+leaves the chip as a few hundred KB of packed words instead of tens of MB of
+coefficients. entropy/cavlc.py holds the numpy twin used as the golden
+reference in tests.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.tables import ZIGZAG4_FRAME
+from . import vlc_tables as V
+from .cavlc import LUMA4x4_RASTER
+
+BLOCK_SLOTS = 36
+
+
+def _ue_len(v):
+    """Bit length of ue(v) for v < 2^16 (vectorized, int32)."""
+    vp1 = v.astype(jnp.int32) + 1
+    nbits = jnp.zeros_like(vp1)
+    for k in range(1, 18):
+        nbits = nbits + (vp1 >= (1 << k))
+    return 2 * nbits + 1
+
+
+def ue_dev(v):
+    """(code, len) of unsigned Exp-Golomb."""
+    code = (v + 1).astype(jnp.uint32)
+    return code, _ue_len(v)
+
+
+def se_dev(v):
+    m = jnp.where(v <= 0, -2 * v, 2 * v - 1)
+    return ue_dev(m)
+
+
+def _reverse_nonzeros_dev(coeffs):
+    """[B, L] zig-zag coeffs -> (levels_rev, pos_rev, total)."""
+    B, L = coeffs.shape
+    nz = coeffs != 0
+    total = jnp.sum(nz, axis=1).astype(jnp.int32)
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    key = jnp.where(nz, -pos, L + 1)
+    order = jnp.argsort(key, axis=1, stable=True)
+    levels_rev = jnp.take_along_axis(coeffs, order, axis=1)
+    pos_rev = jnp.take_along_axis(jnp.broadcast_to(pos, coeffs.shape), order,
+                                  axis=1)
+    k = jnp.arange(L, dtype=jnp.int32)[None, :]
+    valid = k < total[:, None]
+    return (jnp.where(valid, levels_rev, 0),
+            jnp.where(valid, pos_rev, -1), total)
+
+
+def residual_blocks_dev(coeffs, nc, chroma_dc: bool = False):
+    """Device CAVLC for a batch of blocks.
+
+    coeffs [B, L] int32 zig-zag; nc [B]. Returns
+    (codes [B,36] uint32, lens [B,36] int32, total [B])."""
+    B, L = coeffs.shape
+    codes = jnp.zeros((B, BLOCK_SLOTS), jnp.uint32)
+    lens = jnp.zeros((B, BLOCK_SLOTS), jnp.int32)
+    levels_rev, pos_rev, total = _reverse_nonzeros_dev(coeffs)
+
+    is_one = jnp.abs(levels_rev[:, :3]) == 1
+    lead = jnp.cumprod(is_one, axis=1)
+    t1 = jnp.minimum(jnp.sum(lead, axis=1).astype(jnp.int32), total)
+
+    if chroma_dc:
+        cls = jnp.full((B,), 4 if L == 4 else 5, jnp.int32)
+    else:
+        ncv = jnp.asarray(nc, jnp.int32)
+        cls = jnp.where(ncv < 2, 0,
+                        jnp.where(ncv < 4, 1, jnp.where(ncv < 8, 2, 3)))
+    ct_code = jnp.asarray(V.COEFF_TOKEN_CODE.astype(np.uint32))
+    ct_len = jnp.asarray(V.COEFF_TOKEN_LEN)
+    c0_code = jnp.asarray(V.COEFF0_TOKEN_CODE.astype(np.uint32))
+    c0_len = jnp.asarray(V.COEFF0_TOKEN_LEN)
+    ti = jnp.maximum(total - 1, 0)
+    tok_code = jnp.where(total == 0, c0_code[cls], ct_code[cls, ti, t1])
+    tok_len = jnp.where(total == 0, c0_len[cls], ct_len[cls, ti, t1])
+    codes = codes.at[:, 0].set(tok_code)
+    lens = lens.at[:, 0].set(tok_len)
+
+    for k in range(3):
+        active = k < t1
+        codes = codes.at[:, 1 + k].set(
+            jnp.where(active, (levels_rev[:, k] < 0).astype(jnp.uint32), 0))
+        lens = lens.at[:, 1 + k].set(jnp.where(active, 1, 0))
+
+    sl = jnp.where((total > 10) & (t1 < 3), 1, 0).astype(jnp.int32)
+    maxk = min(L, 16)
+    for k in range(maxk):
+        lv = levels_rev[:, k]
+        active = (k >= t1) & (k < total)
+        lc = jnp.where(lv > 0, 2 * lv - 2, -2 * lv - 1)
+        lc = jnp.where((k == t1) & (t1 < 3), lc - 2, lc)
+        lc = jnp.maximum(lc, 0)
+        # suffixLength == 0 branch
+        c0v = jnp.where(
+            lc < 14, jnp.uint32(1),
+            jnp.where(lc < 30,
+                      jnp.uint32(1 << 4) | (lc - 14).astype(jnp.uint32),
+                      jnp.uint32(1 << 12)
+                      | jnp.minimum(lc - 30, 4095).astype(jnp.uint32)))
+        l0v = jnp.where(lc < 14, lc + 1, jnp.where(lc < 30, 19, 28))
+        # suffixLength > 0 branch
+        slp = jnp.maximum(sl, 1)
+        prefix = lc >> slp
+        mask = (1 << slp) - 1
+        cpv = ((jnp.uint32(1) << slp.astype(jnp.uint32))
+               | (lc & mask).astype(jnp.uint32))
+        lpv = prefix + 1 + slp
+        esc = prefix >= 15
+        cpv = jnp.where(
+            esc, jnp.uint32(1 << 12)
+            | jnp.clip(lc - (15 << slp), 0, 4095).astype(jnp.uint32), cpv)
+        lpv = jnp.where(esc, 28, lpv)
+        use0 = sl == 0
+        codes = codes.at[:, 4 + k].set(
+            jnp.where(active, jnp.where(use0, c0v, cpv), 0))
+        lens = lens.at[:, 4 + k].set(
+            jnp.where(active, jnp.where(use0, l0v, lpv), 0))
+        new_sl = jnp.maximum(sl, 1)
+        new_sl = new_sl + ((jnp.abs(lv) > (3 << (new_sl - 1)))
+                           & (new_sl < 6))
+        sl = jnp.where(active, new_sl, sl)
+
+    tz = jnp.where(total > 0, pos_rev[:, 0] + 1 - total, 0)
+    write_tz = (total > 0) & (total < L)
+    if chroma_dc and L == 4:
+        tzc = jnp.asarray(V.TOTAL_ZEROS_2x2_CODE.astype(np.uint32))
+        tzl = jnp.asarray(V.TOTAL_ZEROS_2x2_LEN)
+        trow = jnp.minimum(ti, 2)
+        tcol = jnp.clip(tz, 0, 3)
+    elif chroma_dc:
+        tzc = jnp.asarray(V.TOTAL_ZEROS_2x4_CODE.astype(np.uint32))
+        tzl = jnp.asarray(V.TOTAL_ZEROS_2x4_LEN)
+        trow = jnp.minimum(ti, 6)
+        tcol = jnp.clip(tz, 0, 7)
+    else:
+        tzc = jnp.asarray(V.TOTAL_ZEROS_CODE.astype(np.uint32))
+        tzl = jnp.asarray(V.TOTAL_ZEROS_LEN)
+        trow = jnp.minimum(ti, 14)
+        tcol = jnp.clip(tz, 0, 15)
+    codes = codes.at[:, 20].set(jnp.where(write_tz, tzc[trow, tcol], 0))
+    lens = lens.at[:, 20].set(jnp.where(write_tz, tzl[trow, tcol], 0))
+
+    rbc = jnp.asarray(V.RUN_BEFORE_CODE.astype(np.uint32))
+    rbl = jnp.asarray(V.RUN_BEFORE_LEN)
+    zleft = jnp.where(write_tz, tz, 0)
+    for k in range(maxk - 1):
+        run = pos_rev[:, k] - pos_rev[:, k + 1] - 1
+        active = (k < total - 1) & (zleft > 0)
+        run = jnp.where(active, run, 0)
+        ridx = jnp.clip(zleft - 1, 0, 6)
+        rcol = jnp.clip(run, 0, 15)
+        codes = codes.at[:, 21 + k].set(
+            jnp.where(active, rbc[ridx, rcol], 0))
+        lens = lens.at[:, 21 + k].set(jnp.where(active, rbl[ridx, rcol], 0))
+        zleft = jnp.where(active, zleft - run, zleft)
+
+    return codes, lens, total
+
+
+def pack_bits_dev(codes, lens, cap_words: int):
+    """Pack (code,len≤32) elements MSB-first into uint32 big-endian words.
+
+    Two scatter-adds: each element spans at most 2 consecutive words.
+    Returns (words [cap_words] uint32, total_bits scalar int32)."""
+    codes = codes.reshape(-1).astype(jnp.uint32)
+    lens = lens.reshape(-1).astype(jnp.int32)
+    codes = jnp.where(lens > 0, codes, 0)
+    ends = jnp.cumsum(lens)
+    total_bits = ends[-1]
+    starts = ends - lens
+    word_idx = starts >> 5
+    bit_in = starts & 31
+    end = bit_in + lens                      # 0..63
+    # word0: top bits of code, left-aligned at bit_in
+    t0 = codes >> jnp.maximum(end - 32, 0).astype(jnp.uint32)
+    v0 = (t0 << (32 - jnp.minimum(end, 32)).astype(jnp.uint32))
+    # word1: low (end-32) bits, left-aligned at bit 0
+    low_n = jnp.maximum(end - 32, 0)
+    low = codes & ((jnp.uint32(1) << low_n.astype(jnp.uint32)) - 1)
+    v1 = jnp.where(low_n > 0,
+                   low << (64 - end).astype(jnp.uint32), jnp.uint32(0))
+    words = jnp.zeros((cap_words,), jnp.uint32)
+    words = words.at[word_idx].add(v0, mode="drop")
+    words = words.at[word_idx + 1].add(v1, mode="drop")
+    return words, total_bits
+
+
+def _nc_grid_dev(nnz_tiles, mbh: int, mbw: int, bs: int):
+    """nnz_tiles [N, bs*bs] raster-in-MB -> nC [N, bs*bs]."""
+    n = mbh * mbw
+    grid = nnz_tiles.reshape(mbh, mbw, bs, bs).transpose(0, 2, 1, 3) \
+        .reshape(mbh * bs, mbw * bs)
+    na = jnp.pad(grid, ((0, 0), (1, 0)))[:, :-1]
+    nb = jnp.pad(grid, ((1, 0), (0, 0)))[:-1, :]
+    col = jnp.arange(mbw * bs)[None, :]
+    row = jnp.arange(mbh * bs)[:, None]
+    has_a = col > 0
+    has_b = row > 0
+    nc = jnp.where(has_a & has_b, (na + nb + 1) >> 1,
+                   jnp.where(has_a, na, jnp.where(has_b, nb, 0)))
+    return nc.reshape(mbh, bs, mbw, bs).transpose(0, 2, 1, 3).reshape(
+        n, bs * bs)
+
+
+@partial(jax.jit, static_argnames=("mbw", "mbh", "cap_words"))
+def encode_i16x16_frame_dev(i16_mode, chroma_mode, qp_flat, slice_qp,
+                            dc_blk, ac_blk, cdc_blk, cac_blk,
+                            *, mbw: int, mbh: int, cap_words: int):
+    """Full I16x16 MB-layer entropy on device.
+
+    dc_blk [N,4,4] (hadamard-domain levels, raster), ac_blk [N,16,4,4]
+    (raster blocks, pos0 zeroed), cdc_blk [N,2,2,2], cac_blk [N,2,4,4,4].
+    Returns (words, total_bits)."""
+    n = mbw * mbh
+    zig = jnp.asarray(ZIGZAG4_FRAME)
+    dc_z = dc_blk.reshape(n, 16)[:, zig]
+    ac_z = ac_blk.reshape(n, 16, 16)[:, :, zig]
+    cdc = cdc_blk.reshape(n, 2, 4)                      # raster 2x2 scan
+    cac_z = cac_blk.reshape(n, 2, 4, 16)[:, :, :, zig]
+
+    nnz_ac = jnp.sum(ac_z[:, :, 1:] != 0, axis=2).astype(jnp.int32)
+    nc_l = _nc_grid_dev(nnz_ac, mbh, mbw, 4)
+    dc_codes, dc_lens, _ = residual_blocks_dev(dc_z, nc_l[:, 0])
+    ac_codes, ac_lens, _ = residual_blocks_dev(
+        ac_z[:, :, 1:].reshape(n * 16, 15), nc_l.reshape(-1))
+    ac_codes = ac_codes.reshape(n, 16, BLOCK_SLOTS)
+    ac_lens = ac_lens.reshape(n, 16, BLOCK_SLOTS)
+    cdc_codes, cdc_lens, _ = residual_blocks_dev(
+        cdc.reshape(n * 2, 4), jnp.zeros(n * 2, jnp.int32), chroma_dc=True)
+    cdc_codes = cdc_codes.reshape(n, 2, BLOCK_SLOTS)
+    cdc_lens = cdc_lens.reshape(n, 2, BLOCK_SLOTS)
+    nnz_cac = jnp.sum(cac_z[:, :, :, 1:] != 0, axis=3).astype(jnp.int32)
+    nc_u = _nc_grid_dev(nnz_cac[:, 0], mbh, mbw, 2)
+    nc_v = _nc_grid_dev(nnz_cac[:, 1], mbh, mbw, 2)
+    nc_c = jnp.stack([nc_u, nc_v], axis=1)
+    cac_codes, cac_lens, _ = residual_blocks_dev(
+        cac_z[:, :, :, 1:].reshape(n * 8, 15), nc_c.reshape(-1))
+    cac_codes = cac_codes.reshape(n, 8, BLOCK_SLOTS)
+    cac_lens = cac_lens.reshape(n, 8, BLOCK_SLOTS)
+
+    cbp_luma = jnp.sum(nnz_ac, axis=1) > 0
+    any_cac = jnp.sum(nnz_cac.reshape(n, 8), axis=1) > 0
+    any_cdc = jnp.sum(cdc != 0, axis=(1, 2)) > 0
+    cbp_chroma = jnp.where(any_cac, 2, jnp.where(any_cdc, 1, 0))
+    mb_type = 1 + i16_mode + 4 * cbp_chroma + 12 * cbp_luma
+
+    h_codes = jnp.zeros((n, 3), jnp.uint32)
+    h_lens = jnp.zeros((n, 3), jnp.int32)
+    c, l = ue_dev(mb_type)                       # noqa: E741
+    h_codes = h_codes.at[:, 0].set(c)
+    h_lens = h_lens.at[:, 0].set(l)
+    c, l = ue_dev(chroma_mode)                   # noqa: E741
+    h_codes = h_codes.at[:, 1].set(c)
+    h_lens = h_lens.at[:, 1].set(l)
+    prev_qp = jnp.concatenate(
+        [jnp.full((1,), slice_qp, qp_flat.dtype), qp_flat[:-1]])
+    c, l = se_dev(qp_flat - prev_qp)             # noqa: E741
+    h_codes = h_codes.at[:, 2].set(c)
+    h_lens = h_lens.at[:, 2].set(l)
+
+    ac_lens = jnp.where(cbp_luma[:, None, None], ac_lens, 0)
+    cdc_lens = jnp.where((cbp_chroma > 0)[:, None, None], cdc_lens, 0)
+    cac_lens = jnp.where((cbp_chroma == 2)[:, None, None], cac_lens, 0)
+
+    order = jnp.asarray(LUMA4x4_RASTER)
+    ac_codes = ac_codes[:, order]
+    ac_lens = ac_lens[:, order]
+
+    codes = jnp.concatenate([
+        h_codes, dc_codes,
+        ac_codes.reshape(n, -1),
+        cdc_codes.reshape(n, -1),
+        cac_codes.reshape(n, -1)], axis=1)
+    lens = jnp.concatenate([
+        h_lens, dc_lens,
+        ac_lens.reshape(n, -1),
+        cdc_lens.reshape(n, -1),
+        cac_lens.reshape(n, -1)], axis=1)
+    return pack_bits_dev(codes, lens, cap_words)
+
+
+def words_to_bytes(words: np.ndarray, total_bits: int) -> tuple[bytes, int]:
+    """Host: big-endian words -> byte string truncated to ceil(total_bits/8).
+    Returns (payload, total_bits)."""
+    nbytes = (int(total_bits) + 7) // 8
+    by = words.astype(">u4").tobytes()[:nbytes]
+    return by, int(total_bits)
