@@ -320,6 +320,8 @@ def residual_block(r: BitReader, nc: int, max_coeff: int):
 
 # ------------------------------------------------------------- scans/tables
 ZIG4 = np.array([0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15])
+# codeNum -> coded_block_pattern, inter (spec table 9-4)
+_CBP_FROM_GOLOMB_INTER = np.argsort(V.CBP_TO_GOLOMB_INTER)
 CHROMA_QP = np.array(list(range(30)) +
                      [29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37,
                       37, 38, 38, 38, 39, 39, 39, 39])
@@ -452,6 +454,89 @@ class Decoder:
         return np.clip((a + b * xs[None, :] + c * xs[:, None] + 16) >> 5,
                        0, 255)
 
+    # -- inter prediction helpers (spec 8.4.2.2, written from the formulas
+    #    with coordinate clamping; independent of the encoder's plane picks)
+    @staticmethod
+    def _interp_planes(y):
+        """Return (full, b, h, j) int planes + the unrounded intermediates,
+        computed on a clamp-extended grid."""
+        f = y.astype(np.int64)
+        H, W = f.shape
+
+        def at(r, c):
+            return f[np.clip(r, 0, H - 1)][:, np.clip(c, 0, W - 1)] \
+                if False else None
+
+        # pad by 3 on each side via edge clamp for the 6-tap windows
+        fp = np.pad(f, 3, mode="edge")
+        cols = np.arange(W + 6)
+
+        def tap6_h(a):
+            return (a[:, 0:-5] - 5 * a[:, 1:-4] + 20 * a[:, 2:-3]
+                    + 20 * a[:, 3:-2] - 5 * a[:, 4:-1] + a[:, 5:])
+
+        def tap6_v(a):
+            return (a[0:-5] - 5 * a[1:-4] + 20 * a[2:-3]
+                    + 20 * a[3:-2] - 5 * a[4:-1] + a[5:])
+
+        b1 = tap6_h(fp)[3:-3]                # [H, W+1ish] -> align
+        # b1 full width: for x in -? ; simpler: recompute aligned:
+        b1 = tap6_h(np.pad(f, ((0, 0), (2, 3)), mode="edge"))
+        b = np.clip((b1 + 16) >> 5, 0, 255)
+        h1 = tap6_v(np.pad(f, ((2, 3), (0, 0)), mode="edge"))
+        hh = np.clip((h1 + 16) >> 5, 0, 255)
+        j1 = tap6_v(np.pad(b1, ((2, 3), (0, 0)), mode="edge"))
+        j = np.clip((j1 + 512) >> 10, 0, 255)
+        return f, b, hh, j
+
+    def _luma_mc(self, planes, x0, y0, mvx, mvy, bs=16):
+        """Quarter-pel luma block fetch per spec table 8-12."""
+        f, b, hh, j = planes
+        H, W = f.shape
+        pad = getattr(self, "_mc_pad", 0)
+        fx, fy = mvx & 3, mvy & 3
+        ix, iy = x0 + (mvx >> 2) + pad, y0 + (mvy >> 2) + pad
+        rows = iy + np.arange(bs)[:, None]
+        cols = ix + np.arange(bs)[None, :]
+
+        def g(plane, dy=0, dx=0):
+            r = np.clip(rows + dy, 0, H - 1)
+            c = np.clip(cols + dx, 0, W - 1)
+            return plane[r, c]
+
+        q = fy * 4 + fx
+        # plane picks per spec quarter-sample rules
+        P0 = {0: (0, 0, 0), 1: (1, 0, 0), 2: (1, 0, 0), 3: (1, 0, 0),
+              4: (0, 0, 0), 5: (1, 0, 0), 6: (1, 0, 0), 7: (1, 0, 0),
+              8: (2, 0, 0), 9: (3, 0, 0), 10: (3, 0, 0), 11: (3, 0, 0),
+              12: (0, 1, 0), 13: (1, 1, 0), 14: (1, 1, 0), 15: (1, 1, 0)}
+        P1 = {1: (0, 0, 0), 2: None, 3: (0, 0, 1),
+              4: (2, 0, 0), 5: (2, 0, 0), 6: (3, 0, 0), 7: (2, 0, 1),
+              9: (2, 0, 0), 11: (2, 0, 1),
+              12: (2, 0, 0), 13: (2, 0, 0), 14: (3, 0, 0), 15: (2, 0, 1)}
+        planes_list = [f, b, hh, j]
+        p0, dy0, dx0 = P0[q]
+        s0 = g(planes_list[p0], dy0, dx0)
+        if q in (0, 2, 8, 10):
+            return s0
+        p1, dy1, dx1 = P1[q]
+        s1 = g(planes_list[p1], dy1, dx1)
+        return (s0 + s1 + 1) >> 1
+
+    def _chroma_mc(self, plane, x0, y0, mvx, mvy, bs=8):
+        H, W = plane.shape
+        dx, dy = mvx & 7, mvy & 7
+        ix, iy = x0 + (mvx >> 3), y0 + (mvy >> 3)
+        rows = iy + np.arange(bs)[:, None]
+        cols = ix + np.arange(bs)[None, :]
+        A = plane[np.clip(rows, 0, H - 1), np.clip(cols, 0, W - 1)]
+        B = plane[np.clip(rows, 0, H - 1), np.clip(cols + 1, 0, W - 1)]
+        C = plane[np.clip(rows + 1, 0, H - 1), np.clip(cols, 0, W - 1)]
+        D = plane[np.clip(rows + 1, 0, H - 1), np.clip(cols + 1, 0, W - 1)]
+        A, B, C, D = [x.astype(np.int64) for x in (A, B, C, D)]
+        return ((8 - dx) * (8 - dy) * A + dx * (8 - dy) * B
+                + (8 - dx) * dy * C + dx * dy * D + 32) >> 6
+
     # -- slice decode --
     def decode(self, stream: bytes):
         for nal in split_nals(stream):
@@ -478,17 +563,29 @@ class Decoder:
             r.ue()  # idr_pic_id
         if sps.poc_type == 0:
             r.u(sps.log2_max_poc_lsb)
-        if slice_type != 2:
-            raise NotImplementedError("P/B slices (coming with encoder)")
+        if slice_type not in (0, 2):
+            raise NotImplementedError("B slices (coming with encoder)")
+        num_ref = pps.num_ref_idx_l0
+        if slice_type == 0:
+            if r.u1():                      # num_ref_idx_override
+                num_ref = r.ue() + 1
+            if r.u1():                      # ref_pic_list_modification
+                raise NotImplementedError("ref list modification")
+            if pps.weighted_pred:
+                raise NotImplementedError("pred weight table")
         if idr:
             r.u1()
             r.u1()
+        elif r.u1():                        # adaptive_ref_pic_marking
+            raise NotImplementedError("MMCO")
         qp = pps.pic_init_qp + r.se()
         if pps.deblocking_control:
             disable_idc = r.ue()
             if disable_idc != 1:
                 r.se()
                 r.se()
+        if slice_type == 0:
+            return self._decode_p_body(r, qp, num_ref)
         # frame buffers with -1 edge pad emulated by index -1 (top row/left
         # col physically present as padding)
         W, H = sps.mb_w * 16, sps.mb_h * 16
@@ -524,6 +621,13 @@ class Decoder:
             qp += r.se()
             self._decode_i16(r, y, u, v, nnz_l, nnz_c, mx, my, pred_mode,
                              chroma_mode, cbp_l, cbp_c, qp, sps, pps)
+        self._finish_frame(y, u, v)
+
+    def _finish_frame(self, y, u, v):
+        """Store reference + emit display-cropped frame."""
+        sps = self.sps
+        H, W = sps.mb_h * 16, sps.mb_w * 16
+        self._ref = (y.copy(), u.copy(), v.copy())
         # crop: syntax units are SubWidthC/SubHeightC (=2 for 4:2:0)
         cl, cr, ct, cb = sps.crop
         top, bot, left, right = ct * 2, cb * 2, cl * 2, cr * 2
@@ -533,6 +637,164 @@ class Decoder:
             .astype(np.uint8),
             v[top // 2:(H - bot) // 2, left // 2:(W - right) // 2]
             .astype(np.uint8)))
+
+    def _decode_p_body(self, r: BitReader, qp: int, num_ref: int):
+        """P slice MB layer: P_Skip / P_L0_16x16 (+I16x16 when emitted)."""
+        sps, pps = self.sps, self.pps
+        ry, ru, rv = self._ref
+        # spec clamps full-pel taps to the picture edge: equivalent to
+        # interpolating on an edge-extended canvas (MVs bounded by PAD)
+        PAD = 32
+        planes = self._interp_planes(np.pad(ry, PAD, mode="edge"))
+        self._mc_pad = PAD
+        W, H = sps.mb_w * 16, sps.mb_h * 16
+        y = np.zeros((H, W), np.int64)
+        u = np.zeros((H // 2, W // 2), np.int64)
+        v = np.zeros((H // 2, W // 2), np.int64)
+        nnz_l = np.zeros((sps.mb_h * 4, sps.mb_w * 4), np.int32)
+        nnz_c = np.zeros((2, sps.mb_h * 2, sps.mb_w * 2), np.int32)
+        n = sps.mb_w * sps.mb_h
+        mvf = np.zeros((sps.mb_h, sps.mb_w, 2), np.int32)   # final MVs
+        coded_mask = np.zeros(n, bool)
+        mbidx = 0
+        skip_left = 0
+        pending_run = False
+
+        def mvp_for(mx, my):
+            """Median predictor, all-ref0 16x16 world (spec 8.4.1.3)."""
+            av_a = mx > 0
+            av_b = my > 0
+            av_c = my > 0 and mx < sps.mb_w - 1
+            av_d = my > 0 and mx > 0
+            mv_a = mvf[my, mx - 1] if av_a else np.zeros(2, np.int32)
+            mv_b = mvf[my - 1, mx] if av_b else np.zeros(2, np.int32)
+            if av_c:
+                mv_c = mvf[my - 1, mx + 1]
+            elif av_d:
+                mv_c = mvf[my - 1, mx - 1]
+                av_c = True
+            else:
+                mv_c = np.zeros(2, np.int32)
+            nav = int(av_a) + int(av_b) + int(av_c)
+            if not av_b and not av_c and av_a:
+                return mv_a.copy()
+            if nav == 1:
+                return (mv_a if av_a else mv_b if av_b else mv_c).copy()
+            return np.array([np.median([mv_a[0], mv_b[0], mv_c[0]]),
+                             np.median([mv_a[1], mv_b[1], mv_c[1]])],
+                            np.int32)
+
+        def pskip_for(mx, my):
+            if mx == 0 or my == 0:
+                return np.zeros(2, np.int32)
+            if np.all(mvf[my, mx - 1] == 0) or np.all(mvf[my - 1, mx] == 0):
+                # (all neighbors are inter ref0 in the emitted subset)
+                return np.zeros(2, np.int32)
+            return mvp_for(mx, my)
+
+        def mc_into(mx, my, mv):
+            pred = self._luma_mc(planes, mx * 16, my * 16,
+                                 int(mv[0]), int(mv[1]))
+            y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = pred
+            pu = self._chroma_mc(ru, mx * 8, my * 8, int(mv[0]), int(mv[1]))
+            pv = self._chroma_mc(rv, mx * 8, my * 8, int(mv[0]), int(mv[1]))
+            u[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = pu
+            v[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = pv
+
+        while mbidx < n:
+            run = r.ue()
+            for _ in range(run):
+                mx, my = mbidx % sps.mb_w, mbidx // sps.mb_w
+                mv = pskip_for(mx, my)
+                mvf[my, mx] = mv
+                mc_into(mx, my, mv)
+                mbidx += 1
+                if mbidx >= n:
+                    break
+            if mbidx >= n:
+                break
+            mx, my = mbidx % sps.mb_w, mbidx // sps.mb_w
+            mb_type = r.ue()
+            if mb_type != 0:
+                raise NotImplementedError(
+                    f"P mb_type {mb_type} at {mbidx}")
+            if num_ref > 1:
+                raise NotImplementedError("multi-ref te(ref_idx)")
+            mvd = np.array([r.se(), r.se()], np.int32)
+            mv = mvp_for(mx, my) + mvd
+            mvf[my, mx] = mv
+            mc_into(mx, my, mv)
+            cbp_code = r.ue()
+            if cbp_code >= 48:
+                raise ValueError("bad cbp code")
+            cbp = int(_CBP_FROM_GOLOMB_INTER[cbp_code])
+            cbp_l, cbp_c = cbp & 15, cbp >> 4
+            if cbp_l and pps.transform_8x8:
+                if r.u1():
+                    raise NotImplementedError("8x8 transform decode")
+            if cbp:
+                qp += r.se()
+            self._decode_inter_resid(r, y, u, v, nnz_l, nnz_c, mx, my,
+                                     cbp_l, cbp_c, qp)
+            # blocks not updated above -> zero nnz for uncoded quadrants
+            mbidx += 1
+        np.clip(y, 0, 255, out=y)
+        np.clip(u, 0, 255, out=u)
+        np.clip(v, 0, 255, out=v)
+        self._finish_frame(y, u, v)
+
+    def _decode_inter_resid(self, r, y, u, v, nnz_l, nnz_c, mx, my,
+                            cbp_l, cbp_c, qp):
+        sps, pps = self.sps, self.pps
+        # luma: full 16-coeff 4x4 blocks, z-scan coding order
+        for cidx in range(16):
+            bx4, by4 = int(ZBLK_X[cidx]), int(ZBLK_Y[cidx])
+            quad = (by4 // 2) * 2 + (bx4 // 2)
+            gx, gy = mx * 4 + bx4, my * 4 + by4
+            if cbp_l & (1 << quad):
+                nc = self._nc(nnz_l, gx, gy)
+                coeffs, tot = residual_block(r, nc, 16)
+                nnz_l[gy, gx] = tot
+                d = dequant4(coeffs, qp)
+                res = idct4(d)
+                py, px = my * 16 + by4 * 4, mx * 16 + bx4 * 4
+                y[py:py + 4, px:px + 4] = np.clip(
+                    y[py:py + 4, px:px + 4] + res, 0, 255)
+            else:
+                nnz_l[gy, gx] = 0
+        # chroma
+        qpc_idx = np.clip(qp + pps.chroma_qp_index_offset, 0, 51)
+        qpc = int(CHROMA_QP[qpc_idx])
+        dcvals = []
+        for ci in range(2):
+            if cbp_c:
+                dcs, _ = residual_block(r, -1, 4)
+            else:
+                dcs = np.zeros(4, np.int32)
+            dc2 = np.array([[dcs[0], dcs[1]], [dcs[2], dcs[3]]], np.int64)
+            H2 = np.array([[1, 1], [1, -1]], np.int64)
+            f2 = H2 @ dc2 @ H2
+            mf16 = int(np.array([10, 11, 13, 14, 16, 18])[qpc % 6]) * 16
+            dcvals.append(((f2 * mf16) << (qpc // 6)) >> 5)
+        for ci, plane in ((0, u), (1, v)):
+            for blk in range(4):
+                bx2, by2 = blk % 2, blk // 2
+                gx, gy = mx * 2 + bx2, my * 2 + by2
+                if cbp_c == 2:
+                    nc = self._nc(nnz_c[ci], gx, gy)
+                    coeffs, tot = residual_block(r, nc, 15)
+                    nnz_c[ci, gy, gx] = tot
+                    cf = np.zeros(16, np.int64)
+                    cf[1:] = coeffs
+                else:
+                    nnz_c[ci, gy, gx] = 0
+                    cf = np.zeros(16, np.int64)
+                d = dequant4(cf, qpc)
+                d[0, 0] = dcvals[ci][by2, bx2]
+                res = idct4(d)
+                py, px = my * 8 + by2 * 4, mx * 8 + bx2 * 4
+                plane[py:py + 4, px:px + 4] = np.clip(
+                    plane[py:py + 4, px:px + 4] + res, 0, 255)
 
     def _nc(self, nnz, bx, by):
         has_a, has_b = bx > 0, by > 0

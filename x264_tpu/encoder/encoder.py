@@ -93,6 +93,10 @@ def validate_parameters(p: P.Params) -> P.Params:
         p.bframe_pyramid = P.B_PYRAMID_NONE
         p.bframe_adaptive = P.B_ADAPT_NONE
     # round-1 feature gates
+    p.analyse.weighted_pred = 0   # weightp lands with the lookahead
+    # 8x8 transform unimplemented: must stay off until the mb-layer writes
+    # transform_size_8x8_flag for inter MBs (spec 7.3.5)
+    p.analyse.transform_8x8 = False
     if p.interlaced:
         raise EncoderError("interlaced encoding not yet implemented")
     if p.bitdepth != 8:
@@ -178,6 +182,8 @@ class Encoder:
 
         # --- encode frame ---
         nals, recon = self._encode_frame(planes, ftype, qp, pic)
+        if recon is not None:
+            self._dpb_push(recon)
 
         if is_idr:
             self.idr_pic_id = (self.idr_pic_id + 1) % 65536
@@ -272,6 +278,29 @@ class Encoder:
     def _encode_frame(self, planes, ftype, qp, pic):
         from . import frame_encode
         return frame_encode.encode_frame(self, planes, ftype, qp)
+
+    def _dpb_push(self, recon) -> None:
+        """Insert a reconstructed frame into the (device-resident) DPB:
+        border-extend + build half-pel planes once per reference
+        (reference x264_frame_filter / frame.c border expansion)."""
+        import jax.numpy as jnp
+
+        from ..ops import mc as mc_ops
+        y_pad = mc_ops.pad_plane(jnp.asarray(recon[0]))
+        ref = {
+            "y_pad": y_pad,
+            "hpel": mc_ops.hpel_planes(y_pad),
+            "u_pad": mc_ops.pad_plane(jnp.asarray(recon[1]),
+                                      mc_ops.PAD // 2),
+            "v_pad": mc_ops.pad_plane(jnp.asarray(recon[2]),
+                                      mc_ops.PAD // 2),
+            "frame_num": self.frame_num,
+            "poc": self.poc,
+        }
+        self._dpb.append(ref)
+        max_refs = 1   # round-1: single reference (multi-ref next)
+        while len(self._dpb) > max_refs:
+            self._dpb.pop(0)
 
     def _slice_header(self, ftype: int, qp: int, first_mb: int = 0,
                       last_mb: int = -1) -> SliceHeader:

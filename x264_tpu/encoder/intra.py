@@ -249,7 +249,7 @@ def encode_iframe_device(y, u, v, qp_mb, qpc_mb, sched_x, sched_y,
 # ------------------------------------------------------------- frame entry
 _SCHED_CACHE = {}
 
-CAP_BYTES_PER_MB = 256    # device payload buffer budget (asserted on host)
+CAP_BYTES_PER_MB = 450    # device payload buffer budget (asserted on host)
 
 
 def encode_iframe(enc, planes, ftype, qp):

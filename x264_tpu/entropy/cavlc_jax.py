@@ -295,6 +295,105 @@ def encode_i16x16_frame_dev(i16_mode, chroma_mode, qp_flat, slice_qp,
     return pack_bits_dev(codes, lens, cap_words)
 
 
+@partial(jax.jit, static_argnames=("mbw", "mbh", "cap_words"))
+def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
+                              luma_lv, cdc_blk, cac_blk,
+                              *, mbw: int, mbh: int, cap_words: int):
+    """P-slice MB layer on device (P_L0_16x16 + P_Skip, 1 ref).
+
+    skip [N] bool; mvd [N,2]; cbp_* [N]; luma_lv [N,16,4,4] (full 16-coeff
+    inter blocks, raster); cdc_blk [N,2,2,2]; cac_blk [N,2,4,4,4].
+    Returns (words, total_bits)."""
+    n = mbw * mbh
+    zig = jnp.asarray(ZIGZAG4_FRAME)
+    luma_z = luma_lv.reshape(n, 16, 16)[:, :, zig]
+    cdc = cdc_blk.reshape(n, 2, 4)
+    cac_z = cac_blk.reshape(n, 2, 4, 16)[:, :, :, zig]
+
+    # ---- skip runs ----
+    idx = jnp.arange(n, dtype=jnp.int32)
+    coded = ~skip
+    last_coded = jax.lax.cummax(jnp.where(coded, idx, -1))
+    prev_coded = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), last_coded[:-1]])
+    run = jnp.where(coded, idx - prev_coded - 1, 0)
+    trailing = n - 1 - last_coded[-1]      # skips after the last coded MB
+
+    # ---- residual blocks ----
+    nnz_l = jnp.sum(luma_z != 0, axis=2).astype(jnp.int32)
+    nc_l = _nc_grid_dev(nnz_l, mbh, mbw, 4)
+    l_codes, l_lens, _ = residual_blocks_dev(
+        luma_z.reshape(n * 16, 16), nc_l.reshape(-1))
+    l_codes = l_codes.reshape(n, 16, BLOCK_SLOTS)
+    l_lens = l_lens.reshape(n, 16, BLOCK_SLOTS)
+    cdc_codes, cdc_lens, _ = residual_blocks_dev(
+        cdc.reshape(n * 2, 4), jnp.zeros(n * 2, jnp.int32), chroma_dc=True)
+    cdc_codes = cdc_codes.reshape(n, 2, BLOCK_SLOTS)
+    cdc_lens = cdc_lens.reshape(n, 2, BLOCK_SLOTS)
+    nnz_cac = jnp.sum(cac_z[:, :, :, 1:] != 0, axis=3).astype(jnp.int32)
+    nc_u = _nc_grid_dev(nnz_cac[:, 0], mbh, mbw, 2)
+    nc_v = _nc_grid_dev(nnz_cac[:, 1], mbh, mbw, 2)
+    nc_c = jnp.stack([nc_u, nc_v], axis=1)
+    cac_codes, cac_lens, _ = residual_blocks_dev(
+        cac_z[:, :, :, 1:].reshape(n * 8, 15), nc_c.reshape(-1))
+    cac_codes = cac_codes.reshape(n, 8, BLOCK_SLOTS)
+    cac_lens = cac_lens.reshape(n, 8, BLOCK_SLOTS)
+
+    # ---- header elements: run, mb_type(0), mvd_x, mvd_y, cbp, qp_delta ----
+    h_codes = jnp.zeros((n, 6), jnp.uint32)
+    h_lens = jnp.zeros((n, 6), jnp.int32)
+    c, l = ue_dev(run)                          # noqa: E741
+    h_codes = h_codes.at[:, 0].set(c)
+    h_lens = h_lens.at[:, 0].set(l)
+    h_codes = h_codes.at[:, 1].set(1)           # mb_type ue(0) = '1'
+    h_lens = h_lens.at[:, 1].set(1)
+    c, l = se_dev(mvd[:, 0])                    # noqa: E741
+    h_codes = h_codes.at[:, 2].set(c)
+    h_lens = h_lens.at[:, 2].set(l)
+    c, l = se_dev(mvd[:, 1])                    # noqa: E741
+    h_codes = h_codes.at[:, 3].set(c)
+    h_lens = h_lens.at[:, 3].set(l)
+    cbp_map = jnp.asarray(V.CBP_TO_GOLOMB_INTER)
+    c, l = ue_dev(cbp_map[cbp_chroma * 16 + cbp_luma])  # noqa: E741
+    h_codes = h_codes.at[:, 4].set(c)
+    h_lens = h_lens.at[:, 4].set(l)
+    has_resid = (cbp_luma > 0) | (cbp_chroma > 0)
+    prev_qp = jnp.concatenate(
+        [jnp.full((1,), qp_flat[0], qp_flat.dtype), qp_flat[:-1]])
+    c, l = se_dev(qp_flat - prev_qp)            # noqa: E741
+    h_codes = h_codes.at[:, 5].set(c)
+    h_lens = h_lens.at[:, 5].set(jnp.where(has_resid, l, 0))
+
+    # ---- gating ----
+    coded3 = coded[:, None, None]
+    h_lens = jnp.where(coded[:, None], h_lens, 0)
+    # luma blocks: only when quadrant bit set
+    blk_r = jnp.arange(16)
+    quad = (blk_r // 4 // 2) * 2 + (blk_r % 4) // 2        # raster -> 8x8 id
+    qbit = (cbp_luma[:, None] >> quad[None, :]) & 1
+    l_lens = jnp.where((qbit > 0)[:, :, None] & coded3, l_lens, 0)
+    cdc_lens = jnp.where((cbp_chroma > 0)[:, None, None] & coded3,
+                         cdc_lens, 0)
+    cac_lens = jnp.where((cbp_chroma == 2)[:, None, None] & coded3,
+                         cac_lens, 0)
+    order = jnp.asarray(LUMA4x4_RASTER)
+    l_codes = l_codes[:, order]
+    l_lens = l_lens[:, order]
+
+    codes = jnp.concatenate([
+        h_codes, l_codes.reshape(n, -1),
+        cdc_codes.reshape(n, -1), cac_codes.reshape(n, -1)], axis=1)
+    lens = jnp.concatenate([
+        h_lens, l_lens.reshape(n, -1),
+        cdc_lens.reshape(n, -1), cac_lens.reshape(n, -1)], axis=1)
+    # trailing skip run element
+    tc, tl = ue_dev(jnp.maximum(trailing, 0))
+    tl = jnp.where(trailing > 0, tl, 0)
+    codes = jnp.concatenate([codes.reshape(-1), tc[None]])
+    lens = jnp.concatenate([lens.reshape(-1), tl[None]])
+    return pack_bits_dev(codes, lens, cap_words)
+
+
 def words_to_bytes(words: np.ndarray, total_bits: int) -> tuple[bytes, int]:
     """Host: big-endian words -> byte string truncated to ceil(total_bits/8).
     Returns (payload, total_bits)."""
