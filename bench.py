@@ -1,9 +1,9 @@
-"""Benchmark: 1080p intra encode fps on one TPU chip.
+"""Benchmark: 1080p IPPP encode fps on one TPU chip.
 
 Prints one JSON line {"metric", "value", "unit", "vs_baseline"}.
 Baseline target (BASELINE.json north star): 10x realtime 1080p30 = 300 fps.
-Round-1 path: all-intra I16x16 CQP (milestone config 1 equivalent);
-P-frames/lookahead milestones will move this to the medium-equivalent chain.
+Current path: 1080p IPPP, batched HEX ME + qpel refine, CAVLC (milestone
+config 2 equivalent); lookahead/B-frames/CABAC move this to medium-equiv.
 """
 
 import json
@@ -44,19 +44,19 @@ def main():
     enc = Encoder(p)
 
     frames = synth_1080p(4)
-    # warmup (compile)
-    enc.encode(Picture(frames[0], pts=0, i_type=TYPE_IDR))
-    n_bench = 8
+    # warmup (compiles I and P paths)
+    enc.encode(Picture(frames[0], pts=0))
+    enc.encode(Picture(frames[1], pts=1))
+    n_bench = 12
     t0 = time.time()
     total_bytes = 0
     for i in range(n_bench):
-        nals, out = enc.encode(Picture(frames[i % len(frames)], pts=i + 1,
-                                       i_type=TYPE_IDR))
+        nals, out = enc.encode(Picture(frames[i % len(frames)], pts=i + 2))
         total_bytes += sum(len(n.payload) for n in nals)
     dt = time.time() - t0
     fps = n_bench / dt
     print(json.dumps({
-        "metric": "encode_fps_1080p_intra",
+        "metric": "encode_fps_1080p_ippp",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / TARGET_FPS, 4),

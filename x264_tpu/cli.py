@@ -1,0 +1,199 @@
+"""x264-compatible command line (reference: x264.c, 2105 LoC).
+
+Usage: python -m x264_tpu.cli [options] -o out.264 in.y4m
+Options use the same names as the reference CLI; unknown long options fall
+through to the param string parser (x264_param_parse equivalence), so most
+x264 command lines work unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from . import params as P
+from .encoder.encoder import Encoder, Picture
+from .io.output import open_output
+from .io.y4m import RawReader, Y4MReader, Y4MWriter, VideoInfo
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="x264-tpu", add_help=True,
+        description="TPU-native H.264 encoder (x264-compatible CLI)")
+    ap.add_argument("input", help="input file (.y4m or raw .yuv)")
+    ap.add_argument("-o", "--output", required=True, help="output .264")
+    ap.add_argument("--preset", default="medium")
+    ap.add_argument("--tune", default=None)
+    ap.add_argument("--profile", default=None)
+    ap.add_argument("--frames", type=int, default=0,
+                    help="max frames to encode")
+    ap.add_argument("--seek", type=int, default=0, help="first frame")
+    ap.add_argument("--input-res", default=None,
+                    help="WxH for raw input")
+    ap.add_argument("--fps", default=None)
+    ap.add_argument("--dump-yuv", default=None,
+                    help="dump reconstruction to file")
+    ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--verbose", action="store_true")
+    return ap
+
+
+# CLI-level options (everything else falls through to param_parse)
+_CLI_VALUE_OPTS = {"-o", "--output", "--preset", "--tune", "--profile",
+                   "--frames", "--seek", "--input-res", "--fps",
+                   "--dump-yuv"}
+_CLI_FLAG_OPTS = {"--quiet", "--verbose", "-h", "--help"}
+# boolean encoder options that never take a value
+_NO_VALUE_PARAMS = {"no-cabac", "no-deblock", "no-scenecut", "cabac",
+                    "intra-refresh", "aud", "psnr", "ssim", "no-psnr",
+                    "no-ssim", "no-mbtree", "mbtree", "no-8x8dct", "8x8dct",
+                    "no-mixed-refs", "mixed-refs", "no-fast-pskip",
+                    "fast-pskip", "no-dct-decimate", "dct-decimate",
+                    "no-weightb", "weightb", "open-gop", "stitchable",
+                    "fake-interlaced", "bluray-compat", "sliced-threads",
+                    "no-sliced-threads", "no-psy", "psy", "no-chroma-me",
+                    "chroma-me", "constrained-intra", "no-deterministic",
+                    "slow-firstpass", "nf", "filler", "pic-struct",
+                    "force-cfr", "no-progress"}
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    cli = {"preset": "medium", "tune": None, "profile": None, "frames": 0,
+           "seek": 0, "input_res": None, "fps": None, "dump_yuv": None,
+           "quiet": False, "verbose": False, "output": None, "input": None}
+    passthrough = []           # (name, value)
+    i = 0
+    while i < len(argv):
+        tok = argv[i]
+        if tok in ("-h", "--help"):
+            build_argparser().print_help()
+            return 0
+        if tok in _CLI_FLAG_OPTS:
+            cli[tok.lstrip("-")] = True
+        elif tok in _CLI_VALUE_OPTS:
+            if i + 1 >= len(argv):
+                print(f"missing value for {tok}", file=sys.stderr)
+                return 2
+            key = "output" if tok == "-o" else tok[2:].replace("-", "_")
+            cli[key] = argv[i + 1]
+            i += 1
+        elif tok.startswith("--"):
+            name = tok[2:]
+            value = None
+            if "=" in name:
+                name, value = name.split("=", 1)
+            elif (name not in _NO_VALUE_PARAMS and i + 1 < len(argv)
+                  and not argv[i + 1].startswith("--")):
+                value = argv[i + 1]
+                i += 1
+            passthrough.append((name, value))
+        else:
+            cli["input"] = tok
+        i += 1
+    if not cli["input"] or not cli["output"]:
+        print("usage: x264-tpu [options] -o out.264 in.y4m",
+              file=sys.stderr)
+        return 2
+
+    class _NS:                       # argparse-compatible view
+        pass
+    known = _NS()
+    for k, v in cli.items():
+        setattr(known, k, v)
+    known.frames = int(cli["frames"])
+    known.seek = int(cli["seek"])
+
+    p = P.param_default_preset(known.preset, known.tune)
+    for name, value in passthrough:
+        try:
+            P.param_parse(p, name, value)
+        except P.ParamError as e:
+            print(f"x264-tpu [error]: {e}", file=sys.stderr)
+            return 2
+
+    # --- input ---
+    if known.input.endswith(".y4m"):
+        reader = Y4MReader(known.input)
+    else:
+        if not known.input_res:
+            print("raw input requires --input-res WxH", file=sys.stderr)
+            return 2
+        w, h = map(int, known.input_res.lower().split("x"))
+        fps = (25, 1)
+        if known.fps:
+            fps = tuple(map(int, known.fps.split("/"))) \
+                if "/" in known.fps else (int(float(known.fps) * 1000), 1000)
+        reader = RawReader(known.input, w, h, fps=fps)
+    info = reader.info
+    p.width, p.height = info.width, info.height
+    p.fps_num, p.fps_den = info.fps_num, info.fps_den
+    if info.sar_width:
+        p.vui.sar_width, p.vui.sar_height = info.sar_width, info.sar_height
+
+    if known.profile:
+        P.param_apply_profile(p, known.profile)
+    if known.dump_yuv:
+        p.dump_yuv = known.dump_yuv
+
+    # --- encode loop (reference encode() x264.c:1923) ---
+    enc = Encoder(p)
+    out = open_output(known.output)
+    out.write_headers(enc.headers())
+    dumper = None
+    if p.dump_yuv:
+        dumper = Y4MWriter(p.dump_yuv, VideoInfo(
+            p.width, p.height, p.fps_num, p.fps_den, csp=p.csp))
+    t0 = time.time()
+    n = 0
+    total_bytes = 0
+    for idx, planes in enumerate(reader):
+        if idx < known.seek:
+            continue
+        nals, pic_out = enc.encode(Picture(planes, pts=idx))
+        total_bytes += out.write_frame(nals)
+        if dumper and pic_out.recon is not None:
+            dumper.write_frame([np.asarray(r) for r in pic_out.recon])
+        n += 1
+        if not known.quiet and n % 10 == 0:
+            el = time.time() - t0
+            fps_now = n / el if el > 0 else 0
+            kbps = total_bytes * 8 * (p.fps_num / p.fps_den) / max(n, 1) / 1000
+            print(f"\r{n} frames, {fps_now:.2f} fps, {kbps:.2f} kb/s",
+                  end="", file=sys.stderr)
+        if known.frames and n >= known.frames:
+            break
+    # flush delayed frames (lookahead)
+    while enc.delayed_frames():
+        nals, pic_out = enc.encode(None)
+        if nals:
+            total_bytes += out.write_frame(nals)
+            n += 1
+    el = time.time() - t0
+    stats = enc.close()
+    out.close()
+    if dumper:
+        dumper.close()
+    reader.close()
+    if not known.quiet:
+        fps_avg = n / el if el > 0 else 0
+        kbps = (total_bytes * 8 * (p.fps_num / p.fps_den)
+                / max(n, 1) / 1000)
+        print(f"\nencoded {n} frames, {fps_avg:.2f} fps, {kbps:.2f} kb/s",
+              file=sys.stderr)
+        for t in "IPB":
+            c = stats["count"][t]
+            if c:
+                print(f"x264-tpu [info]: frame {t}:{c:<5} "
+                      f"Avg QP:{stats['qp_sum'][t] / c:5.2f} "
+                      f"size:{stats['bytes_by_type'][t] // c}",
+                      file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -67,55 +67,140 @@ def _satd_qpel(hpel, src, x0, y0, mv_q):
     return jnp.sum(jnp.abs(t), axis=(1, 2, 3)) >> 1
 
 
-def motion_search(padded_ref, hpel, y_src, lam, me_range: int,
-                  fp_rounds: int = 8):
-    """Batched HEX + square + subpel refine. Returns mv [N, 2] (qpel units).
+def _tile_sad_map(diff_abs, mbh, mbw):
+    """[H,W] absolute差 -> per-MB SAD [mbh, mbw]."""
+    return diff_abs.reshape(mbh, 16, mbw, 16).sum(axis=(1, 3))
 
-    y_src [H, W]; cost = SAD/SATD + lam * mvbits(mv) (zero-centred rate
-    bias; exact MVD rate needs the predictor, applied later)."""
+
+def _satd16(pred, src):
+    """SATD of [N,16,16] blocks."""
+    d = pred - src.astype(jnp.int32)
+    dd = d.reshape(-1, 4, 4, 4, 4).swapaxes(2, 3).reshape(-1, 16, 4, 4)
+    h = jnp.asarray(np.array([[1, 1, 1, 1], [1, -1, 1, -1],
+                              [1, 1, -1, -1], [1, -1, -1, 1]], np.int32))
+    t = jnp.einsum("ij,...jk,lk->...il", h, dd, h,
+                   preferred_element_type=jnp.int32)
+    return jnp.sum(jnp.abs(t), axis=(1, 2, 3)) >> 1
+
+
+def motion_search(padded_ref, hpel, y_src, lam, me_range: int):
+    """TPU-native motion search: exhaustive full-pel via shifted planes
+    (no gathers — the dense-correlation form of ESA, reference me.c:618)
+    followed by a windowed 7x7-qpel refinement with static offsets.
+
+    Returns mv [N, 2] in quarter-pel units."""
     H, W = y_src.shape
     mbh, mbw = H // 16, W // 16
     n = mbh * mbw
+    src = y_src.astype(jnp.int32)
     tiles = _mb_tiles(y_src, 16).reshape(n, 16, 16)
+    R = me_range
+
+    # ---- stage 1: coarse exhaustive full-pel (step 2) ----
+    # offsets grid as scan xs; each step = one shifted-plane SAD map
+    coarse = np.array([(dx, dy)
+                       for dy in range(-R, R + 1, 2)
+                       for dx in range(-R, R + 1, 2)], np.int32)
+    fine = np.array([(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+                    np.int32)
+
+    def esa_scan(offsets, base_mv):
+        def step(carry, off):
+            best_cost, best_mv = carry
+            dx, dy = off[0], off[1]
+            shifted = jax.lax.dynamic_slice(
+                padded_ref, (mc.PAD + dy, mc.PAD + dx), (H, W)) \
+                .astype(jnp.int32)
+            sad = _tile_sad_map(jnp.abs(shifted - src), mbh, mbw)
+            mvx = base_mv[..., 0] + dx
+            mvy = base_mv[..., 1] + dy
+            cost = sad + lam * (_mv_cost_bits(mvx * 4)
+                                + _mv_cost_bits(mvy * 4))
+            better = cost < best_cost
+            best_cost = jnp.where(better, cost, best_cost)
+            new_mv = jnp.stack([mvx, mvy], axis=-1)
+            best_mv = jnp.where(better[..., None], new_mv, best_mv)
+            return (best_cost, best_mv), None
+
+        init = (jnp.full((mbh, mbw), 1 << 30, jnp.int32),
+                jnp.broadcast_to(base_mv, (mbh, mbw, 2)).astype(jnp.int32))
+        (cost, mv), _ = jax.lax.scan(step, init, jnp.asarray(offsets))
+        return cost, mv
+
+    _, mv_c = esa_scan(coarse, jnp.zeros((mbh, mbw, 2), jnp.int32))
+
+    # ---- stage 2: +-1 full-pel refine around coarse best ----
+    # per-MB base differs -> shifted planes no longer shared; use one
+    # window gather [N, 4, WIN, WIN] and evaluate static in-window offsets
+    WIN = 24         # 16 + 2(left/up margin) + 6(right/down: +-1 fp + qpel)
+    MARG = 2
+    mv_fp = mv_c.reshape(n, 2)
     x0 = (jnp.arange(n, dtype=jnp.int32) % mbw) * 16
     y0 = (jnp.arange(n, dtype=jnp.int32) // mbw) * 16
+    bx = x0 + mv_fp[:, 0] + mc.PAD - MARG
+    by = y0 + mv_fp[:, 1] + mc.PAD - MARG
+    ar = jnp.arange(WIN, dtype=jnp.int32)
+    Hp, Wp = hpel.shape[1], hpel.shape[2]
+    rows = jnp.clip(by[:, None, None] + ar[None, :, None], 0, Hp - 1)
+    cols = jnp.clip(bx[:, None, None] + ar[None, None, :], 0, Wp - 1)
+    win = hpel[:, rows, cols].astype(jnp.int32)      # [4, N, WIN, WIN]
 
-    mv = jnp.zeros((n, 2), jnp.int32)              # full-pel during search
-    best = _sad_at(padded_ref, tiles, x0, y0, mv) \
-        + lam * (_mv_cost_bits(mv[:, 0]) + _mv_cost_bits(mv[:, 1]))
+    def win_block(plane_idx, oy, ox):
+        return win[plane_idx, :, MARG + oy:MARG + oy + 16,
+                   MARG + ox:MARG + ox + 16]
 
-    def eval_offsets(mv, best, offsets):
-        for k in range(offsets.shape[0]):
-            cand = mv + jnp.asarray(offsets[k])[None, :]
-            cand = jnp.clip(cand, -me_range, me_range)
-            c = _sad_at(padded_ref, tiles, x0, y0, cand) \
-                + lam * (_mv_cost_bits(cand[:, 0])
-                         + _mv_cost_bits(cand[:, 1]))
-            better = c < best
-            mv = jnp.where(better[:, None], cand, mv)
-            best = jnp.where(better, c, best)
-        return mv, best
+    best_cost = jnp.full((n,), 1 << 30, jnp.int32)
+    best_d = jnp.zeros((n, 2), jnp.int32)
+    for dy, dx in fine:
+        pred = win_block(0, dy, dx)
+        mvx = (mv_fp[:, 0] + dx) * 4
+        mvy = (mv_fp[:, 1] + dy) * 4
+        cost = _satd16(pred, tiles) + lam * (_mv_cost_bits(mvx)
+                                             + _mv_cost_bits(mvy))
+        better = cost < best_cost
+        best_cost = jnp.where(better, cost, best_cost)
+        best_d = jnp.where(better[:, None],
+                           jnp.stack([jnp.full((n,), dx, jnp.int32),
+                                      jnp.full((n,), dy, jnp.int32)],
+                                     axis=1), best_d)
 
-    for _ in range(fp_rounds):
-        mv, best = eval_offsets(mv, best, _HEX)
-    mv, best = eval_offsets(mv, best, _SQUARE)
-
-    # subpel: start from full-pel in qpel units, two diamond rounds at
-    # half then quarter step (reference refine_subpel me.c:865)
-    mvq = mv * 4
-    bestq = _satd_qpel(hpel, tiles, x0, y0, mvq) \
-        + lam * (_mv_cost_bits(mvq[:, 0]) + _mv_cost_bits(mvq[:, 1]))
-    for step in (2, 1):
-        for k in range(4):
-            cand = mvq + jnp.asarray(_DIA_Q[k])[None, :] * step
-            cand = jnp.clip(cand, -me_range * 4, me_range * 4)
-            c = _satd_qpel(hpel, tiles, x0, y0, cand) \
-                + lam * (_mv_cost_bits(cand[:, 0])
-                         + _mv_cost_bits(cand[:, 1]))
-            better = c < bestq
-            mvq = jnp.where(better[:, None], cand, mvq)
-            bestq = jnp.where(better, c, bestq)
-    return mvq
+    # ---- stage 3: qpel refinement with static offsets: re-window at the
+    # full-pel winner so every 5x5-qpel candidate is a static slice+avg of
+    # the window (one small gather, no per-candidate gathers) ----
+    bq_cost = best_cost
+    bx2 = bx + best_d[:, 0]
+    by2 = by + best_d[:, 1]
+    rows2 = jnp.clip(by2[:, None, None] + ar[None, :, None], 0, Hp - 1)
+    cols2 = jnp.clip(bx2[:, None, None] + ar[None, None, :], 0, Wp - 1)
+    win2 = hpel[:, rows2, cols2].astype(jnp.int32)
+    mv_fp2 = mv_fp + best_d
+    best_q = mv_fp2 * 4
+    for qdy in (-2, -1, 0, 1, 2):
+        for qdx in (-2, -1, 0, 1, 2):
+            if qdx == 0 and qdy == 0:
+                continue
+            fx, fy = qdx & 3, qdy & 3
+            ix, iy = qdx >> 2, qdy >> 2
+            q = fy * 4 + fx
+            p0 = int(mc.HPEL_REF0[q])
+            p1 = int(mc.HPEL_REF1[q])
+            oy0 = iy + (1 if fy == 3 else 0)
+            s0 = win2[p0, :, MARG + oy0:MARG + oy0 + 16,
+                      MARG + ix:MARG + ix + 16]
+            if q & 5:
+                ox1 = ix + (1 if fx == 3 else 0)
+                s1 = win2[p1, :, MARG + iy:MARG + iy + 16,
+                          MARG + ox1:MARG + ox1 + 16]
+                predq = (s0 + s1 + 1) >> 1
+            else:
+                predq = s0
+            mvq = mv_fp2 * 4 + jnp.asarray([qdx, qdy], jnp.int32)[None, :]
+            cost = _satd16(predq, tiles) + lam * (
+                _mv_cost_bits(mvq[:, 0]) + _mv_cost_bits(mvq[:, 1]))
+            better = cost < bq_cost
+            bq_cost = jnp.where(better, cost, bq_cost)
+            best_q = jnp.where(better[:, None], mvq, best_q)
+    return best_q
 
 
 def mv_predictors(mv_field):
