@@ -47,11 +47,14 @@ def main():
     # warmup (compiles I and P paths)
     enc.encode(Picture(frames[0], pts=0))
     enc.encode(Picture(frames[1], pts=1))
-    n_bench = 12
+    n_bench = 16
     t0 = time.time()
     total_bytes = 0
     for i in range(n_bench):
         nals, out = enc.encode(Picture(frames[i % len(frames)], pts=i + 2))
+        total_bytes += sum(len(n.payload) for n in nals)
+    while enc.delayed_frames():
+        nals, out = enc.encode(None)
         total_bytes += sum(len(n.payload) for n in nals)
     dt = time.time() - t0
     fps = n_bench / dt

@@ -53,6 +53,7 @@ def encode_ippp(frames, w, h, qp=26, keyint=250):
     p.rc.rc_method = 0
     p.rc.qp_constant = qp
     p.full_recon = True
+    p.threads = 1
     enc = Encoder(p)
     stream = annexb_bytes(enc.headers())
     recons = []

@@ -38,6 +38,7 @@ def encode(frames, w, h, qp=26):
     p.rc.rc_method = 0
     p.rc.qp_constant = qp
     p.full_recon = True
+    p.threads = 1
     enc = Encoder(p)
     stream = annexb_bytes(enc.headers())
     recons = []

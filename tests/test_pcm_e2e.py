@@ -24,6 +24,7 @@ def make_frames(n, w, h, seed=0):
 
 def encode_stream(p, frames, force_type=TYPE_IDR):
     p.full_recon = True
+    p.threads = 1
     enc = Encoder(p)
     stream = annexb_bytes(enc.headers())
     recons = []

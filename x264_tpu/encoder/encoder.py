@@ -118,8 +118,9 @@ class Encoder:
         self.frames_out = 0
         self.last_keyframe = -(1 << 30)
         self.poc = 0
-        self._frame_core = None     # lazy: device pipeline
-        self._dpb: list = []        # reference frames (ReconFrame)
+        self._dpb: list = []        # reference frames (device arrays)
+        self._pipe: list = []       # in-flight frame jobs (frame-threads)
+        self._pipe_depth = 1 if self.p.threads != 1 else 0
         self._closed = False
         # stats accumulation (reference encoder_close stats, encoder.c:4196)
         self.stats = {"frames": 0, "bytes": 0,
@@ -141,18 +142,22 @@ class Encoder:
         return nals
 
     def delayed_frames(self) -> int:
-        return 0   # no lookahead buffering yet (lands with B-frames)
+        return len(self._pipe)
 
     # ------------------------------------------------------------- encode
     def encode(self, pic: Optional[Picture]) -> tuple[list, Optional[PicOut]]:
         """Encode one picture; returns (nals, pic_out).
 
-        With lookahead this will buffer and return earlier frames; round-1
-        path is zero-delay (IDR/I/P only)."""
+        With threads>1 (or auto) the encoder runs a host pipeline one frame
+        deep — the reference's frame-threads analogue (encoder.c:3337):
+        frame k's host entropy/syncs overlap frame k+1's device compute, so
+        output is delayed by one frame (drain with encode(None))."""
         if self._closed:
             raise EncoderError("encoder closed")
         if pic is None:
-            return [], None      # flush: nothing buffered yet
+            if self._pipe:
+                return self._finalize_job(self._pipe.pop(0))
+            return [], None
         planes = self._pad_to_mb(pic.planes)
 
         # --- slicetype decision (keyint logic; lookahead lands later) ---
@@ -180,15 +185,23 @@ class Encoder:
         # --- rate control (CQP / flat CRF for now) ---
         qp = self._decide_qp(ftype, pic)
 
-        # --- encode frame ---
-        nals, recon = self._encode_frame(planes, ftype, qp, pic)
-        if recon is not None:
-            self._dpb_push(recon)
-
+        # --- dispatch frame to device ---
+        finalize, recon_dev = self._dispatch_frame(planes, ftype, qp, pic)
+        if recon_dev is not None:
+            self._dpb_push(recon_dev)
         if is_idr:
             self.idr_pic_id = (self.idr_pic_id + 1) % 65536
 
-        out = PicOut(pts=pic.pts, dts=pic.pts, i_type=ftype,
+        job = (finalize, pic.pts, ftype, is_idr, qp, planes)
+        self._pipe.append(job)
+        if len(self._pipe) <= self._pipe_depth:
+            return [], None
+        return self._finalize_job(self._pipe.pop(0))
+
+    def _finalize_job(self, job) -> tuple[list, PicOut]:
+        finalize, pts, ftype, is_idr, qp, planes = job
+        nals, recon = finalize()
+        out = PicOut(pts=pts, dts=pts, i_type=ftype,
                      b_keyframe=is_idr, qp=qp,
                      recon=[r[:self.p.height, :self.p.width] if i == 0 else
                             r[:self._chroma_h(), :self._chroma_w()]
@@ -275,9 +288,10 @@ class Encoder:
         return int(np.clip(q, rc.qp_min, rc.qp_max))
 
     # -------------------------------------------------------- frame encode
-    def _encode_frame(self, planes, ftype, qp, pic):
+    def _dispatch_frame(self, planes, ftype, qp, pic):
+        """Returns (finalize_fn, recon_device_arrays)."""
         from . import frame_encode
-        return frame_encode.encode_frame(self, planes, ftype, qp)
+        return frame_encode.dispatch_frame(self, planes, ftype, qp)
 
     def _dpb_push(self, recon) -> None:
         """Insert a reconstructed frame into the (device-resident) DPB:

@@ -12,19 +12,20 @@ from ..entropy import nal as nal_mod
 from ..entropy.slice_hdr import slice_header_write
 
 
-def encode_frame(enc, planes, ftype, qp):
-    """Returns (nals, recon_planes)."""
+def dispatch_frame(enc, planes, ftype, qp):
+    """Returns (finalize_fn, recon_device_arrays)."""
     from .encoder import TYPE_IDR, TYPE_I, TYPE_P
     if enc.p.force_pcm:
         if ftype not in (TYPE_IDR, TYPE_I):
             raise NotImplementedError("PCM mode is intra-only")
-        return encode_frame_pcm(enc, planes, ftype, qp)
+        nals, recon = encode_frame_pcm(enc, planes, ftype, qp)
+        return (lambda: (nals, recon)), recon
     if ftype in (TYPE_IDR, TYPE_I):
         from . import intra
-        return intra.encode_iframe(enc, planes, ftype, qp)
+        return intra.dispatch_iframe(enc, planes, ftype, qp)
     if ftype == TYPE_P:
         from . import inter
-        return inter.encode_pframe(enc, planes, ftype, qp)
+        return inter.dispatch_pframe(enc, planes, ftype, qp)
     raise NotImplementedError("B-frames land with the lookahead milestone")
 
 

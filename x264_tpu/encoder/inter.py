@@ -350,8 +350,9 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_u_pad, ref_v_pad,
     return words, total_bits, (recon_y, recon_u, recon_v), stats
 
 
-def encode_pframe(enc, planes, ftype, qp):
-    """Host orchestration for one P frame."""
+def dispatch_pframe(enc, planes, ftype, qp):
+    """Device dispatch of one P frame. Returns (finalize_fn, recon_dev)."""
+    from .intra import finalize_slice
     if enc.p.cabac:
         raise NotImplementedError("CABAC lands later; use --no-cabac")
     if not enc._dpb:
@@ -371,23 +372,22 @@ def encode_pframe(enc, planes, ftype, qp):
         y, u, v, ref["y_pad"], ref["hpel"], ref["u_pad"], ref["v_pad"],
         qp_mb, qpc_mb, lam, mbw=mbw, mbh=mbh, cap_words=cap_words,
         me_range=me_range)
-
-    from ..entropy.bits import append_bitstring
-    from ..entropy.cavlc_jax import words_to_bytes
-    total_bits = int(total_bits)
-    if total_bits > cap_words * 32 - 32:
-        raise RuntimeError("P payload overflow; raise CAP_BYTES_PER_MB")
-    n_words = (total_bits + 31) // 32
-    payload, nbits = words_to_bytes(np.asarray(words[:n_words]), total_bits)
     sh = enc._slice_header(ftype, qp)
-    bw = slice_header_write(sh, nal_mod.NAL_PRIORITY_HIGH)
-    append_bitstring(bw, payload, nbits)
-    bw.rbsp_trailing()
-    nals = [nal_mod.nal_encode(nal_mod.NAL_SLICE, nal_mod.NAL_PRIORITY_HIGH,
-                               bw.getvalue())]
     enc.frame_num = (enc.frame_num + 1) % (1 << enc.sps.log2_max_frame_num)
     enc.poc += 2
-    if enc.p.analyse.psnr or enc.p.analyse.ssim or enc.p.dump_yuv \
-            or enc.p.full_recon:
-        recon = [np.asarray(r) for r in recon]
-    return nals, list(recon)
+    materialize = (enc.p.analyse.psnr or enc.p.analyse.ssim
+                   or enc.p.dump_yuv or enc.p.full_recon)
+
+    def finalize():
+        nals = finalize_slice(enc, words, total_bits, cap_words, sh,
+                              nal_mod.NAL_SLICE, nal_mod.NAL_PRIORITY_HIGH)
+        rec = [np.asarray(r) for r in recon] if materialize else list(recon)
+        return nals, rec
+
+    return finalize, list(recon)
+
+
+def encode_pframe(enc, planes, ftype, qp):
+    """Synchronous P-frame encode."""
+    finalize, _ = dispatch_pframe(enc, planes, ftype, qp)
+    return finalize()

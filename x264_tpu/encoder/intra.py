@@ -252,31 +252,11 @@ _SCHED_CACHE = {}
 CAP_BYTES_PER_MB = 450    # device payload buffer budget (asserted on host)
 
 
-def encode_iframe(enc, planes, ftype, qp):
-    """Full I-frame: decide -> commit -> CAVLC, all on device.
-    Returns (nals, recon)."""
-    if enc.p.cabac:
-        raise NotImplementedError("CABAC lands in a later milestone; "
-                                  "use --no-cabac")
-    mbw, mbh = enc.mb_w, enc.mb_h
-    key = (mbw, mbh)
-    if key not in _SCHED_CACHE:
-        _SCHED_CACHE[key] = wavefront.schedule(mbw, mbh)
-    sx, sy, sv, diag_of, lane_of = _SCHED_CACHE[key]
-
-    y, u, v = [jnp.asarray(p) for p in planes]
-    qp_mb = jnp.full((mbh, mbw), qp, jnp.int32)
-    qpc_mb = jnp.asarray(
-        chroma_qp(np.full((mbh, mbw), qp), enc.p.analyse.chroma_qp_offset),
-        dtype=jnp.int32)
-    cap_words = (mbw * mbh * CAP_BYTES_PER_MB) // 4
-    words, total_bits, recon = encode_iframe_device(
-        y, u, v, qp_mb, qpc_mb,
-        jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(sv),
-        jnp.asarray(diag_of), jnp.asarray(lane_of),
-        mbw=mbw, mbh=mbh, cap_words=cap_words)
-
-    # ---- host: slice header + payload merge ----
+def finalize_slice(enc, words, total_bits, cap_words, sh, nal_type,
+                   ref_idc):
+    """Host tail of a frame: sync payload, merge after the slice header.
+    Shared by I and P paths; runs one frame behind the device when the
+    host pipeline (frame-threads analogue) is active."""
     from ..entropy.bits import append_bitstring
     from ..entropy.cavlc_jax import words_to_bytes
     total_bits = int(total_bits)
@@ -286,17 +266,54 @@ def encode_iframe(enc, planes, ftype, qp):
                            "CAP_BYTES_PER_MB")
     n_words = (total_bits + 31) // 32
     payload, nbits = words_to_bytes(np.asarray(words[:n_words]), total_bits)
-    sh = enc._slice_header(ftype, qp)
-    bw = slice_header_write(sh, nal_mod.NAL_PRIORITY_HIGHEST)
+    bw = slice_header_write(sh, ref_idc)
     append_bitstring(bw, payload, nbits)
     bw.rbsp_trailing()
+    return [nal_mod.nal_encode(nal_type, ref_idc, bw.getvalue())]
+
+
+def dispatch_iframe(enc, planes, ftype, qp):
+    """Device dispatch of a full I-frame (decide -> commit -> CAVLC).
+    Returns (finalize_fn, recon_device)."""
+    if enc.p.cabac:
+        raise NotImplementedError("CABAC lands in a later milestone; "
+                                  "use --no-cabac")
+    mbw, mbh = enc.mb_w, enc.mb_h
+    key = (mbw, mbh)
+    if key not in _SCHED_CACHE:
+        sx, sy, sv, diag_of, lane_of = wavefront.schedule(mbw, mbh)
+        _SCHED_CACHE[key] = (jnp.asarray(sx), jnp.asarray(sy),
+                             jnp.asarray(sv), jnp.asarray(diag_of),
+                             jnp.asarray(lane_of))
+    sx, sy, sv, diag_of, lane_of = _SCHED_CACHE[key]
+
+    y, u, v = [jnp.asarray(p) for p in planes]
+    qp_mb = jnp.full((mbh, mbw), qp, jnp.int32)
+    qpc_mb = jnp.asarray(
+        chroma_qp(np.full((mbh, mbw), qp), enc.p.analyse.chroma_qp_offset),
+        dtype=jnp.int32)
+    cap_words = (mbw * mbh * CAP_BYTES_PER_MB) // 4
+    words, total_bits, recon = encode_iframe_device(
+        y, u, v, qp_mb, qpc_mb, sx, sy, sv, diag_of, lane_of,
+        mbw=mbw, mbh=mbh, cap_words=cap_words)
+    sh = enc._slice_header(ftype, qp)
     nal_type = (nal_mod.NAL_SLICE_IDR if ftype == TYPE_IDR
                 else nal_mod.NAL_SLICE)
-    nals = [nal_mod.nal_encode(nal_type, nal_mod.NAL_PRIORITY_HIGHEST,
-                               bw.getvalue())]
     enc.frame_num = (enc.frame_num + 1) % (1 << enc.sps.log2_max_frame_num)
     enc.poc += 2
-    if enc.p.analyse.psnr or enc.p.analyse.ssim or enc.p.dump_yuv \
-            or enc.p.full_recon:
-        recon = [np.asarray(r) for r in recon]
-    return nals, list(recon)
+    materialize = (enc.p.analyse.psnr or enc.p.analyse.ssim
+                   or enc.p.dump_yuv or enc.p.full_recon)
+
+    def finalize():
+        nals = finalize_slice(enc, words, total_bits, cap_words, sh,
+                              nal_type, nal_mod.NAL_PRIORITY_HIGHEST)
+        rec = [np.asarray(r) for r in recon] if materialize else list(recon)
+        return nals, rec
+
+    return finalize, list(recon)
+
+
+def encode_iframe(enc, planes, ftype, qp):
+    """Synchronous I-frame encode. Returns (nals, recon)."""
+    finalize, _ = dispatch_iframe(enc, planes, ftype, qp)
+    return finalize()

@@ -66,10 +66,14 @@ def residual_blocks_dev(coeffs, nc, chroma_dc: bool = False):
     """Device CAVLC for a batch of blocks.
 
     coeffs [B, L] int32 zig-zag; nc [B]. Returns
-    (codes [B,36] uint32, lens [B,36] int32, total [B])."""
+    (codes [B,36] uint32, lens [B,36] int32, total [B]).
+    Columns are accumulated in Python lists and stacked once (a .at[:,k].set
+    per slot would copy the whole [B,36] buffer 30+ times)."""
     B, L = coeffs.shape
-    codes = jnp.zeros((B, BLOCK_SLOTS), jnp.uint32)
-    lens = jnp.zeros((B, BLOCK_SLOTS), jnp.int32)
+    code_cols = [None] * BLOCK_SLOTS
+    len_cols = [None] * BLOCK_SLOTS
+    zero_u = jnp.zeros((B,), jnp.uint32)
+    zero_i = jnp.zeros((B,), jnp.int32)
     levels_rev, pos_rev, total = _reverse_nonzeros_dev(coeffs)
 
     is_one = jnp.abs(levels_rev[:, :3]) == 1
@@ -87,16 +91,14 @@ def residual_blocks_dev(coeffs, nc, chroma_dc: bool = False):
     c0_code = jnp.asarray(V.COEFF0_TOKEN_CODE.astype(np.uint32))
     c0_len = jnp.asarray(V.COEFF0_TOKEN_LEN)
     ti = jnp.maximum(total - 1, 0)
-    tok_code = jnp.where(total == 0, c0_code[cls], ct_code[cls, ti, t1])
-    tok_len = jnp.where(total == 0, c0_len[cls], ct_len[cls, ti, t1])
-    codes = codes.at[:, 0].set(tok_code)
-    lens = lens.at[:, 0].set(tok_len)
+    code_cols[0] = jnp.where(total == 0, c0_code[cls], ct_code[cls, ti, t1])
+    len_cols[0] = jnp.where(total == 0, c0_len[cls], ct_len[cls, ti, t1])
 
     for k in range(3):
         active = k < t1
-        codes = codes.at[:, 1 + k].set(
-            jnp.where(active, (levels_rev[:, k] < 0).astype(jnp.uint32), 0))
-        lens = lens.at[:, 1 + k].set(jnp.where(active, 1, 0))
+        code_cols[1 + k] = jnp.where(
+            active, (levels_rev[:, k] < 0).astype(jnp.uint32), zero_u)
+        len_cols[1 + k] = jnp.where(active, 1, zero_i)
 
     sl = jnp.where((total > 10) & (t1 < 3), 1, 0).astype(jnp.int32)
     maxk = min(L, 16)
@@ -127,10 +129,10 @@ def residual_blocks_dev(coeffs, nc, chroma_dc: bool = False):
             | jnp.clip(lc - (15 << slp), 0, 4095).astype(jnp.uint32), cpv)
         lpv = jnp.where(esc, 28, lpv)
         use0 = sl == 0
-        codes = codes.at[:, 4 + k].set(
-            jnp.where(active, jnp.where(use0, c0v, cpv), 0))
-        lens = lens.at[:, 4 + k].set(
-            jnp.where(active, jnp.where(use0, l0v, lpv), 0))
+        code_cols[4 + k] = jnp.where(active, jnp.where(use0, c0v, cpv),
+                                     zero_u)
+        len_cols[4 + k] = jnp.where(active, jnp.where(use0, l0v, lpv),
+                                    zero_i)
         new_sl = jnp.maximum(sl, 1)
         new_sl = new_sl + ((jnp.abs(lv) > (3 << (new_sl - 1)))
                            & (new_sl < 6))
@@ -153,8 +155,8 @@ def residual_blocks_dev(coeffs, nc, chroma_dc: bool = False):
         tzl = jnp.asarray(V.TOTAL_ZEROS_LEN)
         trow = jnp.minimum(ti, 14)
         tcol = jnp.clip(tz, 0, 15)
-    codes = codes.at[:, 20].set(jnp.where(write_tz, tzc[trow, tcol], 0))
-    lens = lens.at[:, 20].set(jnp.where(write_tz, tzl[trow, tcol], 0))
+    code_cols[20] = jnp.where(write_tz, tzc[trow, tcol], zero_u)
+    len_cols[20] = jnp.where(write_tz, tzl[trow, tcol], zero_i)
 
     rbc = jnp.asarray(V.RUN_BEFORE_CODE.astype(np.uint32))
     rbl = jnp.asarray(V.RUN_BEFORE_LEN)
@@ -165,11 +167,16 @@ def residual_blocks_dev(coeffs, nc, chroma_dc: bool = False):
         run = jnp.where(active, run, 0)
         ridx = jnp.clip(zleft - 1, 0, 6)
         rcol = jnp.clip(run, 0, 15)
-        codes = codes.at[:, 21 + k].set(
-            jnp.where(active, rbc[ridx, rcol], 0))
-        lens = lens.at[:, 21 + k].set(jnp.where(active, rbl[ridx, rcol], 0))
+        code_cols[21 + k] = jnp.where(active, rbc[ridx, rcol], zero_u)
+        len_cols[21 + k] = jnp.where(active, rbl[ridx, rcol], zero_i)
         zleft = jnp.where(active, zleft - run, zleft)
 
+    for k in range(BLOCK_SLOTS):
+        if code_cols[k] is None:
+            code_cols[k] = zero_u
+            len_cols[k] = zero_i
+    codes = jnp.stack(code_cols, axis=1)
+    lens = jnp.stack(len_cols, axis=1)
     return codes, lens, total
 
 
