@@ -38,7 +38,6 @@ def main():
     p = param_default_preset("medium")
     p.width, p.height = 1920, 1080
     p.cabac = False
-    p.deblocking_filter = False
     p.rc.rc_method = 0
     p.rc.qp_constant = 26
     enc = Encoder(p)

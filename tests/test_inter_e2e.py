@@ -130,3 +130,42 @@ def test_static_content_skips():
     for i in range(3):
         for c in range(3):
             np.testing.assert_array_equal(decoded[i][c], recons[i][c])
+
+
+def test_ippp_deblock_conformance(tmp_path):
+    """In-loop deblocking on: conformance vs refdec and libavcodec."""
+    w, h = 64, 48
+    frames = moving_frames(3, w, h, seed=11)
+    p = param_default_preset("medium")
+    p.width, p.height = w, h
+    p.cabac = False
+    p.deblocking_filter = True
+    p.rc.rc_method = 0
+    p.rc.qp_constant = 30
+    p.full_recon = True
+    p.threads = 1
+    enc = Encoder(p)
+    stream = annexb_bytes(enc.headers())
+    recons = []
+    for i, f in enumerate(frames):
+        nals, out = enc.encode(Picture(f, pts=i))
+        stream += annexb_bytes(nals)
+        recons.append(out.recon)
+    decoded = refdec.Decoder().decode(stream)
+    for i in range(3):
+        for c in range(3):
+            np.testing.assert_array_equal(decoded[i][c], recons[i][c],
+                                          err_msg=f"frame {i} plane {c}")
+    if _ensure_avdec():
+        f264 = tmp_path / "db.264"
+        f264.write_bytes(stream)
+        out_yuv = tmp_path / "db.yuv"
+        r = subprocess.run([AVDEC, str(f264), str(out_yuv), "16"],
+                           capture_output=True, text=True)
+        assert "error" not in r.stderr, r.stderr
+        raw = out_yuv.read_bytes()
+        fsz = w * h * 3 // 2
+        for i in range(3):
+            fy = np.frombuffer(raw[i * fsz:i * fsz + w * h],
+                               np.uint8).reshape(h, w)
+            np.testing.assert_array_equal(fy, recons[i][0])

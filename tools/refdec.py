@@ -579,11 +579,14 @@ class Decoder:
         elif r.u1():                        # adaptive_ref_pic_marking
             raise NotImplementedError("MMCO")
         qp = pps.pic_init_qp + r.se()
+        self._db = (0, 0, 0)   # (disable_idc, a_off, b_off)
         if pps.deblocking_control:
             disable_idc = r.ue()
+            a_off = b_off = 0
             if disable_idc != 1:
-                r.se()
-                r.se()
+                a_off = r.se() * 2
+                b_off = r.se() * 2
+            self._db = (disable_idc, a_off, b_off)
         if slice_type == 0:
             return self._decode_p_body(r, qp, num_ref)
         # frame buffers with -1 edge pad emulated by index -1 (top row/left
@@ -594,11 +597,13 @@ class Decoder:
         v = np.zeros((H // 2, W // 2), np.int64)
         nnz_l = np.zeros((sps.mb_h * 4, sps.mb_w * 4), np.int32)
         nnz_c = np.zeros((2, sps.mb_h * 2, sps.mb_w * 2), np.int32)
+        qp_map = np.zeros((sps.mb_h, sps.mb_w), np.int32)
         if first_mb != 0:
             raise NotImplementedError("multi-slice")
         for mbidx in range(sps.mb_w * sps.mb_h):
             mx, my = mbidx % sps.mb_w, mbidx // sps.mb_w
             mb_type = r.ue()
+            qp_map[my, mx] = qp
             if mb_type == 25:
                 r.byte_align()
                 yb = np.array([r.u(8) for _ in range(256)]).reshape(16, 16)
@@ -619,8 +624,14 @@ class Decoder:
             cbp_l = 15 * ((mb_type - 1) // 12)
             chroma_mode = r.ue()
             qp += r.se()
+            qp_map[my, mx] = qp
             self._decode_i16(r, y, u, v, nnz_l, nnz_c, mx, my, pred_mode,
                              chroma_mode, cbp_l, cbp_c, qp, sps, pps)
+        if self._db[0] != 1:
+            y, u, v = deblock_frame_ref(
+                y, u, v, qp_map, np.ones((sps.mb_h, sps.mb_w), bool),
+                nnz_l, np.zeros((sps.mb_h, sps.mb_w, 2), np.int32),
+                self._db[1], self._db[2], pps.chroma_qp_index_offset)
         self._finish_frame(y, u, v)
 
     def _finish_frame(self, y, u, v):
@@ -655,6 +666,7 @@ class Decoder:
         nnz_c = np.zeros((2, sps.mb_h * 2, sps.mb_w * 2), np.int32)
         n = sps.mb_w * sps.mb_h
         mvf = np.zeros((sps.mb_h, sps.mb_w, 2), np.int32)   # final MVs
+        qp_map = np.zeros((sps.mb_h, sps.mb_w), np.int32)
         coded_mask = np.zeros(n, bool)
         mbidx = 0
         skip_left = 0
@@ -707,6 +719,7 @@ class Decoder:
                 mx, my = mbidx % sps.mb_w, mbidx // sps.mb_w
                 mv = pskip_for(mx, my)
                 mvf[my, mx] = mv
+                qp_map[my, mx] = qp
                 mc_into(mx, my, mv)
                 mbidx += 1
                 if mbidx >= n:
@@ -734,6 +747,7 @@ class Decoder:
                     raise NotImplementedError("8x8 transform decode")
             if cbp:
                 qp += r.se()
+            qp_map[my, mx] = qp
             self._decode_inter_resid(r, y, u, v, nnz_l, nnz_c, mx, my,
                                      cbp_l, cbp_c, qp)
             # blocks not updated above -> zero nnz for uncoded quadrants
@@ -741,6 +755,11 @@ class Decoder:
         np.clip(y, 0, 255, out=y)
         np.clip(u, 0, 255, out=u)
         np.clip(v, 0, 255, out=v)
+        if self._db[0] != 1:
+            y, u, v = deblock_frame_ref(
+                y, u, v, qp_map, np.zeros((sps.mb_h, sps.mb_w), bool),
+                nnz_l, mvf, self._db[1], self._db[2],
+                pps.chroma_qp_index_offset)
         self._finish_frame(y, u, v)
 
     def _decode_inter_resid(self, r, y, u, v, nnz_l, nnz_c, mx, my,
@@ -890,6 +909,195 @@ class Decoder:
                     predc[by2 * 4:by2 * 4 + 4, bx2 * 4:bx2 * 4 + 4] + res
             plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
                 np.clip(outc, 0, 255)
+
+
+# ------------------------------------------------------------ deblocking
+_DB_ALPHA = np.array(
+    [0] * 16 + [4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22, 25, 28,
+                32, 36, 40, 45, 50, 56, 63, 71, 80, 90, 101, 113, 127, 144,
+                162, 182, 203, 226, 255, 255])
+_DB_BETA = np.array(
+    [0] * 16 + [2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8, 9, 9, 10,
+                10, 11, 11, 12, 12, 13, 13, 14, 14, 15, 15, 16, 16, 17, 17,
+                18, 18])
+_DB_TC0 = np.array(
+    [[0, 0, 0]] * 17
+    + [[0, 0, 1], [0, 0, 1], [0, 0, 1], [0, 0, 1], [0, 1, 1], [0, 1, 1],
+       [1, 1, 1], [1, 1, 1], [1, 1, 1], [1, 1, 1], [1, 1, 2], [1, 1, 2],
+       [1, 1, 2], [1, 1, 2], [1, 2, 3], [1, 2, 3], [2, 2, 3], [2, 2, 4],
+       [2, 3, 4], [2, 3, 4], [3, 3, 5], [3, 4, 6], [3, 4, 6], [4, 5, 7],
+       [4, 5, 8], [4, 6, 9], [5, 7, 10], [6, 8, 11], [6, 8, 13],
+       [7, 10, 14], [8, 11, 16], [9, 12, 18], [10, 13, 20], [11, 15, 23],
+       [13, 17, 25]])
+
+
+def _db_luma_line(pix, idx, stride, alpha, beta, tc0, bs):
+    """Filter one luma line across an edge; pix flat int array,
+    idx = index of q0, stride = step towards q3."""
+    p = [int(pix[idx - k * stride]) for k in (3, 2, 1)]  # p2,p1,p0
+    q = [int(pix[idx + k * stride]) for k in (0, 1, 2)]
+    p2, p1, p0 = p
+    q0, q1, q2 = q
+    if abs(p0 - q0) >= alpha or abs(p1 - p0) >= beta or abs(q1 - q0) >= beta:
+        return
+    ap = abs(p2 - p0) < beta
+    aq = abs(q2 - q0) < beta
+    if bs == 4:
+        if ap and abs(p0 - q0) < (alpha >> 2) + 2:
+            p3 = int(pix[idx - 4 * stride])
+            pix[idx - 1 * stride] = (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1
+                                     + 4) >> 3
+            pix[idx - 2 * stride] = (p2 + p1 + p0 + q0 + 2) >> 2
+            pix[idx - 3 * stride] = (2 * p3 + 3 * p2 + p1 + p0 + q0
+                                     + 4) >> 3
+        else:
+            pix[idx - 1 * stride] = (2 * p1 + p0 + q1 + 2) >> 2
+        if aq and abs(p0 - q0) < (alpha >> 2) + 2:
+            q3 = int(pix[idx + 3 * stride])
+            pix[idx + 0 * stride] = (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1
+                                     + 4) >> 3
+            pix[idx + 1 * stride] = (q2 + q1 + q0 + p0 + 2) >> 2
+            pix[idx + 2 * stride] = (2 * q3 + 3 * q2 + q1 + q0 + p0
+                                     + 4) >> 3
+        else:
+            pix[idx + 0 * stride] = (2 * q1 + q0 + p1 + 2) >> 2
+    else:
+        tc = tc0 + (1 if ap else 0) + (1 if aq else 0)
+        delta = np.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+        pix[idx - stride] = np.clip(p0 + delta, 0, 255)
+        pix[idx] = np.clip(q0 - delta, 0, 255)
+        if ap:
+            d = np.clip((p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1,
+                        -tc0, tc0)
+            pix[idx - 2 * stride] = p1 + d
+        if aq:
+            d = np.clip((q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1,
+                        -tc0, tc0)
+            pix[idx + stride] = q1 + d
+
+
+def _db_chroma_line(pix, idx, stride, alpha, beta, tc0, bs):
+    p1, p0 = int(pix[idx - 2 * stride]), int(pix[idx - stride])
+    q0, q1 = int(pix[idx]), int(pix[idx + stride])
+    if abs(p0 - q0) >= alpha or abs(p1 - p0) >= beta or abs(q1 - q0) >= beta:
+        return
+    if bs == 4:
+        pix[idx - stride] = (2 * p1 + p0 + q1 + 2) >> 2
+        pix[idx] = (2 * q1 + q0 + p1 + 2) >> 2
+    else:
+        tc = tc0 + 1
+        delta = np.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+        pix[idx - stride] = np.clip(p0 + delta, 0, 255)
+        pix[idx] = np.clip(q0 - delta, 0, 255)
+
+
+def deblock_frame_ref(y, u, v, qp_map, intra_map, nnz_l, mvf,
+                      a_off=0, b_off=0, chroma_qp_offset=0):
+    """Spec 8.7 deblocking, scalar, MB raster order, V then H per MB."""
+    mbh, mbw = qp_map.shape
+    H, W = y.shape
+    yf = y.astype(np.int64).ravel()
+    uf = u.astype(np.int64).ravel()
+    vf = v.astype(np.int64).ravel()
+
+    def bs_of(mbx, mby, e, line, vertical):
+        bx = mbx * 4 + (e if vertical else line)
+        by = mby * 4 + (line if vertical else e)
+        if vertical:
+            pbx, pby = bx - 1, by
+        else:
+            pbx, pby = bx, by - 1
+        if intra_map[mby, mbx] or intra_map[pby // 4, pbx // 4]:
+            return 4 if e == 0 else 3
+        if nnz_l[by, bx] > 0 or nnz_l[pby, pbx] > 0:
+            return 2
+        mvq = mvf[mby, mbx]
+        mvp = mvf[pby // 4, pbx // 4]
+        if abs(int(mvq[0]) - int(mvp[0])) >= 4 or \
+                abs(int(mvq[1]) - int(mvp[1])) >= 4:
+            return 1
+        return 0
+
+    for mby in range(mbh):
+        for mbx in range(mbw):
+            qp_q = int(qp_map[mby, mbx])
+            # vertical luma edges
+            for e in range(4):
+                if e == 0 and mbx == 0:
+                    continue
+                qp_p = int(qp_map[mby, mbx - 1]) if e == 0 else qp_q
+                qav = (qp_p + qp_q + 1) >> 1
+                ia = np.clip(qav + a_off, 0, 51)
+                ib = np.clip(qav + b_off, 0, 51)
+                alpha, beta = int(_DB_ALPHA[ia]), int(_DB_BETA[ib])
+                x = mbx * 16 + 4 * e
+                for line in range(16):
+                    bs = bs_of(mbx, mby, e, line // 4, True)
+                    if bs == 0:
+                        continue
+                    tc0 = int(_DB_TC0[ia][min(bs, 3) - 1])
+                    yidx = (mby * 16 + line) * W + x
+                    _db_luma_line(yf, yidx, 1, alpha, beta, tc0, bs)
+            # horizontal luma edges
+            for e in range(4):
+                if e == 0 and mby == 0:
+                    continue
+                qp_p = int(qp_map[mby - 1, mbx]) if e == 0 else qp_q
+                qav = (qp_p + qp_q + 1) >> 1
+                ia = np.clip(qav + a_off, 0, 51)
+                ib = np.clip(qav + b_off, 0, 51)
+                alpha, beta = int(_DB_ALPHA[ia]), int(_DB_BETA[ib])
+                yy = mby * 16 + 4 * e
+                for line in range(16):
+                    bs = bs_of(mbx, mby, e, line // 4, False)
+                    if bs == 0:
+                        continue
+                    tc0 = int(_DB_TC0[ia][min(bs, 3) - 1])
+                    yidx = yy * W + mbx * 16 + line
+                    _db_luma_line(yf, yidx, W, alpha, beta, tc0, bs)
+            # chroma edges (4:2:0): luma edges 0 and 2
+            Wc = W // 2
+            for plane in (uf, vf):
+                for e in (0, 2):
+                    if e == 0 and mbx == 0:
+                        continue
+                    qp_p = int(qp_map[mby, mbx - 1]) if e == 0 else qp_q
+                    qav = (qp_p + qp_q + 1) >> 1
+                    cqp = int(CHROMA_QP[np.clip(qav + chroma_qp_offset,
+                                                0, 51)])
+                    ia = np.clip(cqp + a_off, 0, 51)
+                    ib = np.clip(cqp + b_off, 0, 51)
+                    alpha, beta = int(_DB_ALPHA[ia]), int(_DB_BETA[ib])
+                    x = mbx * 8 + 2 * e
+                    for line in range(8):
+                        bs = bs_of(mbx, mby, e, line // 2, True)
+                        if bs == 0:
+                            continue
+                        tc0 = int(_DB_TC0[ia][min(bs, 3) - 1])
+                        cidx = (mby * 8 + line) * Wc + x
+                        _db_chroma_line(plane, cidx, 1, alpha, beta, tc0,
+                                        bs)
+                for e in (0, 2):
+                    if e == 0 and mby == 0:
+                        continue
+                    qp_p = int(qp_map[mby - 1, mbx]) if e == 0 else qp_q
+                    qav = (qp_p + qp_q + 1) >> 1
+                    cqp = int(CHROMA_QP[np.clip(qav + chroma_qp_offset,
+                                                0, 51)])
+                    ia = np.clip(cqp + a_off, 0, 51)
+                    ib = np.clip(cqp + b_off, 0, 51)
+                    alpha, beta = int(_DB_ALPHA[ia]), int(_DB_BETA[ib])
+                    yy = mby * 8 + 2 * e
+                    for line in range(8):
+                        bs = bs_of(mbx, mby, e, line // 2, False)
+                        if bs == 0:
+                            continue
+                        tc0 = int(_DB_TC0[ia][min(bs, 3) - 1])
+                        cidx = yy * Wc + mbx * 8 + line
+                        _db_chroma_line(plane, cidx, Wc, alpha, beta, tc0,
+                                        bs)
+    return (yf.reshape(H, W), uf.reshape(H // 2, W // 2),
+            vf.reshape(H // 2, W // 2))
 
 
 def decode_file(path: str):

@@ -257,10 +257,12 @@ def mv_predictors(mv_field):
     return mvp, pskip
 
 
-@partial(jax.jit, static_argnames=("mbw", "mbh", "cap_words", "me_range"))
+@partial(jax.jit, static_argnames=("mbw", "mbh", "cap_words", "me_range",
+                                   "deblock", "a_off", "b_off", "cqpo"))
 def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_u_pad, ref_v_pad,
-                         qp_mb, qpc_mb, lam, *, mbw, mbh, cap_words,
-                         me_range):
+                         qp_mb, qpc_mb, lam, sched_x, sched_y, sched_valid,
+                         *, mbw, mbh, cap_words, me_range, deblock=False,
+                         a_off=0, b_off=0, cqpo=0):
     """Fused P-frame device pass: ME -> MVP/skip -> MC -> transform ->
     entropy -> packed payload. Returns (words, total_bits, recon, stats)."""
     from ..entropy.cavlc_jax import encode_pframe_entropy_dev
@@ -338,6 +340,17 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_u_pad, ref_v_pad,
     recon_y = merge_plane(recon_y_mb, 16, H, W).astype(jnp.uint8)
     recon_u = merge_plane(urec, 8, H // 2, W // 2).astype(jnp.uint8)
     recon_v = merge_plane(vrec, 8, H // 2, W // 2).astype(jnp.uint8)
+    if deblock:
+        from ..ops.deblock import compute_strengths, deblock_frame
+        nnz4 = nnz_l.reshape(mbh, mbw, 4, 4).transpose(0, 2, 1, 3) \
+            .reshape(mbh * 4, mbw * 4).astype(jnp.int32)
+        bs_v, bs_h = compute_strengths(
+            jnp.zeros((mbh, mbw), bool), nnz4, mv_field,
+            mbw=mbw, mbh=mbh)
+        recon_y, recon_u, recon_v = deblock_frame(
+            recon_y, recon_u, recon_v, bs_v, bs_h, qp_mb,
+            sched_x, sched_y, sched_valid, mbw=mbw, mbh=mbh,
+            a_off=a_off, b_off=b_off, chroma_qp_offset=cqpo)
 
     words, total_bits = encode_pframe_entropy_dev(
         skip, mvd, cbp_luma, cbp_chroma, qp,
@@ -368,10 +381,23 @@ def dispatch_pframe(enc, planes, ftype, qp):
     lam = max(1, lam)
     cap_words = (mbw * mbh * CAP_BYTES_PER_MB) // 4
     me_range = min(enc.p.analyse.me_range, mc.PAD - 20)
+    from .intra import _SCHED_CACHE
+    from . import wavefront
+    key = (mbw, mbh)
+    if key not in _SCHED_CACHE:
+        sx_, sy_, sv_, dg_, ln_ = wavefront.schedule(mbw, mbh)
+        _SCHED_CACHE[key] = (jnp.asarray(sx_), jnp.asarray(sy_),
+                             jnp.asarray(sv_), jnp.asarray(dg_),
+                             jnp.asarray(ln_))
+    sx, sy, sv, _, _ = _SCHED_CACHE[key]
     words, total_bits, recon, stats = encode_pframe_device(
         y, u, v, ref["y_pad"], ref["hpel"], ref["u_pad"], ref["v_pad"],
-        qp_mb, qpc_mb, lam, mbw=mbw, mbh=mbh, cap_words=cap_words,
-        me_range=me_range)
+        qp_mb, qpc_mb, lam, sx, sy, sv,
+        mbw=mbw, mbh=mbh, cap_words=cap_words, me_range=me_range,
+        deblock=enc.p.deblocking_filter,
+        a_off=enc.p.deblocking_filter_alphac0 * 2,
+        b_off=enc.p.deblocking_filter_beta * 2,
+        cqpo=enc.p.analyse.chroma_qp_offset)
     sh = enc._slice_header(ftype, qp)
     enc.frame_num = (enc.frame_num + 1) % (1 << enc.sps.log2_max_frame_num)
     enc.poc += 2

@@ -220,18 +220,28 @@ def commit_i16x16(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
     return ys, recon
 
 
-@partial(jax.jit, static_argnames=("mbw", "mbh", "cap_words"))
+@partial(jax.jit, static_argnames=("mbw", "mbh", "cap_words", "deblock",
+                                   "a_off", "b_off", "cqpo"))
 def encode_iframe_device(y, u, v, qp_mb, qpc_mb, sched_x, sched_y,
                          sched_valid, diag_of, lane_of, *, mbw, mbh,
-                         cap_words):
+                         cap_words, deblock=False, a_off=0, b_off=0,
+                         cqpo=0):
     """Fused device pass: mode decision + wavefront commit + CAVLC entropy +
-    bit packing — the whole frame in one dispatch. Only the packed slice
-    payload (and recon, for the DPB) leaves the chip."""
+    bit packing (+ in-loop deblock) — the whole frame in one dispatch. Only
+    the packed slice payload (and recon, for the DPB) leaves the chip."""
     from ..entropy.cavlc_jax import encode_i16x16_frame_dev
     i16_mode, chroma_mode = decide_modes(y, u, v)
     ys, recon = commit_i16x16(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
                               sched_x, sched_y, sched_valid,
                               mbw=mbw, mbh=mbh)
+    if deblock:
+        from ..ops.deblock import deblock_frame
+        bs = jnp.full((mbh, mbw, 4, 4), 3, jnp.int32)
+        bs = bs.at[:, :, 0, :].set(4)     # all-intra: MB edges strong
+        recon = deblock_frame(
+            recon[0], recon[1], recon[2], bs, bs, qp_mb,
+            sched_x, sched_y, sched_valid, mbw=mbw, mbh=mbh,
+            a_off=a_off, b_off=b_off, chroma_qp_offset=cqpo)
     n_mb = mbw * mbh
     g = lambda a: a[diag_of, lane_of]            # diag order -> raster
     dc_blk = g(ys["dc"])
@@ -295,7 +305,11 @@ def dispatch_iframe(enc, planes, ftype, qp):
     cap_words = (mbw * mbh * CAP_BYTES_PER_MB) // 4
     words, total_bits, recon = encode_iframe_device(
         y, u, v, qp_mb, qpc_mb, sx, sy, sv, diag_of, lane_of,
-        mbw=mbw, mbh=mbh, cap_words=cap_words)
+        mbw=mbw, mbh=mbh, cap_words=cap_words,
+        deblock=enc.p.deblocking_filter,
+        a_off=enc.p.deblocking_filter_alphac0 * 2,
+        b_off=enc.p.deblocking_filter_beta * 2,
+        cqpo=enc.p.analyse.chroma_qp_offset)
     sh = enc._slice_header(ftype, qp)
     nal_type = (nal_mod.NAL_SLICE_IDR if ftype == TYPE_IDR
                 else nal_mod.NAL_SLICE)

@@ -1,0 +1,318 @@
+"""In-loop deblocking filter (spec 8.7; reference common/deblock.c).
+
+TPU design: boundary strengths for the whole frame are computed in one
+batched pass (reference deblock_strength_c, deblock.c:277); the filter
+itself is a wavefront scan over MBs (the spec's raster V-then-H order has a
+left/top dependency exactly like intra prediction), with each diagonal's
+MBs filtered in parallel using static in-register edge slices.
+
+Intra prediction reads the UNFILTERED recon, so deblock runs after the
+frame's commit pass, and the filtered planes feed the DPB + output.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import tables as T
+
+# spec tables 8-16 / 8-17 (qp 0..51)
+ALPHA_TABLE = np.array(
+    [0] * 16
+    + [4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22, 25, 28, 32, 36,
+       40, 45, 50, 56, 63, 71, 80, 90, 101, 113, 127, 144, 162, 182, 203,
+       226, 255, 255], dtype=np.int32)
+BETA_TABLE = np.array(
+    [0] * 16
+    + [2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8, 9, 9, 10, 10, 11,
+       11, 12, 12, 13, 13, 14, 14, 15, 15, 16, 16, 17, 17, 18, 18],
+    dtype=np.int32)
+TC0_TABLE = np.array(
+    [[0, 0, 0]] * 17
+    + [[0, 0, 1], [0, 0, 1], [0, 0, 1], [0, 0, 1], [0, 1, 1], [0, 1, 1],
+       [1, 1, 1], [1, 1, 1], [1, 1, 1], [1, 1, 1], [1, 1, 2], [1, 1, 2],
+       [1, 1, 2], [1, 1, 2], [1, 2, 3], [1, 2, 3], [2, 2, 3], [2, 2, 4],
+       [2, 3, 4], [2, 3, 4], [3, 3, 5], [3, 4, 6], [3, 4, 6], [4, 5, 7],
+       [4, 5, 8], [4, 6, 9], [5, 7, 10], [6, 8, 11], [6, 8, 13],
+       [7, 10, 14], [8, 11, 16], [9, 12, 18], [10, 13, 20], [11, 15, 23],
+       [13, 17, 25]], dtype=np.int32)
+
+
+def _clip255(x):
+    return jnp.clip(x, 0, 255)
+
+
+def filter_lines_luma(p, q, bs, alpha, beta, tc0):
+    """Filter luma lines across one edge.
+
+    p, q: [..., 4] samples (p[...,0]=p3..p[...,3]=p0; q[...,0]=q0..q3).
+    bs, alpha, beta, tc0: broadcastable per-line ints.
+    Returns filtered (p, q)."""
+    p3, p2, p1, p0 = p[..., 0], p[..., 1], p[..., 2], p[..., 3]
+    q0, q1, q2, q3 = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    filt = ((bs > 0) & (jnp.abs(p0 - q0) < alpha)
+            & (jnp.abs(p1 - p0) < beta) & (jnp.abs(q1 - q0) < beta))
+    ap = jnp.abs(p2 - p0) < beta
+    aq = jnp.abs(q2 - q0) < beta
+    # --- normal filter (bs 1..3) ---
+    tc = tc0 + ap.astype(jnp.int32) + aq.astype(jnp.int32)
+    delta = jnp.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+    np0 = _clip255(p0 + delta)
+    nq0 = _clip255(q0 - delta)
+    dp1 = jnp.clip((p2 + ((p0 + q0 + 1) >> 1) - (p1 << 1)) >> 1, -tc0, tc0)
+    dq1 = jnp.clip((q2 + ((p0 + q0 + 1) >> 1) - (q1 << 1)) >> 1, -tc0, tc0)
+    np1 = jnp.where(ap, p1 + dp1, p1)
+    nq1 = jnp.where(aq, q1 + dq1, q1)
+    # --- strong filter (bs == 4) ---
+    cond = jnp.abs(p0 - q0) < ((alpha >> 2) + 2)
+    sp0a = (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3
+    sp1a = (p2 + p1 + p0 + q0 + 2) >> 2
+    sp2a = (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3
+    sp0b = (2 * p1 + p0 + q1 + 2) >> 2
+    use_p = ap & cond
+    s_p0 = jnp.where(use_p, sp0a, sp0b)
+    s_p1 = jnp.where(use_p, sp1a, p1)
+    s_p2 = jnp.where(use_p, sp2a, p2)
+    sq0a = (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3
+    sq1a = (q2 + q1 + q0 + p0 + 2) >> 2
+    sq2a = (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3
+    sq0b = (2 * q1 + q0 + p1 + 2) >> 2
+    use_q = aq & cond
+    s_q0 = jnp.where(use_q, sq0a, sq0b)
+    s_q1 = jnp.where(use_q, sq1a, q1)
+    s_q2 = jnp.where(use_q, sq2a, q2)
+    strong = bs == 4
+    f_p0 = jnp.where(strong, s_p0, np0)
+    f_p1 = jnp.where(strong, s_p1, np1)
+    f_p2 = jnp.where(strong, s_p2, p2)
+    f_q0 = jnp.where(strong, s_q0, nq0)
+    f_q1 = jnp.where(strong, s_q1, nq1)
+    f_q2 = jnp.where(strong, s_q2, q2)
+    out_p = jnp.stack([p3,
+                       jnp.where(filt, f_p2, p2),
+                       jnp.where(filt, f_p1, p1),
+                       jnp.where(filt, f_p0, p0)], axis=-1)
+    out_q = jnp.stack([jnp.where(filt, f_q0, q0),
+                       jnp.where(filt, f_q1, q1),
+                       jnp.where(filt, f_q2, q2),
+                       q3], axis=-1)
+    return out_p, out_q
+
+
+def filter_lines_chroma(p, q, bs, alpha, beta, tc0):
+    """Chroma: p,q [..., 2] (p1,p0 | q0,q1)."""
+    p1, p0 = p[..., 0], p[..., 1]
+    q0, q1 = q[..., 0], q[..., 1]
+    filt = ((bs > 0) & (jnp.abs(p0 - q0) < alpha)
+            & (jnp.abs(p1 - p0) < beta) & (jnp.abs(q1 - q0) < beta))
+    tc = tc0 + 1
+    delta = jnp.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+    np0 = _clip255(p0 + delta)
+    nq0 = _clip255(q0 - delta)
+    s_p0 = (2 * p1 + p0 + q1 + 2) >> 2
+    s_q0 = (2 * q1 + q0 + p1 + 2) >> 2
+    strong = bs == 4
+    f_p0 = jnp.where(strong, s_p0, np0)
+    f_q0 = jnp.where(strong, s_q0, nq0)
+    out_p = jnp.stack([p1, jnp.where(filt, f_p0, p0)], axis=-1)
+    out_q = jnp.stack([jnp.where(filt, f_q0, q0), q1], axis=-1)
+    return out_p, out_q
+
+
+@partial(jax.jit, static_argnames=("mbw", "mbh"))
+def compute_strengths(intra_mb, nnz4, mv_mb, *, mbw, mbh):
+    """Boundary strengths for the whole frame (batched).
+
+    intra_mb [mbh,mbw] bool; nnz4 [mbh*4, mbw*4] int; mv_mb [mbh,mbw,2]
+    (16x16 partitions, single ref — P_SKIP counts as inter zero-nnz).
+    Returns (bs_v, bs_h) [mbh, mbw, 4 edges, 4 lines4]."""
+    ih, iw = mbh * 4, mbw * 4
+    intra4 = jnp.repeat(jnp.repeat(intra_mb, 4, axis=0), 4, axis=1)
+    mv4 = jnp.repeat(jnp.repeat(mv_mb, 4, axis=0), 4, axis=1)  # [ih,iw,2]
+
+    def edge_bs(axis):
+        # p = block shifted by -1 along axis, q = block
+        if axis == 1:
+            intra_p = jnp.pad(intra4, ((0, 0), (1, 0)))[:, :-1]
+            nnz_p = jnp.pad(nnz4, ((0, 0), (1, 0)))[:, :-1]
+            mv_p = jnp.pad(mv4, ((0, 0), (1, 0), (0, 0)))[:, :-1]
+        else:
+            intra_p = jnp.pad(intra4, ((1, 0), (0, 0)))[:-1]
+            nnz_p = jnp.pad(nnz4, ((1, 0), (0, 0)))[:-1]
+            mv_p = jnp.pad(mv4, ((1, 0), (0, 0), (0, 0)))[:-1]
+        either_intra = intra4 | intra_p
+        col = jnp.arange(iw)[None, :]
+        row = jnp.arange(ih)[:, None]
+        mb_edge = (col % 4 == 0) if axis == 1 else \
+            jnp.broadcast_to(row % 4 == 0, (ih, iw))
+        if axis == 1:
+            mb_edge = jnp.broadcast_to(col % 4 == 0, (ih, iw))
+        bs_intra = jnp.where(mb_edge, 4, 3)
+        nz = (nnz4 > 0) | (nnz_p > 0)
+        mv_diff = jnp.any(jnp.abs(mv4 - mv_p) >= 4, axis=-1)
+        bs_inter = jnp.where(nz, 2, jnp.where(mv_diff, 1, 0))
+        return jnp.where(either_intra, bs_intra, bs_inter)
+
+    bs_v_grid = edge_bs(1)    # [ih, iw]: strength of edge LEFT of block
+    bs_h_grid = edge_bs(0)
+    bs_v = bs_v_grid.reshape(mbh, 4, mbw, 4).transpose(0, 2, 3, 1)
+    # -> [mbh, mbw, line4(y), edge? ] careful: want [mbh,mbw,edge(x),line(y)]
+    bs_v = bs_v_grid.reshape(mbh, 4, mbw, 4).transpose(0, 2, 3, 1)
+    bs_h = bs_h_grid.reshape(mbh, 4, mbw, 4).transpose(0, 2, 1, 3)
+    return bs_v, bs_h
+
+
+def _edge_params(qp_avg, a_off, b_off, bs):
+    """alpha/beta/tc0 for an edge given averaged qp (arrays)."""
+    ia = jnp.clip(qp_avg + a_off, 0, 51)
+    ib = jnp.clip(qp_avg + b_off, 0, 51)
+    alpha = jnp.asarray(ALPHA_TABLE)[ia]
+    beta = jnp.asarray(BETA_TABLE)[ib]
+    tc0 = jnp.asarray(TC0_TABLE)[ia, jnp.clip(bs, 1, 3) - 1]
+    return alpha, beta, tc0
+
+
+@partial(jax.jit, static_argnames=("mbw", "mbh", "a_off", "b_off"))
+def deblock_frame(y, u, v, bs_v, bs_h, qp_mb, sched_x, sched_y, sched_valid,
+                  *, mbw, mbh, a_off=0, b_off=0, chroma_qp_offset=0):
+    """Wavefront deblock of a full frame. Returns filtered (y, u, v)."""
+    H, W = y.shape
+    yf = y.astype(jnp.int32)
+    uf = u.astype(jnp.int32)
+    vf = v.astype(jnp.int32)
+    cqp_tab = jnp.asarray(T.CHROMA_QP_TABLE)
+
+    ar16 = jnp.arange(16, dtype=jnp.int32)
+    ar20 = jnp.arange(20, dtype=jnp.int32)
+    ar8 = jnp.arange(8, dtype=jnp.int32)
+    ar12 = jnp.arange(12, dtype=jnp.int32)
+
+    def qp_of(mbx, mby):
+        return qp_mb[jnp.clip(mby, 0, mbh - 1), jnp.clip(mbx, 0, mbw - 1)]
+
+    def step(carry, xs):
+        yp, up, vp = carry
+        mbx, mby, valid = xs
+        L = mbx.shape[0]
+        qp_q = qp_of(mbx, mby)
+        qp_left = qp_of(mbx - 1, mby)
+        qp_top = qp_of(mbx, mby - 1)
+        bsv = bs_v[mby, mbx]            # [L, 4, 4] edge x line
+        bsh = bs_h[mby, mbx]
+        # picture-boundary edges off
+        bsv = bsv.at[:, 0].set(jnp.where((mbx > 0)[:, None], bsv[:, 0], 0))
+        bsh = bsh.at[:, 0].set(jnp.where((mby > 0)[:, None], bsh[:, 0], 0))
+
+        # ================= luma =================
+        # --- vertical edges: region [L, 16, 20] cols x0-4 .. x0+15 ---
+        x0 = mbx * 16
+        y0 = mby * 16
+        rows = jnp.clip(y0[:, None, None] + ar16[None, :, None], 0, H - 1)
+        cols = jnp.clip(x0[:, None, None] - 4 + ar20[None, None, :],
+                        0, W - 1)
+        reg = yp[rows, cols]                     # [L,16,20]
+        for e in range(4):
+            qp_p = qp_left if e == 0 else qp_q
+            qp_av = (qp_p + qp_q + 1) >> 1
+            bs_line = jnp.repeat(bsv[:, e], 4, axis=1)      # [L,16]
+            alpha, beta, tc0 = _edge_params(qp_av[:, None], a_off, b_off,
+                                            bs_line)
+            c = 4 + 4 * e
+            pside, qside = filter_lines_luma(
+                reg[:, :, c - 4:c], reg[:, :, c:c + 4],
+                bs_line, alpha, beta, tc0)
+            reg = jnp.concatenate(
+                [reg[:, :, :c - 4], pside, qside, reg[:, :, c + 4:]],
+                axis=2)
+        wcols = jnp.where(valid[:, None, None], cols, W + 999)
+        yp = yp.at[rows, wcols].set(reg, mode="drop")
+
+        # --- horizontal edges: region [L, 20, 16] rows y0-4..y0+15 ---
+        rows2 = jnp.clip(y0[:, None, None] - 4 + ar20[None, :, None],
+                         0, H - 1)
+        cols2 = jnp.clip(x0[:, None, None] + ar16[None, None, :], 0, W - 1)
+        reg = yp[rows2, cols2]
+        for e in range(4):
+            qp_p = qp_top if e == 0 else qp_q
+            qp_av = (qp_p + qp_q + 1) >> 1
+            bs_line = jnp.repeat(bsh[:, e], 4, axis=1)
+            alpha, beta, tc0 = _edge_params(qp_av[:, None], a_off, b_off,
+                                            bs_line)
+            r = 4 + 4 * e
+            pside = reg[:, r - 4:r].swapaxes(1, 2)       # [L,16,4]
+            qside = reg[:, r:r + 4].swapaxes(1, 2)
+            pf, qf = filter_lines_luma(pside, qside, bs_line, alpha, beta,
+                                       tc0)
+            reg = jnp.concatenate(
+                [reg[:, :r - 4], pf.swapaxes(1, 2), qf.swapaxes(1, 2),
+                 reg[:, r + 4:]], axis=1)
+        wrows2 = jnp.where(valid[:, None, None], rows2, H + 999)
+        yp = yp.at[wrows2, cols2].set(reg, mode="drop")
+
+        # ================= chroma (4:2:0): edges at luma 0 and 8 =========
+        cx0 = mbx * 8
+        cy0 = mby * 8
+        Hc, Wc = H // 2, W // 2
+        for plane_idx in range(2):
+            pl = up if plane_idx == 0 else vp
+            # vertical: region [L, 8, 12] cols cx0-2? need p1,p0|q0,q1:
+            # 2 px each side; region cols cx0-2..cx0+9? edges at 0 and 4:
+            # cols: use 12 wide from cx0-2
+            rowsc = jnp.clip(cy0[:, None, None] + ar8[None, :, None],
+                             0, Hc - 1)
+            colsc = jnp.clip(cx0[:, None, None] - 2 + ar12[None, None, :],
+                             0, Wc - 1)
+            regc = pl[rowsc, colsc]                 # [L,8,12]
+            for ei, e in enumerate((0, 2)):          # luma edges 0, 8
+                qp_p = qp_left if e == 0 else qp_q
+                qp_av = (qp_p + qp_q + 1) >> 1
+                cqp = cqp_tab[jnp.clip(qp_av + chroma_qp_offset, 0, 51)]
+                bs_line = jnp.repeat(bsv[:, e], 2, axis=1)   # [L,8]
+                alpha, beta, tc0 = _edge_params(cqp[:, None], a_off, b_off,
+                                                bs_line)
+                c = 2 + 4 * ei
+                pf, qf = filter_lines_chroma(
+                    regc[:, :, c - 2:c], regc[:, :, c:c + 2],
+                    bs_line, alpha, beta, tc0)
+                regc = jnp.concatenate(
+                    [regc[:, :, :c - 2], pf, qf, regc[:, :, c + 2:]],
+                    axis=2)
+            wcolsc = jnp.where(valid[:, None, None], colsc, Wc + 999)
+            pl = pl.at[rowsc, wcolsc].set(regc, mode="drop")
+            # horizontal
+            rowsc2 = jnp.clip(cy0[:, None, None] - 2 + ar12[None, :, None],
+                              0, Hc - 1)
+            colsc2 = jnp.clip(cx0[:, None, None] + ar8[None, None, :],
+                              0, Wc - 1)
+            regc = pl[rowsc2, colsc2]               # [L,12,8]
+            for ei, e in enumerate((0, 2)):
+                qp_p = qp_top if e == 0 else qp_q
+                qp_av = (qp_p + qp_q + 1) >> 1
+                cqp = cqp_tab[jnp.clip(qp_av + chroma_qp_offset, 0, 51)]
+                bs_line = jnp.repeat(bsh[:, e], 2, axis=1)
+                alpha, beta, tc0 = _edge_params(cqp[:, None], a_off, b_off,
+                                                bs_line)
+                r = 2 + 4 * ei
+                pside = regc[:, r - 2:r].swapaxes(1, 2)
+                qside = regc[:, r:r + 2].swapaxes(1, 2)
+                pf, qf = filter_lines_chroma(pside, qside, bs_line, alpha,
+                                             beta, tc0)
+                regc = jnp.concatenate(
+                    [regc[:, :r - 2], pf.swapaxes(1, 2), qf.swapaxes(1, 2),
+                     regc[:, r + 2:]], axis=1)
+            wrowsc2 = jnp.where(valid[:, None, None], rowsc2, Hc + 999)
+            pl = pl.at[wrowsc2, colsc2].set(regc, mode="drop")
+            if plane_idx == 0:
+                up = pl
+            else:
+                vp = pl
+        return (yp, up, vp), None
+
+    (yf, uf, vf), _ = jax.lax.scan(step, (yf, uf, vf),
+                                   (sched_x, sched_y, sched_valid))
+    return (yf.astype(jnp.uint8), uf.astype(jnp.uint8),
+            vf.astype(jnp.uint8))
