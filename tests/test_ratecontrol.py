@@ -1,0 +1,68 @@
+"""Rate control behavior (reference ratecontrol.c semantics)."""
+
+import numpy as np
+
+from x264_tpu import param_default_preset
+from x264_tpu.encoder.encoder import Encoder, Picture
+from x264_tpu.encoder.ratecontrol import qp2qscale, qscale2qp
+
+
+def test_qscale_roundtrip():
+    for qp in (0, 12, 26, 51):
+        assert abs(qscale2qp(qp2qscale(qp)) - qp) < 1e-9
+
+
+def _frames(n, w, h):
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:h, 0:w]
+    out = []
+    for i in range(n):
+        y = np.clip(128 + 60 * np.sin((xx + 3 * i) / 17)
+                    * np.cos((yy + 2 * i) / 13)
+                    + rng.integers(-6, 6, (h, w)), 0, 255).astype(np.uint8)
+        u = np.clip(128 + 40 * np.sin(xx[::2, ::2] / 19), 0,
+                    255).astype(np.uint8)
+        v = np.clip(128 + 40 * np.cos(yy[::2, ::2] / 23), 0,
+                    255).astype(np.uint8)
+        out.append([y, u, v])
+    return out
+
+
+def _encode(frames, w, h, **rc):
+    p = param_default_preset("medium")
+    p.width, p.height = w, h
+    p.cabac = False
+    p.threads = 1
+    p.fps_num, p.fps_den = 25, 1
+    for k, v in rc.items():
+        setattr(p.rc, k, v)
+    enc = Encoder(p)
+    total = 0
+    qps = []
+    for i, f in enumerate(frames):
+        nals, out = enc.encode(Picture(f, pts=i))
+        total += sum(len(n.payload) for n in nals)
+        qps.append(out.qp)
+    return total * 8 * 25 / len(frames) / 1000, qps
+
+
+def test_crf_ordering():
+    """Lower CRF must produce more bits."""
+    frames = _frames(6, 64, 48)
+    k_hi, _ = _encode(frames, 64, 48, rc_method=1, rf_constant=18)
+    k_lo, _ = _encode(frames, 64, 48, rc_method=1, rf_constant=32)
+    assert k_hi > k_lo * 1.5
+
+
+def test_abr_tracks_target():
+    frames = _frames(16, 64, 48)
+    kbps, qps = _encode(frames, 64, 48, rc_method=2, bitrate=150)
+    assert 60 < kbps < 330, kbps     # converging toward 150
+    # qp adapts over time
+    assert len(set(qps)) > 2
+
+
+def test_cqp_constant():
+    frames = _frames(4, 64, 48)
+    _, qps = _encode(frames, 64, 48, rc_method=0, qp_constant=30)
+    assert all(q == qps[1] for q in qps[1:])

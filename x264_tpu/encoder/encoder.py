@@ -118,6 +118,8 @@ class Encoder:
         self.frames_out = 0
         self.last_keyframe = -(1 << 30)
         self.poc = 0
+        from .ratecontrol import RateControl
+        self.rc = RateControl(self.p)
         self._dpb: list = []        # reference frames (device arrays)
         self._pipe: list = []       # in-flight frame jobs (frame-threads)
         self._pipe_depth = 1 if self.p.threads != 1 else 0
@@ -263,29 +265,7 @@ class Encoder:
         return out
 
     def _decide_qp(self, ftype: int, pic: Picture) -> int:
-        if pic.forced_qp >= 0:
-            return pic.forced_qp
-        rc = self.p.rc
-        if rc.rc_method == P.RC_CQP:
-            q = rc.qp_constant
-            if ftype in (TYPE_IDR, TYPE_I):
-                q = int(round(q - 3.38))  # ip_factor 1.4 in qscale ~ -3.38 qp
-            elif ftype in (TYPE_B, TYPE_BREF):
-                q = int(round(q + 2.21))
-            # reference applies f_ip_factor via qscale; CQP uses constant
-            q = rc.qp_constant
-            if ftype in (TYPE_IDR, TYPE_I):
-                q = max(0, q - int(round(6.0 * np.log2(rc.ip_factor))))
-            elif ftype in (TYPE_B, TYPE_BREF):
-                q = q + int(round(6.0 * np.log2(rc.pb_factor)))
-        else:
-            # CRF v0: constant quantizer from rf_constant (no AQ/mbtree yet)
-            q = int(round(rc.rf_constant))
-            if ftype in (TYPE_IDR, TYPE_I):
-                q = q - int(round(6.0 * np.log2(rc.ip_factor)))
-            elif ftype in (TYPE_B, TYPE_BREF):
-                q = q + int(round(6.0 * np.log2(rc.pb_factor)))
-        return int(np.clip(q, rc.qp_min, rc.qp_max))
+        return self.rc.start(ftype, pic.forced_qp)
 
     # -------------------------------------------------------- frame encode
     def _dispatch_frame(self, planes, ftype, qp, pic):

@@ -200,7 +200,7 @@ def motion_search(padded_ref, hpel, y_src, lam, me_range: int):
             better = cost < bq_cost
             bq_cost = jnp.where(better, cost, bq_cost)
             best_q = jnp.where(better[:, None], mvq, best_q)
-    return best_q
+    return best_q, jnp.sum(bq_cost)
 
 
 def mv_predictors(mv_field):
@@ -268,7 +268,7 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_u_pad, ref_v_pad,
     from ..entropy.cavlc_jax import encode_pframe_entropy_dev
     H, W = y.shape
     n = mbw * mbh
-    mvq = motion_search(ref_y_pad, ref_hpel, y, lam, me_range)
+    mvq, satd_cost = motion_search(ref_y_pad, ref_hpel, y, lam, me_range)
     mv_field = mvq.reshape(mbh, mbw, 2)
     mvp, pskip = mv_predictors(mv_field)
     mvd = (mv_field - mvp).reshape(n, 2)
@@ -359,7 +359,7 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_u_pad, ref_v_pad,
         jnp.stack([uac.reshape(n, 4, 4, 4), vac.reshape(n, 4, 4, 4)],
                   axis=1),
         mbw=mbw, mbh=mbh, cap_words=cap_words)
-    stats = {"skip": jnp.sum(skip), "mv_field": mv_field}
+    stats = {"skip": jnp.sum(skip), "satd": satd_cost}
     return words, total_bits, (recon_y, recon_u, recon_v), stats
 
 
@@ -408,6 +408,8 @@ def dispatch_pframe(enc, planes, ftype, qp):
         nals = finalize_slice(enc, words, total_bits, cap_words, sh,
                               nal_mod.NAL_SLICE, nal_mod.NAL_PRIORITY_HIGH)
         rec = [np.asarray(r) for r in recon] if materialize else list(recon)
+        enc.rc.end(ftype, sum(len(n.payload) * 8 for n in nals),
+                   float(stats["satd"]), qp)
         return nals, rec
 
     return finalize, list(recon)

@@ -73,7 +73,9 @@ def decide_modes(y, u, v):
     cvalid = predict.predict_chroma_mode_valid(al, at, at & al)
     ccosts = jnp.where(cvalid, ccosts, 1 << 28)
     chroma_mode = jnp.argmin(ccosts, axis=-1).astype(jnp.int32)
-    return i16_mode, chroma_mode
+    satd_cost = (jnp.sum(jnp.min(costs, axis=-1))
+                 + jnp.sum(jnp.min(ccosts, axis=-1)))
+    return i16_mode, chroma_mode, satd_cost
 
 
 # ------------------------------------------------------------------ commit
@@ -230,7 +232,7 @@ def encode_iframe_device(y, u, v, qp_mb, qpc_mb, sched_x, sched_y,
     bit packing (+ in-loop deblock) — the whole frame in one dispatch. Only
     the packed slice payload (and recon, for the DPB) leaves the chip."""
     from ..entropy.cavlc_jax import encode_i16x16_frame_dev
-    i16_mode, chroma_mode = decide_modes(y, u, v)
+    i16_mode, chroma_mode, satd_cost = decide_modes(y, u, v)
     ys, recon = commit_i16x16(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
                               sched_x, sched_y, sched_valid,
                               mbw=mbw, mbh=mbh)
@@ -253,7 +255,7 @@ def encode_iframe_device(y, u, v, qp_mb, qpc_mb, sched_x, sched_y,
         i16_mode.reshape(-1), chroma_mode.reshape(-1), qp_flat,
         qp_flat[0], dc_blk, ac_blk, cdc_blk, cac_blk,
         mbw=mbw, mbh=mbh, cap_words=cap_words)
-    return words, total_bits, recon
+    return words, total_bits, recon, satd_cost
 
 
 # ------------------------------------------------------------- frame entry
@@ -303,7 +305,7 @@ def dispatch_iframe(enc, planes, ftype, qp):
         chroma_qp(np.full((mbh, mbw), qp), enc.p.analyse.chroma_qp_offset),
         dtype=jnp.int32)
     cap_words = (mbw * mbh * CAP_BYTES_PER_MB) // 4
-    words, total_bits, recon = encode_iframe_device(
+    words, total_bits, recon, satd_cost = encode_iframe_device(
         y, u, v, qp_mb, qpc_mb, sx, sy, sv, diag_of, lane_of,
         mbw=mbw, mbh=mbh, cap_words=cap_words,
         deblock=enc.p.deblocking_filter,
@@ -322,6 +324,8 @@ def dispatch_iframe(enc, planes, ftype, qp):
         nals = finalize_slice(enc, words, total_bits, cap_words, sh,
                               nal_type, nal_mod.NAL_PRIORITY_HIGHEST)
         rec = [np.asarray(r) for r in recon] if materialize else list(recon)
+        enc.rc.end(ftype, sum(len(n.payload) * 8 for n in nals),
+                   float(satd_cost), qp)
         return nals, rec
 
     return finalize, list(recon)
