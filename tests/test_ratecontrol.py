@@ -66,3 +66,48 @@ def test_cqp_constant():
     frames = _frames(4, 64, 48)
     _, qps = _encode(frames, 64, 48, rc_method=0, qp_constant=30)
     assert all(q == qps[1] for q in qps[1:])
+
+
+def test_aq_conformance():
+    """Variance AQ on (CRF): per-MB QP deltas + carried-QP chain must stay
+    bit-exact vs the reference decoder."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    import refdec
+    from x264_tpu.entropy.nal import annexb_bytes
+    rng = np.random.default_rng(5)
+    w, h = 64, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for i in range(3):
+        y = np.where(xx < w // 2, 100 + (yy % 3),
+                     np.clip(128 + 60 * np.sin((xx + 3 * i) / 5)
+                             * np.cos(yy / 4)
+                             + rng.integers(-20, 20, (h, w)), 0,
+                             255)).astype(np.uint8)
+        u = np.clip(128 + 40 * np.sin(xx[::2, ::2] / 19), 0,
+                    255).astype(np.uint8)
+        v = np.clip(128 + 40 * np.cos(yy[::2, ::2] / 23), 0,
+                    255).astype(np.uint8)
+        frames.append([y, u, v])
+    p = param_default_preset("medium")
+    p.width, p.height = w, h
+    p.cabac = False
+    p.threads = 1
+    p.rc.rc_method = 1
+    p.rc.rf_constant = 26
+    p.full_recon = True
+    enc = Encoder(p)
+    assert enc.p.rc.aq_mode == 1
+    stream = annexb_bytes(enc.headers())
+    recs = []
+    for i, f in enumerate(frames):
+        nals, out = enc.encode(Picture(f, pts=i))
+        stream += annexb_bytes(nals)
+        recs.append(out.recon)
+    dec = refdec.Decoder().decode(stream)
+    for i in range(3):
+        for c in range(3):
+            np.testing.assert_array_equal(dec[i][c], recs[i][c])

@@ -260,7 +260,8 @@ def mv_predictors(mv_field):
 @partial(jax.jit, static_argnames=("mbw", "mbh", "cap_words", "me_range",
                                    "deblock", "a_off", "b_off", "cqpo"))
 def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_u_pad, ref_v_pad,
-                         qp_mb, qpc_mb, lam, sched_x, sched_y, sched_valid,
+                         qp_mb, qpc_mb, slice_qp, lam,
+                         sched_x, sched_y, sched_valid,
                          *, mbw, mbh, cap_words, me_range, deblock=False,
                          a_off=0, b_off=0, cqpo=0):
     """Fused P-frame device pass: ME -> MVP/skip -> MC -> transform ->
@@ -340,6 +341,14 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_u_pad, ref_v_pad,
     recon_y = merge_plane(recon_y_mb, 16, H, W).astype(jnp.uint8)
     recon_u = merge_plane(urec, 8, H // 2, W // 2).astype(jnp.uint8)
     recon_v = merge_plane(vrec, 8, H // 2, W // 2).astype(jnp.uint8)
+
+    words, total_bits, eff_qp = encode_pframe_entropy_dev(
+        skip, mvd, cbp_luma, cbp_chroma, qp, slice_qp,
+        lv.reshape(n, 16, 4, 4),
+        jnp.stack([udc.reshape(n, 2, 2), vdc.reshape(n, 2, 2)], axis=1),
+        jnp.stack([uac.reshape(n, 4, 4, 4), vac.reshape(n, 4, 4, 4)],
+                  axis=1),
+        mbw=mbw, mbh=mbh, cap_words=cap_words)
     if deblock:
         from ..ops.deblock import compute_strengths, deblock_frame
         nnz4 = nnz_l.reshape(mbh, mbw, 4, 4).transpose(0, 2, 1, 3) \
@@ -348,17 +357,10 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_u_pad, ref_v_pad,
             jnp.zeros((mbh, mbw), bool), nnz4, mv_field,
             mbw=mbw, mbh=mbh)
         recon_y, recon_u, recon_v = deblock_frame(
-            recon_y, recon_u, recon_v, bs_v, bs_h, qp_mb,
+            recon_y, recon_u, recon_v, bs_v, bs_h,
+            eff_qp.reshape(mbh, mbw),
             sched_x, sched_y, sched_valid, mbw=mbw, mbh=mbh,
             a_off=a_off, b_off=b_off, chroma_qp_offset=cqpo)
-
-    words, total_bits = encode_pframe_entropy_dev(
-        skip, mvd, cbp_luma, cbp_chroma, qp,
-        lv.reshape(n, 16, 4, 4),
-        jnp.stack([udc.reshape(n, 2, 2), vdc.reshape(n, 2, 2)], axis=1),
-        jnp.stack([uac.reshape(n, 4, 4, 4), vac.reshape(n, 4, 4, 4)],
-                  axis=1),
-        mbw=mbw, mbh=mbh, cap_words=cap_words)
     stats = {"skip": jnp.sum(skip), "satd": satd_cost}
     return words, total_bits, (recon_y, recon_u, recon_v), stats
 
@@ -373,10 +375,16 @@ def dispatch_pframe(enc, planes, ftype, qp):
     mbw, mbh = enc.mb_w, enc.mb_h
     ref = enc._dpb[-1]
     y, u, v = [jnp.asarray(p) for p in planes]
-    qp_mb = jnp.full((mbh, mbw), qp, jnp.int32)
-    qpc_mb = jnp.asarray(
-        chroma_qp(np.full((mbh, mbw), qp), enc.p.analyse.chroma_qp_offset),
-        jnp.int32)
+    if enc.p.rc.aq_mode:
+        from ..ops.aq import qp_maps
+        qp_mb, qpc_mb = qp_maps(y, u, v, qp, enc.p.rc.aq_strength,
+                                enc.p.rc.qp_min, enc.p.rc.qp_max,
+                                enc.p.analyse.chroma_qp_offset)
+    else:
+        qp_mb = jnp.full((mbh, mbw), qp, jnp.int32)
+        qpc_mb = jnp.asarray(
+            chroma_qp(np.full((mbh, mbw), qp),
+                      enc.p.analyse.chroma_qp_offset), jnp.int32)
     lam = int(round(0.85 * 2 ** ((qp - 12) / 3.0) ** 0.5))  # ~lambda(qp)
     lam = max(1, lam)
     cap_words = (mbw * mbh * CAP_BYTES_PER_MB) // 4
@@ -392,7 +400,7 @@ def dispatch_pframe(enc, planes, ftype, qp):
     sx, sy, sv, _, _ = _SCHED_CACHE[key]
     words, total_bits, recon, stats = encode_pframe_device(
         y, u, v, ref["y_pad"], ref["hpel"], ref["u_pad"], ref["v_pad"],
-        qp_mb, qpc_mb, lam, sx, sy, sv,
+        qp_mb, qpc_mb, qp, lam, sx, sy, sv,
         mbw=mbw, mbh=mbh, cap_words=cap_words, me_range=me_range,
         deblock=enc.p.deblocking_filter,
         a_off=enc.p.deblocking_filter_alphac0 * 2,

@@ -224,7 +224,7 @@ def commit_i16x16(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
 
 @partial(jax.jit, static_argnames=("mbw", "mbh", "cap_words", "deblock",
                                    "a_off", "b_off", "cqpo"))
-def encode_iframe_device(y, u, v, qp_mb, qpc_mb, sched_x, sched_y,
+def encode_iframe_device(y, u, v, qp_mb, qpc_mb, slice_qp, sched_x, sched_y,
                          sched_valid, diag_of, lane_of, *, mbw, mbh,
                          cap_words, deblock=False, a_off=0, b_off=0,
                          cqpo=0):
@@ -253,7 +253,7 @@ def encode_iframe_device(y, u, v, qp_mb, qpc_mb, sched_x, sched_y,
     qp_flat = qp_mb.reshape(-1)
     words, total_bits = encode_i16x16_frame_dev(
         i16_mode.reshape(-1), chroma_mode.reshape(-1), qp_flat,
-        qp_flat[0], dc_blk, ac_blk, cdc_blk, cac_blk,
+        slice_qp, dc_blk, ac_blk, cdc_blk, cac_blk,
         mbw=mbw, mbh=mbh, cap_words=cap_words)
     return words, total_bits, recon, satd_cost
 
@@ -300,13 +300,19 @@ def dispatch_iframe(enc, planes, ftype, qp):
     sx, sy, sv, diag_of, lane_of = _SCHED_CACHE[key]
 
     y, u, v = [jnp.asarray(p) for p in planes]
-    qp_mb = jnp.full((mbh, mbw), qp, jnp.int32)
-    qpc_mb = jnp.asarray(
-        chroma_qp(np.full((mbh, mbw), qp), enc.p.analyse.chroma_qp_offset),
-        dtype=jnp.int32)
+    if enc.p.rc.aq_mode:
+        from ..ops.aq import qp_maps
+        qp_mb, qpc_mb = qp_maps(y, u, v, qp, enc.p.rc.aq_strength,
+                                enc.p.rc.qp_min, enc.p.rc.qp_max,
+                                enc.p.analyse.chroma_qp_offset)
+    else:
+        qp_mb = jnp.full((mbh, mbw), qp, jnp.int32)
+        qpc_mb = jnp.asarray(
+            chroma_qp(np.full((mbh, mbw), qp),
+                      enc.p.analyse.chroma_qp_offset), dtype=jnp.int32)
     cap_words = (mbw * mbh * CAP_BYTES_PER_MB) // 4
     words, total_bits, recon, satd_cost = encode_iframe_device(
-        y, u, v, qp_mb, qpc_mb, sx, sy, sv, diag_of, lane_of,
+        y, u, v, qp_mb, qpc_mb, qp, sx, sy, sv, diag_of, lane_of,
         mbw=mbw, mbh=mbh, cap_words=cap_words,
         deblock=enc.p.deblocking_filter,
         a_off=enc.p.deblocking_filter_alphac0 * 2,

@@ -304,13 +304,14 @@ def encode_i16x16_frame_dev(i16_mode, chroma_mode, qp_flat, slice_qp,
 
 @partial(jax.jit, static_argnames=("mbw", "mbh", "cap_words"))
 def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
-                              luma_lv, cdc_blk, cac_blk,
+                              slice_qp, luma_lv, cdc_blk, cac_blk,
                               *, mbw: int, mbh: int, cap_words: int):
     """P-slice MB layer on device (P_L0_16x16 + P_Skip, 1 ref).
 
     skip [N] bool; mvd [N,2]; cbp_* [N]; luma_lv [N,16,4,4] (full 16-coeff
     inter blocks, raster); cdc_blk [N,2,2,2]; cac_blk [N,2,4,4,4].
-    Returns (words, total_bits)."""
+    Returns (words, total_bits, eff_qp) — eff_qp is the decoder-carried
+    per-MB QP (uncoded MBs inherit), needed by the deblock strength qp."""
     n = mbw * mbh
     zig = jnp.asarray(ZIGZAG4_FRAME)
     luma_z = luma_lv.reshape(n, 16, 16)[:, :, zig]
@@ -364,12 +365,17 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
     c, l = ue_dev(cbp_map[cbp_chroma * 16 + cbp_luma])  # noqa: E741
     h_codes = h_codes.at[:, 4].set(c)
     h_lens = h_lens.at[:, 4].set(l)
-    has_resid = (cbp_luma > 0) | (cbp_chroma > 0)
-    prev_qp = jnp.concatenate(
-        [jnp.full((1,), qp_flat[0], qp_flat.dtype), qp_flat[:-1]])
-    c, l = se_dev(qp_flat - prev_qp)            # noqa: E741
+    has_resid = ((cbp_luma > 0) | (cbp_chroma > 0)) & coded
+    # carried-QP chain: only MBs with residual update the decoder's QP
+    idxs = jnp.arange(n, dtype=jnp.int32)
+    last_r = jax.lax.cummax(jnp.where(has_resid, idxs, -1))
+    prev_r = jnp.concatenate([jnp.full((1,), -1, jnp.int32), last_r[:-1]])
+    prev_qp = jnp.where(prev_r >= 0, qp_flat[jnp.maximum(prev_r, 0)],
+                        slice_qp)
+    c, l = se_dev(jnp.where(has_resid, qp_flat - prev_qp, 0))  # noqa: E741
     h_codes = h_codes.at[:, 5].set(c)
     h_lens = h_lens.at[:, 5].set(jnp.where(has_resid, l, 0))
+    eff_qp = jnp.where(has_resid, qp_flat, prev_qp)
 
     # ---- gating ----
     coded3 = coded[:, None, None]
@@ -398,7 +404,8 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
     tl = jnp.where(trailing > 0, tl, 0)
     codes = jnp.concatenate([codes.reshape(-1), tc[None]])
     lens = jnp.concatenate([lens.reshape(-1), tl[None]])
-    return pack_bits_dev(codes, lens, cap_words)
+    words, total_bits = pack_bits_dev(codes, lens, cap_words)
+    return words, total_bits, eff_qp
 
 
 def words_to_bytes(words: np.ndarray, total_bits: int) -> tuple[bytes, int]:

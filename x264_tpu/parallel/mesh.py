@@ -59,8 +59,8 @@ def make_sharded_intra_step(mesh: Mesh, width: int, band_mb_rows: int):
     def band_encode(y, u, v, qp, qpc):
         # local shapes: [b, nb, bandH, W]
         def one(y1, u1, v1, q1, qc1):
-            return encode_iframe_device(y1, u1, v1, q1, qc1, sxj, syj, svj,
-                                        dgj, lnj, mbw=mbw,
+            return encode_iframe_device(y1, u1, v1, q1, qc1, 26,
+                                        sxj, syj, svj, dgj, lnj, mbw=mbw,
                                         mbh=band_mb_rows,
                                         cap_words=cap_words)
         return jax.vmap(jax.vmap(one))(y, u, v, qp, qpc)
