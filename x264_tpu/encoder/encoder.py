@@ -140,6 +140,9 @@ class Encoder:
                                sets.sps_write(self.sps)),
             nal_mod.nal_encode(nal_mod.NAL_PPS, nal_mod.NAL_PRIORITY_HIGHEST,
                                sets.pps_write(self.pps)),
+            nal_mod.nal_encode(nal_mod.NAL_SEI,
+                               nal_mod.NAL_PRIORITY_DISPOSABLE,
+                               sets.sei_version(self.p)),
         ]
         return nals
 
@@ -223,6 +226,13 @@ class Encoder:
                 self.stats["ssd"][i] += float((d * d).sum())
             self.stats["psnr_frames"] += 1
             out.psnr = self._frame_psnr(self._crop(planes), out.recon)
+        if self.p.analyse.ssim and recon is not None:
+            from ..ops.pixel import ssim as ssim_op
+            out.ssim = float(ssim_op(np.asarray(self._crop(planes)[0]),
+                                     np.asarray(out.recon[0])))
+            self.stats["ssim_sum"] = self.stats.get("ssim_sum", 0.0) \
+                + out.ssim
+            self.stats["ssim_frames"] = self.stats.get("ssim_frames", 0) + 1
         return nals, out
 
     # ------------------------------------------------------------ helpers

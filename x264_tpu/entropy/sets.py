@@ -319,3 +319,54 @@ def pps_write(pps: PPS) -> bytes:
         bw.write_se(pps.second_chroma_qp_index_offset)
     bw.rbsp_trailing()
     return bw.getvalue()
+
+
+# ------------------------------------------------------------------- SEI
+SEI_USER_DATA_UNREGISTERED = 5
+SEI_RECOVERY_POINT = 6
+
+_VERSION_UUID = bytes([0x2A, 0x0C, 0x7E, 0x41, 0x9D, 0xB1, 0x45, 0x0F,
+                       0x8A, 0x3D, 0x6C, 0x31, 0xD0, 0x8F, 0x22, 0xE4])
+
+
+def sei_write(payload_type: int, payload: bytes) -> bytes:
+    """Generic SEI message wrapper (spec 7.3.2.3; reference set.c:574)."""
+    bw = BitWriter()
+    t = payload_type
+    while t >= 255:
+        bw.write(8, 255)
+        t -= 255
+    bw.write(8, t)
+    n = len(payload)
+    while n >= 255:
+        bw.write(8, 255)
+        n -= 255
+    bw.write(8, n)
+    for byte in payload:
+        bw.write(8, byte)
+    bw.rbsp_trailing()
+    return bw.getvalue()
+
+
+def sei_version(p: P.Params, version: str = "") -> bytes:
+    """user_data_unregistered SEI with encoder settings (reference
+    x264_sei_version_write, set.c:594)."""
+    from .. import __version__
+    opts = (f"x264-tpu {version or __version__} - TPU-native H.264 encoder"
+            f" - options: crf={p.rc.rf_constant} qp={p.rc.qp_constant}"
+            f" me=esa subme={p.analyse.subpel_refine}"
+            f" keyint={p.keyint_max} deblock={int(p.deblocking_filter)}"
+            f" aq={p.rc.aq_mode}:{p.rc.aq_strength}")
+    return sei_write(SEI_USER_DATA_UNREGISTERED,
+                     _VERSION_UUID + opts.encode() + b"\x00")
+
+
+def sei_recovery_point(recovery_frame_cnt: int) -> bytes:
+    bw = BitWriter()
+    bw.write_ue(recovery_frame_cnt)
+    bw.write1(1)   # exact_match
+    bw.write1(0)   # broken_link
+    bw.write(2, 0)  # changing_slice_group
+    bw.rbsp_trailing()
+    data = bw.getvalue()
+    return sei_write(SEI_RECOVERY_POINT, data)

@@ -102,3 +102,35 @@ def satd_np(a, b):
             t = np.einsum("ij,...jk,lk->...il", _H4, blk, _H4)
             total += np.abs(t).sum(axis=(-2, -1))
     return total >> 1
+
+
+# x264 SSIM constants (pixel.c ssim_end1: .01/.03 on 64-px windows)
+_SSIM_C1 = int(0.01 * 0.01 * 255 * 255 * 64 + 0.5)
+_SSIM_C2 = int(0.03 * 0.03 * 255 * 255 * 64 * 63 / 64 + 0.5)
+
+
+@jax.jit
+def ssim(a, b):
+    """Global SSIM of two planes (reference x264_pixel_ssim_wxh:
+    4x4-block sums combined over 2x2 groups, borders cropped)."""
+    a = a.astype(jnp.int32)
+    b = b.astype(jnp.int32)
+    H, W = a.shape
+    bh, bw = H // 4, W // 4
+    ta = a[:bh * 4, :bw * 4].reshape(bh, 4, bw, 4)
+    tb = b[:bh * 4, :bw * 4].reshape(bh, 4, bw, 4)
+    s1 = ta.sum(axis=(1, 3))
+    s2 = tb.sum(axis=(1, 3))
+    ss = (ta * ta).sum(axis=(1, 3)) + (tb * tb).sum(axis=(1, 3))
+    s12 = (ta * tb).sum(axis=(1, 3))
+
+    def grp(x):
+        return (x[:-1, :-1] + x[:-1, 1:] + x[1:, :-1]
+                + x[1:, 1:]).astype(jnp.float32)
+
+    g1, g2, gss, g12 = grp(s1), grp(s2), grp(ss), grp(s12)
+    vars_ = gss * 64 - g1 * g1 - g2 * g2
+    covar = g12 * 64 - g1 * g2
+    v = ((2 * g1 * g2 + _SSIM_C1) * (2 * covar + _SSIM_C2)
+         / ((g1 * g1 + g2 * g2 + _SSIM_C1) * (vars_ + _SSIM_C2)))
+    return jnp.mean(v)
