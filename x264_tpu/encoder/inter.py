@@ -67,6 +67,28 @@ def _satd_qpel(hpel, src, x0, y0, mv_q):
     return jnp.sum(jnp.abs(t), axis=(1, 2, 3)) >> 1
 
 
+_DECIMATE_TAB = np.array([3, 2, 2, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+                         np.int32)
+
+
+def _decimate_score(lv_z):
+    """x264 decimate score per block (reference decimate_score16,
+    quant.c): +tab[run] per |level|==1 coeff, 'huge' if any |level|>1."""
+    n, blocks, L = lv_z.shape
+    nz = lv_z != 0
+    big = jnp.any(jnp.abs(lv_z) > 1, axis=2)
+    pos = jnp.arange(L, dtype=jnp.int32)[None, None, :]
+    # run before each nonzero = gap to previous nonzero (scan order)
+    last_prev = jax.lax.cummax(jnp.where(nz, pos, -1), axis=2)
+    prev = jnp.concatenate(
+        [jnp.full((n, blocks, 1), -1, jnp.int32), last_prev[:, :, :-1]],
+        axis=2)
+    run = jnp.where(nz, pos - prev - 1, 0)
+    tab = jnp.asarray(_DECIMATE_TAB)
+    sc = jnp.sum(jnp.where(nz, tab[jnp.clip(run, 0, 15)], 0), axis=2)
+    return jnp.where(big, 99, sc).astype(jnp.int32)
+
+
 def _tile_sad_map(diff_abs, mbh, mbw):
     """[H,W] absolute差 -> per-MB SAD [mbh, mbw]."""
     return diff_abs.reshape(mbh, 16, mbw, 16).sum(axis=(1, 3))
@@ -96,38 +118,41 @@ def motion_search(padded_ref, hpel, y_src, lam, me_range: int):
     tiles = _mb_tiles(y_src, 16).reshape(n, 16, 16)
     R = me_range
 
-    # ---- stage 1: coarse exhaustive full-pel (step 2) ----
-    # offsets grid as scan xs; each step = one shifted-plane SAD map
-    coarse = np.array([(dx, dy)
-                       for dy in range(-R, R + 1, 2)
-                       for dx in range(-R, R + 1, 2)], np.int32)
+    # ---- stage 1: exhaustive full-pel search (ESA, reference me.c:618):
+    # every offset in [-R, R]^2 evaluated as a shifted-plane SAD map;
+    # offsets processed in groups of 8 per scan step to amortize overhead
+    offs = [(dx, dy) for dy in range(-R, R + 1) for dx in range(-R, R + 1)]
+    while len(offs) % 8:
+        offs.append(offs[-1])
+    offsets = np.array(offs, np.int32).reshape(-1, 8, 2)
     fine = np.array([(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
                     np.int32)
 
-    def esa_scan(offsets, base_mv):
-        def step(carry, off):
+    def esa_scan(offsets):
+        def step(carry, off8):
             best_cost, best_mv = carry
-            dx, dy = off[0], off[1]
-            shifted = jax.lax.dynamic_slice(
-                padded_ref, (mc.PAD + dy, mc.PAD + dx), (H, W)) \
-                .astype(jnp.int32)
-            sad = _tile_sad_map(jnp.abs(shifted - src), mbh, mbw)
-            mvx = base_mv[..., 0] + dx
-            mvy = base_mv[..., 1] + dy
-            cost = sad + lam * (_mv_cost_bits(mvx * 4)
-                                + _mv_cost_bits(mvy * 4))
-            better = cost < best_cost
-            best_cost = jnp.where(better, cost, best_cost)
-            new_mv = jnp.stack([mvx, mvy], axis=-1)
-            best_mv = jnp.where(better[..., None], new_mv, best_mv)
+            for k in range(8):
+                dx, dy = off8[k, 0], off8[k, 1]
+                shifted = jax.lax.dynamic_slice(
+                    padded_ref, (mc.PAD + dy, mc.PAD + dx), (H, W)) \
+                    .astype(jnp.int32)
+                sad = _tile_sad_map(jnp.abs(shifted - src), mbh, mbw)
+                cost = sad + lam * (_mv_cost_bits(dx * 4)
+                                    + _mv_cost_bits(dy * 4))
+                better = cost < best_cost
+                best_cost = jnp.where(better, cost, best_cost)
+                new_mv = jnp.stack([jnp.broadcast_to(dx, sad.shape),
+                                    jnp.broadcast_to(dy, sad.shape)],
+                                   axis=-1)
+                best_mv = jnp.where(better[..., None], new_mv, best_mv)
             return (best_cost, best_mv), None
 
         init = (jnp.full((mbh, mbw), 1 << 30, jnp.int32),
-                jnp.broadcast_to(base_mv, (mbh, mbw, 2)).astype(jnp.int32))
+                jnp.zeros((mbh, mbw, 2), jnp.int32))
         (cost, mv), _ = jax.lax.scan(step, init, jnp.asarray(offsets))
         return cost, mv
 
-    _, mv_c = esa_scan(coarse, jnp.zeros((mbh, mbw, 2), jnp.int32))
+    _, mv_c = esa_scan(offsets)
 
     # ---- stage 2: +-1 full-pel refine around coarse best ----
     # per-MB base differs -> shifted planes no longer shared; use one
@@ -258,12 +283,13 @@ def mv_predictors(mv_field):
 
 
 @partial(jax.jit, static_argnames=("mbw", "mbh", "cap_words", "me_range",
-                                   "deblock", "a_off", "b_off", "cqpo"))
+                                   "deblock", "a_off", "b_off", "cqpo",
+                                   "decimate"))
 def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_u_pad, ref_v_pad,
                          qp_mb, qpc_mb, slice_qp, lam,
                          sched_x, sched_y, sched_valid,
                          *, mbw, mbh, cap_words, me_range, deblock=False,
-                         a_off=0, b_off=0, cqpo=0):
+                         a_off=0, b_off=0, cqpo=0, decimate=True):
     """Fused P-frame device pass: ME -> MVP/skip -> MC -> transform ->
     entropy -> packed payload. Returns (words, total_bits, recon, stats)."""
     from ..entropy.cavlc_jax import encode_pframe_entropy_dev
@@ -310,6 +336,25 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_u_pad, ref_v_pad,
         rec_c = jnp.clip(pred_c + _chroma_merge(dct.idct4x4(d)), 0, 255)
         out_c.append((dc_lv, ac_lv, rec_c, pred_c))
     (udc, uac, urec, upred), (vdc, vac, vrec, vpred) = out_c
+
+    # --- dct decimation (reference b_dct_decimate, macroblock.c:654):
+    # drop 8x8 groups whose decimate score < 4 and whole-MB luma < 6 ---
+    lv_z = dct.zigzag4(lv.reshape(n, 16, 4, 4))          # [n,16,16]
+    dec_score = _decimate_score(lv_z) if decimate else \
+        jnp.full((n, 16), 99, jnp.int32)                 # [n,16]
+    quad_of = jnp.asarray(
+        np.array([(r // 2) * 2 + (c // 2) for r in range(4)
+                  for c in range(4)], np.int32))
+    qsum = jnp.zeros((n, 4), jnp.int32)
+    for b in range(16):
+        qsum = qsum.at[:, quad_of[b]].add(dec_score[:, b])
+    mb_sum = jnp.sum(qsum, axis=1)
+    keep_quad = (qsum >= 4) & (mb_sum >= 6)[:, None]     # [n,4]
+    keep_blk = keep_quad[:, quad_of]                     # [n,16]
+    lv = jnp.where(keep_blk[:, :, None, None], lv.reshape(n, 16, 4, 4), 0)
+    # redo dequant/recon with decimated levels
+    dq = quant.dequant4x4(lv, qp[:, None])
+    recon_y_mb = jnp.clip(pred_y + _luma_merge(dct.idct4x4(dq)), 0, 255)
 
     # --- skip decision ---
     nnz_l = jnp.sum(lv.reshape(n, 16, 16) != 0, axis=2)
@@ -385,8 +430,9 @@ def dispatch_pframe(enc, planes, ftype, qp):
         qpc_mb = jnp.asarray(
             chroma_qp(np.full((mbh, mbw), qp),
                       enc.p.analyse.chroma_qp_offset), jnp.int32)
-    lam = int(round(0.85 * 2 ** ((qp - 12) / 3.0) ** 0.5))  # ~lambda(qp)
-    lam = max(1, lam)
+    # SAD/SATD-domain lambda (reference x264_lambda_tab scale)
+    lam = max(1, int(round(2.0 ** ((qp - 12) / 6.0))))
+
     cap_words = (mbw * mbh * CAP_BYTES_PER_MB) // 4
     me_range = min(enc.p.analyse.me_range, mc.PAD - 20)
     from .intra import _SCHED_CACHE
@@ -402,6 +448,7 @@ def dispatch_pframe(enc, planes, ftype, qp):
         y, u, v, ref["y_pad"], ref["hpel"], ref["u_pad"], ref["v_pad"],
         qp_mb, qpc_mb, qp, lam, sx, sy, sv,
         mbw=mbw, mbh=mbh, cap_words=cap_words, me_range=me_range,
+        decimate=enc.p.analyse.dct_decimate,
         deblock=enc.p.deblocking_filter,
         a_off=enc.p.deblocking_filter_alphac0 * 2,
         b_off=enc.p.deblocking_filter_beta * 2,
