@@ -1062,9 +1062,11 @@ def deblock_frame_ref(y, u, v, qp_map, intra_map, nnz_l, mvf,
                     if e == 0 and mbx == 0:
                         continue
                     qp_p = int(qp_map[mby, mbx - 1]) if e == 0 else qp_q
-                    qav = (qp_p + qp_q + 1) >> 1
-                    cqp = int(CHROMA_QP[np.clip(qav + chroma_qp_offset,
-                                                0, 51)])
+                    cqp_p = int(CHROMA_QP[np.clip(qp_p + chroma_qp_offset,
+                                                  0, 51)])
+                    cqp_q = int(CHROMA_QP[np.clip(qp_q + chroma_qp_offset,
+                                                  0, 51)])
+                    cqp = (cqp_p + cqp_q + 1) >> 1
                     ia = np.clip(cqp + a_off, 0, 51)
                     ib = np.clip(cqp + b_off, 0, 51)
                     alpha, beta = int(_DB_ALPHA[ia]), int(_DB_BETA[ib])
@@ -1081,9 +1083,11 @@ def deblock_frame_ref(y, u, v, qp_map, intra_map, nnz_l, mvf,
                     if e == 0 and mby == 0:
                         continue
                     qp_p = int(qp_map[mby - 1, mbx]) if e == 0 else qp_q
-                    qav = (qp_p + qp_q + 1) >> 1
-                    cqp = int(CHROMA_QP[np.clip(qav + chroma_qp_offset,
-                                                0, 51)])
+                    cqp_p = int(CHROMA_QP[np.clip(qp_p + chroma_qp_offset,
+                                                  0, 51)])
+                    cqp_q = int(CHROMA_QP[np.clip(qp_q + chroma_qp_offset,
+                                                  0, 51)])
+                    cqp = (cqp_p + cqp_q + 1) >> 1
                     ia = np.clip(cqp + a_off, 0, 51)
                     ib = np.clip(cqp + b_off, 0, 51)
                     alpha, beta = int(_DB_ALPHA[ia]), int(_DB_BETA[ib])

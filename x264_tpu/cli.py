@@ -151,27 +151,34 @@ def main(argv=None) -> int:
     t0 = time.time()
     n = 0
     total_bytes = 0
+    fed = 0
     for idx, planes in enumerate(reader):
         if idx < known.seek:
             continue
+        if known.frames and fed >= known.frames:
+            break
+        fed += 1
         nals, pic_out = enc.encode(Picture(planes, pts=idx))
-        total_bytes += out.write_frame(nals)
-        if dumper and pic_out.recon is not None:
+        if nals:
+            total_bytes += out.write_frame(nals)
+        if dumper and pic_out is not None and pic_out.recon is not None:
             dumper.write_frame([np.asarray(r) for r in pic_out.recon])
-        n += 1
+        if pic_out is not None:
+            n += 1
         if not known.quiet and n % 10 == 0:
             el = time.time() - t0
             fps_now = n / el if el > 0 else 0
             kbps = total_bytes * 8 * (p.fps_num / p.fps_den) / max(n, 1) / 1000
             print(f"\r{n} frames, {fps_now:.2f} fps, {kbps:.2f} kb/s",
                   end="", file=sys.stderr)
-        if known.frames and n >= known.frames:
-            break
-    # flush delayed frames (lookahead)
+    # flush delayed frames (pipeline/lookahead)
     while enc.delayed_frames():
         nals, pic_out = enc.encode(None)
         if nals:
             total_bytes += out.write_frame(nals)
+        if pic_out is not None:
+            if dumper and pic_out.recon is not None:
+                dumper.write_frame([np.asarray(r) for r in pic_out.recon])
             n += 1
     el = time.time() - t0
     stats = enc.close()

@@ -269,8 +269,10 @@ def deblock_frame(y, u, v, bs_v, bs_h, qp_mb, sched_x, sched_y, sched_valid,
             regc = pl[rowsc, colsc]                 # [L,8,12]
             for ei, e in enumerate((0, 2)):          # luma edges 0, 8
                 qp_p = qp_left if e == 0 else qp_q
-                qp_av = (qp_p + qp_q + 1) >> 1
-                cqp = cqp_tab[jnp.clip(qp_av + chroma_qp_offset, 0, 51)]
+                # spec 8.7.2.2: average of the two CHROMA qps
+                cqp_p = cqp_tab[jnp.clip(qp_p + chroma_qp_offset, 0, 51)]
+                cqp_q = cqp_tab[jnp.clip(qp_q + chroma_qp_offset, 0, 51)]
+                cqp = (cqp_p + cqp_q + 1) >> 1
                 bs_line = jnp.repeat(bsv[:, e], 2, axis=1)   # [L,8]
                 alpha, beta, tc0 = _edge_params(cqp[:, None], a_off, b_off,
                                                 bs_line)
@@ -291,8 +293,9 @@ def deblock_frame(y, u, v, bs_v, bs_h, qp_mb, sched_x, sched_y, sched_valid,
             regc = pl[rowsc2, colsc2]               # [L,12,8]
             for ei, e in enumerate((0, 2)):
                 qp_p = qp_top if e == 0 else qp_q
-                qp_av = (qp_p + qp_q + 1) >> 1
-                cqp = cqp_tab[jnp.clip(qp_av + chroma_qp_offset, 0, 51)]
+                cqp_p = cqp_tab[jnp.clip(qp_p + chroma_qp_offset, 0, 51)]
+                cqp_q = cqp_tab[jnp.clip(qp_q + chroma_qp_offset, 0, 51)]
+                cqp = (cqp_p + cqp_q + 1) >> 1
                 bs_line = jnp.repeat(bsh[:, e], 2, axis=1)
                 alpha, beta, tc0 = _edge_params(cqp[:, None], a_off, b_off,
                                                 bs_line)
