@@ -206,6 +206,9 @@ class Encoder:
     def _finalize_job(self, job) -> tuple[list, PicOut]:
         finalize, pts, ftype, is_idr, qp, planes = job
         nals, recon = finalize()
+        if self.p.aud:
+            from .intra import aud_nal
+            nals = [aud_nal(ftype)] + nals
         out = PicOut(pts=pts, dts=pts, i_type=ftype,
                      b_keyframe=is_idr, qp=qp,
                      recon=[r[:self.p.height, :self.p.width] if i == 0 else

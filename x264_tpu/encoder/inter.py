@@ -11,9 +11,11 @@ prediction (mvpred.c:30). TPU re-design:
     MV field is final right after the batched search and median predictors /
     skip predictors / MVDs are computed as shifted-gather tensor ops instead
     of the reference's sequential per-MB cache.
-  * The hex/UMH-style search runs as unrolled rounds of 6-point candidate
-    evaluation over all MBs at once (data-dependent iteration counts become
-    fixed rounds with converged lanes re-evaluating — SURVEY.md §7.3.6).
+  * Motion search is fully exhaustive (the ESA/dense-correlation form,
+    which the reference notes is the natural TPU formulation,
+    SURVEY.md §7.3.6): every full-pel offset is one shifted-plane SAD map;
+    subpel refinement evaluates a static 5x5 qpel grid over per-MB hpel
+    windows.
 
 Round-1 scope: P_L0_16x16 + P_Skip, one reference, full+half+quarter-pel.
 """
@@ -34,14 +36,6 @@ from .encoder import TYPE_IDR
 from .intra import (_chroma_blocks, _chroma_merge, _luma_blocks, _luma_merge,
                     _mb_tiles, CAP_BYTES_PER_MB)
 
-# hex pattern (reference me.c:344) and square refine offsets, in full-pel
-_HEX = np.array([(-2, 0), (-1, 2), (1, 2), (2, 0), (1, -2), (-1, -2)],
-                dtype=np.int32)
-_SQUARE = np.array([(-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0),
-                    (-1, 1), (0, 1), (1, 1)], dtype=np.int32)
-_DIA_Q = np.array([(-1, 0), (1, 0), (0, -1), (0, 1)], dtype=np.int32)
-
-
 def _mv_cost_bits(mvd):
     """Approximate rate of an MV component (se golomb length)."""
     v = jnp.abs(mvd)
@@ -49,22 +43,6 @@ def _mv_cost_bits(mvd):
     for k in range(1, 16):
         nbits = nbits + ((2 * v + 1) >= (1 << k))
     return 2 * nbits - 1
-
-
-def _sad_at(padded_ref, src, x0, y0, mv_fp):
-    blk = mc.fullpel_block(padded_ref, x0, y0, mv_fp, 16)
-    return jnp.sum(jnp.abs(blk - src.astype(jnp.int32)), axis=(-2, -1))
-
-
-def _satd_qpel(hpel, src, x0, y0, mv_q):
-    blk = mc.luma_mc_block(hpel, x0, y0, mv_q, 16)
-    d = blk - src.astype(jnp.int32)
-    dd = d.reshape(-1, 4, 4, 4, 4).swapaxes(2, 3).reshape(-1, 16, 4, 4)
-    h = jnp.asarray(np.array([[1, 1, 1, 1], [1, -1, 1, -1],
-                              [1, 1, -1, -1], [1, -1, -1, 1]], np.int32))
-    t = jnp.einsum("ij,...jk,lk->...il", h, dd, h,
-                   preferred_element_type=jnp.int32)
-    return jnp.sum(jnp.abs(t), axis=(1, 2, 3)) >> 1
 
 
 _DECIMATE_TAB = np.array([3, 2, 2, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],

@@ -264,6 +264,18 @@ _SCHED_CACHE = {}
 CAP_BYTES_PER_MB = 450    # device payload buffer budget (asserted on host)
 
 
+def aud_nal(ftype):
+    """Access unit delimiter (spec 7.3.1; reference --aud)."""
+    from ..entropy.bits import BitWriter
+    bw = BitWriter()
+    # primary_pic_type: 0 = I only, 1 = I+P
+    bw.write(3, 0 if ftype in (TYPE_IDR,) else 1)
+    bw.rbsp_trailing()
+    return nal_mod.nal_encode(nal_mod.NAL_AUD,
+                              nal_mod.NAL_PRIORITY_DISPOSABLE,
+                              bw.getvalue())
+
+
 def finalize_slice(enc, words, total_bits, cap_words, sh, nal_type,
                    ref_idc):
     """Host tail of a frame: sync payload, merge after the slice header.
