@@ -411,7 +411,8 @@ def dispatch_pframe(enc, planes, ftype, qp):
     # SAD/SATD-domain lambda (reference x264_lambda_tab scale)
     lam = max(1, int(round(2.0 ** ((qp - 12) / 6.0))))
 
-    cap_words = (mbw * mbh * CAP_BYTES_PER_MB) // 4
+    cap_bpm = CAP_BYTES_PER_MB if qp >= 8 else 3 * CAP_BYTES_PER_MB
+    cap_words = (mbw * mbh * cap_bpm) // 4
     me_range = min(enc.p.analyse.me_range, mc.PAD - 20)
     from .intra import _SCHED_CACHE
     from . import wavefront

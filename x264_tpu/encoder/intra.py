@@ -322,7 +322,8 @@ def dispatch_iframe(enc, planes, ftype, qp):
         qpc_mb = jnp.asarray(
             chroma_qp(np.full((mbh, mbw), qp),
                       enc.p.analyse.chroma_qp_offset), dtype=jnp.int32)
-    cap_words = (mbw * mbh * CAP_BYTES_PER_MB) // 4
+    cap_bpm = CAP_BYTES_PER_MB if qp >= 8 else 3 * CAP_BYTES_PER_MB
+    cap_words = (mbw * mbh * cap_bpm) // 4
     words, total_bits, recon, satd_cost = encode_iframe_device(
         y, u, v, qp_mb, qpc_mb, qp, sx, sy, sv, diag_of, lane_of,
         mbw=mbw, mbh=mbh, cap_words=cap_words,
