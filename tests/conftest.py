@@ -1,15 +1,17 @@
-"""Test config: run JAX on a virtual 8-device CPU mesh so sharding paths are
-exercised without TPU hardware. Set X264_TPU_TEST_TPU=1 to test on a real
-chip instead."""
+"""Test config.
+
+Provisions 8 virtual CPU devices (used by tests/test_mesh.py via
+jax.devices('cpu')). NOTE: JAX_PLATFORMS=cpu does NOT take effect in the
+axon image (the plugin overrides it), so single-device tests run on
+whatever the default backend is; only the mesh tests explicitly target the
+virtual CPU devices."""
 
 import os
 
-if not os.environ.get("X264_TPU_TEST_TPU"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8").strip()
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
 
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
