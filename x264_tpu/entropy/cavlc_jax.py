@@ -25,6 +25,18 @@ from .cavlc import LUMA4x4_RASTER
 BLOCK_SLOTS = 36
 
 
+def lut(table, idx):
+    """Small-table lookup as a dense one-hot sum.
+
+    TPU gathers cost ~10ns/element; for tables up to a few hundred entries a
+    dense compare+select+sum over the table axis is ~10-50x faster. table is
+    a numpy array (any rank, indexed flat); idx is a flat index array."""
+    t = np.asarray(table).reshape(-1)
+    tj = jnp.asarray(t)
+    ar = jnp.arange(t.shape[0], dtype=jnp.int32)
+    return jnp.sum(jnp.where(idx[..., None] == ar, tj, 0), axis=-1)
+
+
 def _ue_len(v):
     """Bit length of ue(v) for v < 2^16 (vectorized, int32)."""
     vp1 = v.astype(jnp.int32) + 1
@@ -46,18 +58,23 @@ def se_dev(v):
 
 
 def _reverse_nonzeros_dev(coeffs):
-    """[B, L] zig-zag coeffs -> (levels_rev, pos_rev, total)."""
+    """[B, L] zig-zag coeffs -> (levels_rev, pos_rev, total).
+
+    Rank-based compaction (no sort): a nonzero at position i lands at
+    reversed index r = #nonzeros at positions > i; gathered by a one-hot
+    contraction over the (tiny) L axis — far cheaper on TPU than argsort."""
     B, L = coeffs.shape
     nz = coeffs != 0
-    total = jnp.sum(nz, axis=1).astype(jnp.int32)
+    nzi = nz.astype(jnp.int32)
+    total = jnp.sum(nzi, axis=1)
+    # rank from the end for each nonzero position
+    rank = total[:, None] - jnp.cumsum(nzi, axis=1)          # [B, L]
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
-    key = jnp.where(nz, -pos, L + 1)
-    order = jnp.argsort(key, axis=1, stable=True)
-    levels_rev = jnp.take_along_axis(coeffs, order, axis=1)
-    pos_rev = jnp.take_along_axis(jnp.broadcast_to(pos, coeffs.shape), order,
-                                  axis=1)
-    k = jnp.arange(L, dtype=jnp.int32)[None, :]
-    valid = k < total[:, None]
+    k = jnp.arange(L, dtype=jnp.int32)[:, None, None]        # [L,1,1]
+    onehot = nz[None, :, :] & (rank[None, :, :] == k)        # [L, B, L]
+    levels_rev = jnp.sum(jnp.where(onehot, coeffs[None], 0), axis=2).T
+    pos_rev = jnp.sum(jnp.where(onehot, pos[None], 0), axis=2).T
+    valid = jnp.arange(L, dtype=jnp.int32)[None, :] < total[:, None]
     return (jnp.where(valid, levels_rev, 0),
             jnp.where(valid, pos_rev, -1), total)
 
@@ -86,13 +103,15 @@ def residual_blocks_dev(coeffs, nc, chroma_dc: bool = False):
         ncv = jnp.asarray(nc, jnp.int32)
         cls = jnp.where(ncv < 2, 0,
                         jnp.where(ncv < 4, 1, jnp.where(ncv < 8, 2, 3)))
-    ct_code = jnp.asarray(V.COEFF_TOKEN_CODE.astype(np.uint32))
-    ct_len = jnp.asarray(V.COEFF_TOKEN_LEN)
-    c0_code = jnp.asarray(V.COEFF0_TOKEN_CODE.astype(np.uint32))
-    c0_len = jnp.asarray(V.COEFF0_TOKEN_LEN)
+    ct_shape = V.COEFF_TOKEN_CODE.shape
     ti = jnp.maximum(total - 1, 0)
-    code_cols[0] = jnp.where(total == 0, c0_code[cls], ct_code[cls, ti, t1])
-    len_cols[0] = jnp.where(total == 0, c0_len[cls], ct_len[cls, ti, t1])
+    ct_idx = (cls * ct_shape[1] + ti) * ct_shape[2] + t1
+    c0 = lut(V.COEFF0_TOKEN_CODE.astype(np.uint32), cls)
+    c0l = lut(V.COEFF0_TOKEN_LEN, cls)
+    code_cols[0] = jnp.where(total == 0, c0,
+                             lut(V.COEFF_TOKEN_CODE.astype(np.uint32),
+                                 ct_idx))
+    len_cols[0] = jnp.where(total == 0, c0l, lut(V.COEFF_TOKEN_LEN, ct_idx))
 
     for k in range(3):
         active = k < t1
@@ -141,25 +160,23 @@ def residual_blocks_dev(coeffs, nc, chroma_dc: bool = False):
     tz = jnp.where(total > 0, pos_rev[:, 0] + 1 - total, 0)
     write_tz = (total > 0) & (total < L)
     if chroma_dc and L == 4:
-        tzc = jnp.asarray(V.TOTAL_ZEROS_2x2_CODE.astype(np.uint32))
-        tzl = jnp.asarray(V.TOTAL_ZEROS_2x2_LEN)
+        tzc, tzl = V.TOTAL_ZEROS_2x2_CODE, V.TOTAL_ZEROS_2x2_LEN
         trow = jnp.minimum(ti, 2)
         tcol = jnp.clip(tz, 0, 3)
     elif chroma_dc:
-        tzc = jnp.asarray(V.TOTAL_ZEROS_2x4_CODE.astype(np.uint32))
-        tzl = jnp.asarray(V.TOTAL_ZEROS_2x4_LEN)
+        tzc, tzl = V.TOTAL_ZEROS_2x4_CODE, V.TOTAL_ZEROS_2x4_LEN
         trow = jnp.minimum(ti, 6)
         tcol = jnp.clip(tz, 0, 7)
     else:
-        tzc = jnp.asarray(V.TOTAL_ZEROS_CODE.astype(np.uint32))
-        tzl = jnp.asarray(V.TOTAL_ZEROS_LEN)
+        tzc, tzl = V.TOTAL_ZEROS_CODE, V.TOTAL_ZEROS_LEN
         trow = jnp.minimum(ti, 14)
         tcol = jnp.clip(tz, 0, 15)
-    code_cols[20] = jnp.where(write_tz, tzc[trow, tcol], zero_u)
-    len_cols[20] = jnp.where(write_tz, tzl[trow, tcol], zero_i)
+    tz_idx = trow * tzc.shape[1] + tcol
+    code_cols[20] = jnp.where(write_tz, lut(tzc.astype(np.uint32), tz_idx),
+                              zero_u)
+    len_cols[20] = jnp.where(write_tz, lut(tzl, tz_idx), zero_i)
 
-    rbc = jnp.asarray(V.RUN_BEFORE_CODE.astype(np.uint32))
-    rbl = jnp.asarray(V.RUN_BEFORE_LEN)
+    rb_w = V.RUN_BEFORE_CODE.shape[1]
     zleft = jnp.where(write_tz, tz, 0)
     for k in range(maxk - 1):
         run = pos_rev[:, k] - pos_rev[:, k + 1] - 1
@@ -167,8 +184,11 @@ def residual_blocks_dev(coeffs, nc, chroma_dc: bool = False):
         run = jnp.where(active, run, 0)
         ridx = jnp.clip(zleft - 1, 0, 6)
         rcol = jnp.clip(run, 0, 15)
-        code_cols[21 + k] = jnp.where(active, rbc[ridx, rcol], zero_u)
-        len_cols[21 + k] = jnp.where(active, rbl[ridx, rcol], zero_i)
+        rb_idx = ridx * rb_w + rcol
+        code_cols[21 + k] = jnp.where(
+            active, lut(V.RUN_BEFORE_CODE.astype(np.uint32), rb_idx), zero_u)
+        len_cols[21 + k] = jnp.where(active, lut(V.RUN_BEFORE_LEN, rb_idx),
+                                     zero_i)
         zleft = jnp.where(active, zleft - run, zleft)
 
     for k in range(BLOCK_SLOTS):
@@ -180,32 +200,83 @@ def residual_blocks_dev(coeffs, nc, chroma_dc: bool = False):
     return codes, lens, total
 
 
-def pack_bits_dev(codes, lens, cap_words: int):
-    """Pack (code,len≤32) elements MSB-first into uint32 big-endian words.
+def pack_mb_stream(codes, lens, mb_cap_words: int, cap_words: int,
+                   slot_chunk: int = 64):
+    """Pack grouped (code,len≤32) elements MSB-first into uint32 big-endian
+    words. codes/lens are [M, S]: M groups (MBs), S slots each, stream order
+    = row-major.
 
-    Two scatter-adds: each element spans at most 2 consecutive words.
-    Returns (words [cap_words] uint32, total_bits scalar int32)."""
-    codes = codes.reshape(-1).astype(jnp.uint32)
-    lens = lens.reshape(-1).astype(jnp.int32)
+    TPU-native two-phase design (scatters/gathers are ~10ns/elem on TPU, so
+    both a flat 7.7M-element scatter and a gather-based tree are slow):
+      A. slots -> per-MB buffers [M, mb_cap_words+1] by dense one-hot word
+         placement, reduced over slots in static chunks (pure VPU math,
+         fusion-friendly, no gather/scatter).
+      B. MB buffers -> frame stream: bit-align each buffer (elementwise
+         funnel shift) and scatter-add rows at their word offsets — only
+         M*(mb_cap_words+2) updates instead of M*S*2.
+
+    A group whose bits exceed mb_cap_words*32 cannot be represented; the
+    returned total_bits is then forced past cap_words*32 so the host takes
+    the same overflow/re-encode path as a frame-level overflow.
+    Returns (words [cap_words] uint32, total_bits int32)."""
+    M, S = codes.shape
+    codes = codes.astype(jnp.uint32)
+    lens = jnp.clip(lens.astype(jnp.int32), 0, 32)
     codes = jnp.where(lens > 0, codes, 0)
-    ends = jnp.cumsum(lens)
-    total_bits = ends[-1]
+    Wm = mb_cap_words + 1
+
+    ends = jnp.cumsum(lens, axis=1)
+    mb_bits = ends[:, -1]                               # [M]
     starts = ends - lens
-    word_idx = starts >> 5
+    w0 = starts >> 5
     bit_in = starts & 31
-    end = bit_in + lens                      # 0..63
-    # word0: top bits of code, left-aligned at bit_in
+    end = bit_in + lens                                 # 0..63
+    # contribution to word w0 (high part) and w0+1 (low spill)
     t0 = codes >> jnp.maximum(end - 32, 0).astype(jnp.uint32)
-    v0 = (t0 << (32 - jnp.minimum(end, 32)).astype(jnp.uint32))
-    # word1: low (end-32) bits, left-aligned at bit 0
+    v0 = t0 << (32 - jnp.minimum(end, 32)).astype(jnp.uint32)
     low_n = jnp.maximum(end - 32, 0)
     low = codes & ((jnp.uint32(1) << low_n.astype(jnp.uint32)) - 1)
-    v1 = jnp.where(low_n > 0,
-                   low << (64 - end).astype(jnp.uint32), jnp.uint32(0))
+    v1 = jnp.where(low_n > 0, low << (64 - end).astype(jnp.uint32),
+                   jnp.uint32(0))
+
+    # phase A: dense one-hot placement, chunked over slots
+    wi = jnp.arange(Wm, dtype=jnp.int32)[None, None, :]
+    acc = jnp.zeros((M, Wm), jnp.uint32)
+    for s0 in range(0, S, slot_chunk):
+        s1 = min(s0 + slot_chunk, S)
+        w0c = w0[:, s0:s1, None]
+        # disjoint bit ranges within a word -> sum == or
+        a0 = jnp.sum(jnp.where(wi == w0c, v0[:, s0:s1, None], 0), axis=1)
+        a1 = jnp.sum(jnp.where(wi == w0c + 1, v1[:, s0:s1, None], 0), axis=1)
+        acc = acc + a0 + a1
+    mb_over = jnp.any(mb_bits > mb_cap_words * 32)
+
+    # phase B: bit-align MB buffers and scatter at word offsets
+    mb_end = jnp.cumsum(mb_bits)
+    total_bits = mb_end[-1]
+    mb_start = mb_end - mb_bits
+    r = (mb_start & 31).astype(jnp.uint32)[:, None]
+    prev = jnp.concatenate([jnp.zeros((M, 1), jnp.uint32), acc[:, :-1]],
+                           axis=1)
+    shifted = jnp.where(r > 0, (acc >> r) | (prev << ((32 - r) & 31)),
+                        acc)
+    # one spill word past the buffer
+    spill = jnp.where(r > 0, acc[:, -1:] << ((32 - r) & 31),
+                      jnp.zeros((M, 1), jnp.uint32))
+    shifted = jnp.concatenate([shifted, spill], axis=1)   # [M, Wm+1]
+    word_idx = (mb_start >> 5)[:, None] + jnp.arange(Wm + 1,
+                                                     dtype=jnp.int32)[None]
     words = jnp.zeros((cap_words,), jnp.uint32)
-    words = words.at[word_idx].add(v0, mode="drop")
-    words = words.at[word_idx + 1].add(v1, mode="drop")
+    words = words.at[word_idx.reshape(-1)].add(shifted.reshape(-1),
+                                               mode="drop")
+    total_bits = jnp.where(mb_over, cap_words * 32, total_bits)
     return words, total_bits
+
+
+def pack_bits_dev(codes, lens, cap_words: int):
+    """Flat-stream compatibility wrapper over pack_mb_stream (one group)."""
+    return pack_mb_stream(codes.reshape(1, -1), lens.reshape(1, -1),
+                          cap_words - 1, cap_words)
 
 
 def _nc_grid_dev(nnz_tiles, mbh: int, mbw: int, bs: int):
@@ -299,7 +370,7 @@ def encode_i16x16_frame_dev(i16_mode, chroma_mode, qp_flat, slice_qp,
         ac_lens.reshape(n, -1),
         cdc_lens.reshape(n, -1),
         cac_lens.reshape(n, -1)], axis=1)
-    return pack_bits_dev(codes, lens, cap_words)
+    return pack_mb_stream(codes, lens, cap_words // n, cap_words)
 
 
 @partial(jax.jit, static_argnames=("mbw", "mbh", "cap_words"))
@@ -361,8 +432,8 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
     c, l = se_dev(mvd[:, 1])                    # noqa: E741
     h_codes = h_codes.at[:, 3].set(c)
     h_lens = h_lens.at[:, 3].set(l)
-    cbp_map = jnp.asarray(V.CBP_TO_GOLOMB_INTER)
-    c, l = ue_dev(cbp_map[cbp_chroma * 16 + cbp_luma])  # noqa: E741
+    c, l = ue_dev(lut(V.CBP_TO_GOLOMB_INTER,              # noqa: E741
+                      cbp_chroma * 16 + cbp_luma))
     h_codes = h_codes.at[:, 4].set(c)
     h_lens = h_lens.at[:, 4].set(l)
     has_resid = ((cbp_luma > 0) | (cbp_chroma > 0)) & coded
@@ -399,12 +470,16 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
     lens = jnp.concatenate([
         h_lens, l_lens.reshape(n, -1),
         cdc_lens.reshape(n, -1), cac_lens.reshape(n, -1)], axis=1)
-    # trailing skip run element
+    # trailing skip run element: one extra group row in the stream
     tc, tl = ue_dev(jnp.maximum(trailing, 0))
     tl = jnp.where(trailing > 0, tl, 0)
-    codes = jnp.concatenate([codes.reshape(-1), tc[None]])
-    lens = jnp.concatenate([lens.reshape(-1), tl[None]])
-    words, total_bits = pack_bits_dev(codes, lens, cap_words)
+    S = codes.shape[1]
+    trow_c = jnp.zeros((1, S), jnp.uint32).at[0, 0].set(tc)
+    trow_l = jnp.zeros((1, S), jnp.int32).at[0, 0].set(tl)
+    codes = jnp.concatenate([codes, trow_c], axis=0)
+    lens = jnp.concatenate([lens, trow_l], axis=0)
+    words, total_bits = pack_mb_stream(codes, lens, cap_words // n,
+                                       cap_words)
     return words, total_bits, eff_qp
 
 
