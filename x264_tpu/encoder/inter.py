@@ -92,12 +92,14 @@ def motion_search(padded_ref, hpel, y_src, lam, me_range: int):
     H, W = y_src.shape
     mbh, mbw = H // 16, W // 16
     n = mbh * mbw
-    src = y_src.astype(jnp.int32)
+    src16 = y_src.astype(jnp.int16)
     tiles = _mb_tiles(y_src, 16).reshape(n, 16, 16)
     R = me_range
 
     # ---- stage 1: exhaustive full-pel search (ESA, reference me.c:618):
-    # every offset in [-R, R]^2 evaluated as a shifted-plane SAD map;
+    # every offset in [-R, R]^2 evaluated as a shifted-plane SAD map in
+    # int16 (absdiff <= 255, 16-col partial sums <= 4080 — both fit), so
+    # the fused shift+absdiff+reduce stays at 2 bytes/px of HBM traffic;
     # offsets processed in groups of 8 per scan step to amortize overhead
     offs = [(dx, dy) for dy in range(-R, R + 1) for dx in range(-R, R + 1)]
     while len(offs) % 8:
@@ -113,8 +115,10 @@ def motion_search(padded_ref, hpel, y_src, lam, me_range: int):
                 dx, dy = off8[k, 0], off8[k, 1]
                 shifted = jax.lax.dynamic_slice(
                     padded_ref, (mc.PAD + dy, mc.PAD + dx), (H, W)) \
-                    .astype(jnp.int32)
-                sad = _tile_sad_map(jnp.abs(shifted - src), mbh, mbw)
+                    .astype(jnp.int16)
+                ad = jnp.abs(shifted - src16).reshape(mbh, 16, mbw, 16)
+                sad = ad.sum(axis=3, dtype=jnp.int16) \
+                    .sum(axis=1, dtype=jnp.int32)
                 cost = sad + lam * (_mv_cost_bits(dx * 4)
                                     + _mv_cost_bits(dy * 4))
                 better = cost < best_cost
@@ -265,7 +269,6 @@ def mv_predictors(mv_field):
                                    "decimate"))
 def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_u_pad, ref_v_pad,
                          qp_mb, qpc_mb, slice_qp, lam,
-                         sched_x, sched_y, sched_valid,
                          *, mbw, mbh, cap_words, me_range, deblock=False,
                          a_off=0, b_off=0, cqpo=0, decimate=True):
     """Fused P-frame device pass: ME -> MVP/skip -> MC -> transform ->
@@ -381,8 +384,7 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_u_pad, ref_v_pad,
             mbw=mbw, mbh=mbh)
         recon_y, recon_u, recon_v = deblock_frame(
             recon_y, recon_u, recon_v, bs_v, bs_h,
-            eff_qp.reshape(mbh, mbw),
-            sched_x, sched_y, sched_valid, mbw=mbw, mbh=mbh,
+            eff_qp.reshape(mbh, mbw), mbw=mbw, mbh=mbh,
             a_off=a_off, b_off=b_off, chroma_qp_offset=cqpo)
     stats = {"skip": jnp.sum(skip), "satd": satd_cost}
     return words, total_bits, (recon_y, recon_u, recon_v), stats
@@ -414,18 +416,9 @@ def dispatch_pframe(enc, planes, ftype, qp):
     cap_bpm = CAP_BYTES_PER_MB if qp >= 8 else 3 * CAP_BYTES_PER_MB
     cap_words = (mbw * mbh * cap_bpm) // 4
     me_range = min(enc.p.analyse.me_range, mc.PAD - 20)
-    from .intra import _SCHED_CACHE
-    from . import wavefront
-    key = (mbw, mbh)
-    if key not in _SCHED_CACHE:
-        sx_, sy_, sv_, dg_, ln_ = wavefront.schedule(mbw, mbh)
-        _SCHED_CACHE[key] = (jnp.asarray(sx_), jnp.asarray(sy_),
-                             jnp.asarray(sv_), jnp.asarray(dg_),
-                             jnp.asarray(ln_))
-    sx, sy, sv, _, _ = _SCHED_CACHE[key]
     words, total_bits, recon, stats = encode_pframe_device(
         y, u, v, ref["y_pad"], ref["hpel"], ref["u_pad"], ref["v_pad"],
-        qp_mb, qpc_mb, qp, lam, sx, sy, sv,
+        qp_mb, qpc_mb, qp, lam,
         mbw=mbw, mbh=mbh, cap_words=cap_words, me_range=me_range,
         decimate=enc.p.analyse.dct_decimate,
         deblock=enc.p.deblocking_filter,

@@ -166,20 +166,198 @@ def compute_strengths(intra_mb, nnz4, mv_mb, *, mbw, mbh):
     return bs_v, bs_h
 
 
+def _lut(table, idx):
+    """Small-table lookup as dense one-hot sum (TPU gathers are ~10ns/elem;
+    a 52-entry compare+select+sum is far cheaper — same idiom as
+    entropy/cavlc_jax.lut)."""
+    t = np.asarray(table).reshape(-1)
+    tj = jnp.asarray(t)
+    ar = jnp.arange(t.shape[0], dtype=idx.dtype)
+    return jnp.sum(jnp.where(idx[..., None] == ar, tj, 0), axis=-1)
+
+
 def _edge_params(qp_avg, a_off, b_off, bs):
     """alpha/beta/tc0 for an edge given averaged qp (arrays)."""
-    ia = jnp.clip(qp_avg + a_off, 0, 51)
-    ib = jnp.clip(qp_avg + b_off, 0, 51)
-    alpha = jnp.asarray(ALPHA_TABLE)[ia]
-    beta = jnp.asarray(BETA_TABLE)[ib]
-    tc0 = jnp.asarray(TC0_TABLE)[ia, jnp.clip(bs, 1, 3) - 1]
+    ia = jnp.clip(qp_avg + a_off, 0, 51).astype(jnp.int32)
+    ib = jnp.clip(qp_avg + b_off, 0, 51).astype(jnp.int32)
+    alpha = _lut(ALPHA_TABLE, ia)
+    beta = _lut(BETA_TABLE, ib)
+    tc0 = _lut(TC0_TABLE, ia * 3 + jnp.clip(bs, 1, 3) - 1)
     return alpha, beta, tc0
 
 
+@partial(jax.jit, static_argnames=("mbw", "mbh", "a_off", "b_off",
+                                   "chroma_qp_offset"))
+def deblock_frame(y, u, v, bs_v, bs_h, qp_mb, *, mbw, mbh, a_off=0, b_off=0,
+                  chroma_qp_offset=0):
+    """Wavefront deblock of a full frame in SKEWED layout (ops/skew.py):
+    each diagonal step is static dynamic-slice work — no gathers/scatters.
+
+    In-step order is V edges then H edges across the whole diagonal, which
+    reproduces the spec's raster MB order exactly: V(x,y) needs left MB
+    final (step d-1 + same-step-earlier H write-back), H(x,y) needs V(x,y)
+    and the top MB (V of (x+1,y-1) runs in this step's V phase, before H).
+    Returns filtered (y, u, v)."""
+    from . import skew
+    H, W = y.shape
+    Hc = H // 2
+    D = skew.n_diags(mbw, mbh)
+    cqp_tab = jnp.asarray(T.CHROMA_QP_TABLE)
+
+    # --- boundary masking baked into the strength arrays ---
+    bs_v = bs_v.at[:, 0, 0, :].set(0)       # picture left edge
+    bs_h = bs_h.at[0, :, 0, :].set(0)       # picture top edge
+    bsv_sk = skew.skew_mb(bs_v)             # [mbh, D+1, 4, 4]
+    bsh_sk = skew.skew_mb(bs_h)
+    qp_sk = skew.skew_mb(qp_mb)             # [mbh, D+1]
+    cqp_mb = cqp_tab[jnp.clip(qp_mb + chroma_qp_offset, 0, 51)]
+    cqp_sk = skew.skew_mb(cqp_mb)
+
+    ys = skew.skew_plane(y.astype(jnp.int16), 16)           # [H, (D+1)*16]
+    us = skew.skew_plane(u.astype(jnp.int16), 8)
+    vs = skew.skew_plane(v.astype(jnp.int16), 8)
+    cs = jnp.stack([us, vs])                                 # [2, Hc, ...]
+
+    def step(carry, d):
+        ys, cs = carry
+        win = jax.lax.dynamic_slice(ys, (0, d * 16), (H, 32)) \
+            .reshape(mbh, 16, 32)
+        cwin = jax.lax.dynamic_slice(cs, (0, 0, d * 8), (2, Hc, 16)) \
+            .reshape(2, mbh, 8, 16)
+        qwin = jax.lax.dynamic_slice(qp_sk, (0, d), (mbh, 2))
+        q_left, q_cur = qwin[:, 0], qwin[:, 1]
+        q_top = jnp.concatenate([q_left[:1], q_left[:-1]])
+        cqwin = jax.lax.dynamic_slice(cqp_sk, (0, d), (mbh, 2))
+        cq_left, cq_cur = cqwin[:, 0], cqwin[:, 1]
+        cq_top = jnp.concatenate([cq_left[:1], cq_left[:-1]])
+        bsv = jax.lax.dynamic_slice(bsv_sk, (0, d + 1, 0, 0),
+                                    (mbh, 1, 4, 4))[:, 0]    # [mbh,4,4]
+        bsh = jax.lax.dynamic_slice(bsh_sk, (0, d + 1, 0, 0),
+                                    (mbh, 1, 4, 4))[:, 0]
+
+        # ---------------- luma V edges (left -> right) ----------------
+        for e in range(4):
+            qp_p = q_left if e == 0 else q_cur
+            qp_av = (qp_p + q_cur + 1) >> 1
+            bs_line = jnp.repeat(bsv[:, e], 4, axis=1)       # [mbh, 16]
+            alpha, beta, tc0 = _edge_params(qp_av[:, None], a_off, b_off,
+                                            bs_line)
+            c = 16 + 4 * e
+            p, q = filter_lines_luma(win[:, :, c - 4:c], win[:, :, c:c + 4],
+                                     bs_line, alpha, beta, tc0)
+            p = p.astype(win.dtype)
+            q = q.astype(win.dtype)
+            win = jnp.concatenate(
+                [win[:, :, :c - 4], p, q, win[:, :, c + 4:]], axis=2)
+
+        # ---------------- luma H edges (top -> bottom) ----------------
+        # edge 0: q = current MB rows 0-3; p = TOP MB (strip d-1, lane y-1)
+        # rows 12-15 — the previous lane's LEFT half.
+        prev = jnp.concatenate([jnp.zeros_like(win[:1]), win[:-1]], axis=0)
+        p_blk = prev[:, 12:16, 0:16].swapaxes(1, 2)          # [mbh,16,4]
+        q_blk = win[:, 0:4, 16:32].swapaxes(1, 2)
+        qp_av = (q_top + q_cur + 1) >> 1
+        bs_line = jnp.repeat(bsh[:, 0], 4, axis=1)
+        alpha, beta, tc0 = _edge_params(qp_av[:, None], a_off, b_off,
+                                        bs_line)
+        pf, qf = filter_lines_luma(p_blk, q_blk, bs_line, alpha, beta, tc0)
+        pf = pf.astype(win.dtype)
+        qf = qf.astype(win.dtype)
+        pf = pf.swapaxes(1, 2)                               # [mbh,4,16]
+        qf = qf.swapaxes(1, 2)
+        # write pf back into NEXT-lane-minus-one's region: lane y's pf
+        # belongs at lane y-1 rows 12:16 cols 0:16
+        pf_sh = jnp.concatenate([pf[1:], win[mbh - 1:, 12:16, 0:16]], axis=0)
+        left_half = jnp.concatenate([win[:, :12, 0:16], pf_sh], axis=1)
+        right_half = jnp.concatenate([qf, win[:, 4:, 16:32]], axis=1)
+        win = jnp.concatenate([left_half, right_half], axis=2)
+        for e in range(1, 4):
+            r = 4 * e
+            qp_av = q_cur
+            bs_line = jnp.repeat(bsh[:, e], 4, axis=1)
+            alpha, beta, tc0 = _edge_params(qp_av[:, None], a_off, b_off,
+                                            bs_line)
+            p_blk = win[:, r - 4:r, 16:32].swapaxes(1, 2)
+            q_blk = win[:, r:r + 4, 16:32].swapaxes(1, 2)
+            pf, qf = filter_lines_luma(p_blk, q_blk, bs_line, alpha, beta,
+                                       tc0)
+            pf = pf.astype(win.dtype)
+            qf = qf.astype(win.dtype)
+            right = jnp.concatenate(
+                [win[:, :r - 4, 16:32], pf.swapaxes(1, 2),
+                 qf.swapaxes(1, 2), win[:, r + 4:, 16:32]], axis=1)
+            win = jnp.concatenate([win[:, :, 0:16], right], axis=2)
+
+        # ---------------- chroma (u and v batched) ----------------
+        # V edges: chroma cols 0 (MB edge, luma e0) and 4 (luma e2)
+        for ei, e in enumerate((0, 2)):
+            cq_p = cq_left if e == 0 else cq_cur
+            cqp = (cq_p + cq_cur + 1) >> 1                   # [mbh]
+            bs_line = jnp.repeat(bsv[:, e], 2, axis=1)       # [mbh, 8]
+            alpha, beta, tc0 = _edge_params(cqp[:, None], a_off, b_off,
+                                            bs_line)
+            c = 8 + 4 * ei
+            pf, qf = filter_lines_chroma(
+                cwin[:, :, :, c - 2:c], cwin[:, :, :, c:c + 2],
+                bs_line[None], alpha[None], beta[None], tc0[None])
+            pf = pf.astype(cwin.dtype)
+            qf = qf.astype(cwin.dtype)
+            cwin = jnp.concatenate(
+                [cwin[:, :, :, :c - 2], pf, qf, cwin[:, :, :, c + 2:]],
+                axis=3)
+        # H edge 0: p = prev lane rows 6-7 LEFT half
+        cprev = jnp.concatenate([jnp.zeros_like(cwin[:, :1]), cwin[:, :-1]],
+                                axis=1)
+        p_blk = cprev[:, :, 6:8, 0:8].swapaxes(2, 3)         # [2,mbh,8,2]
+        q_blk = cwin[:, :, 0:2, 8:16].swapaxes(2, 3)
+        cqp = (cq_top + cq_cur + 1) >> 1
+        bs_line = jnp.repeat(bsh[:, 0], 2, axis=1)
+        alpha, beta, tc0 = _edge_params(cqp[:, None], a_off, b_off, bs_line)
+        pf, qf = filter_lines_chroma(p_blk, q_blk, bs_line[None],
+                                     alpha[None], beta[None], tc0[None])
+        pf = pf.astype(cwin.dtype)
+        qf = qf.astype(cwin.dtype)
+        pf = pf.swapaxes(2, 3)
+        qf = qf.swapaxes(2, 3)
+        pf_sh = jnp.concatenate([pf[:, 1:], cwin[:, mbh - 1:, 6:8, 0:8]],
+                                axis=1)
+        lh = jnp.concatenate([cwin[:, :, :6, 0:8], pf_sh], axis=2)
+        rh = jnp.concatenate([qf, cwin[:, :, 2:, 8:16]], axis=2)
+        cwin = jnp.concatenate([lh, rh], axis=3)
+        # H internal edge (chroma row 4, luma e2)
+        bs_line = jnp.repeat(bsh[:, 2], 2, axis=1)
+        alpha, beta, tc0 = _edge_params(cq_cur[:, None], a_off, b_off,
+                                        bs_line)
+        p_blk = cwin[:, :, 2:4, 8:16].swapaxes(2, 3)
+        q_blk = cwin[:, :, 4:6, 8:16].swapaxes(2, 3)
+        pf, qf = filter_lines_chroma(p_blk, q_blk, bs_line[None],
+                                     alpha[None], beta[None], tc0[None])
+        pf = pf.astype(cwin.dtype)
+        qf = qf.astype(cwin.dtype)
+        rh = jnp.concatenate([cwin[:, :, :2, 8:16], pf.swapaxes(2, 3),
+                              qf.swapaxes(2, 3), cwin[:, :, 6:, 8:16]],
+                             axis=2)
+        cwin = jnp.concatenate([cwin[:, :, :, 0:8], rh], axis=3)
+
+        ys = jax.lax.dynamic_update_slice(ys, win.reshape(H, 32),
+                                          (0, d * 16))
+        cs = jax.lax.dynamic_update_slice(cs, cwin.reshape(2, Hc, 16),
+                                          (0, 0, d * 8))
+        return (ys, cs), None
+
+    (ys, cs), _ = jax.lax.scan(step, (ys, cs),
+                               jnp.arange(D, dtype=jnp.int32))
+    yo = skew.unskew_plane(ys, 16, mbw).astype(jnp.uint8)
+    uo = skew.unskew_plane(cs[0], 8, mbw).astype(jnp.uint8)
+    vo = skew.unskew_plane(cs[1], 8, mbw).astype(jnp.uint8)
+    return yo, uo, vo
+
+
 @partial(jax.jit, static_argnames=("mbw", "mbh", "a_off", "b_off"))
-def deblock_frame(y, u, v, bs_v, bs_h, qp_mb, sched_x, sched_y, sched_valid,
-                  *, mbw, mbh, a_off=0, b_off=0, chroma_qp_offset=0):
-    """Wavefront deblock of a full frame. Returns filtered (y, u, v)."""
+def deblock_frame_gather(y, u, v, bs_v, bs_h, qp_mb, sched_x, sched_y,
+                         sched_valid, *, mbw, mbh, a_off=0, b_off=0,
+                         chroma_qp_offset=0):
+    """Gather/scatter wavefront deblock (reference twin for tests)."""
     H, W = y.shape
     yf = y.astype(jnp.int32)
     uf = u.astype(jnp.int32)

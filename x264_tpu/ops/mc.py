@@ -31,32 +31,54 @@ def pad_plane(plane, pad: int = PAD):
     return jnp.pad(plane, ((pad, pad), (pad, pad)), mode="edge")
 
 
-def _tap6(a, axis):
-    """(1,-5,20,20,-5,1) filter along axis; output length = len - 5.
-    Unrounded intermediate (int32)."""
-    sl = [jnp.moveaxis(a, axis, 0)[i:a.shape[axis] - 5 + i]
-          for i in range(6)]
-    r = (sl[0] - 5 * sl[1] + 20 * sl[2] + 20 * sl[3] - 5 * sl[4] + sl[5])
-    return jnp.moveaxis(r, 0, axis)
+def _tap6_rows(a, dtype=None):
+    """(1,-5,20,20,-5,1) along axis 0; output rows = rows - 5. Row slices
+    only (no transposes — TPU-cheap)."""
+    n = a.shape[0] - 5
+    sl = [a[i:n + i] for i in range(6)]
+    if dtype is not None:
+        sl = [s.astype(dtype) for s in sl]
+    return sl[0] - 5 * sl[1] + 20 * sl[2] + 20 * sl[3] - 5 * sl[4] + sl[5]
+
+
+def _tap6_cols(a, dtype=None):
+    n = a.shape[1] - 5
+    sl = [a[:, i:n + i] for i in range(6)]
+    if dtype is not None:
+        sl = [s.astype(dtype) for s in sl]
+    return sl[0] - 5 * sl[1] + 20 * sl[2] + 20 * sl[3] - 5 * sl[4] + sl[5]
+
+
+def _edge_pad(a, axis, lo, hi):
+    """Edge-replicate pad via concatenated broadcast slices."""
+    if axis == 0:
+        top = jnp.broadcast_to(a[:1], (lo,) + a.shape[1:])
+        bot = jnp.broadcast_to(a[-1:], (hi,) + a.shape[1:])
+        return jnp.concatenate([top, a, bot], axis=0)
+    left = jnp.broadcast_to(a[:, :1], (a.shape[0], lo))
+    right = jnp.broadcast_to(a[:, -1:], (a.shape[0], hi))
+    return jnp.concatenate([left, a, right], axis=1)
 
 
 @jax.jit
 def hpel_planes(padded):
     """From a padded full-pel plane make (full, H, V, C) uint8 planes of the
     same shape (reference hpel_filter, mc.c). H[x] sits between x,x+1;
-    V[y] between y,y+1; C between both."""
-    f = padded.astype(jnp.int32)
-    Hh, Ww = f.shape
-    # horizontal 6-tap at every x (use replicated edges by padding 5)
-    fx = jnp.pad(f, ((0, 0), (2, 3)), mode="edge")
-    b1 = _tap6(fx, 1)                         # [H, W] unrounded
+    V[y] between y,y+1; C between both.
+
+    int16 for the one-pass H/V taps (|unrounded| <= 255*52 fits), int32
+    only for the two-pass C plane — halves HBM traffic vs int32."""
+    f = padded
+    # horizontal 6-tap at every x (replicated edges)
+    fx = _edge_pad(f, 1, 2, 3)
+    b1 = _tap6_cols(fx, jnp.int16)            # [H, W] unrounded
     hplane = jnp.clip((b1 + 16) >> 5, 0, 255)
-    fy = jnp.pad(f, ((2, 3), (0, 0)), mode="edge")
-    h1 = _tap6(fy, 0)
+    fy = _edge_pad(f, 0, 2, 3)
+    h1 = _tap6_rows(fy, jnp.int16)
     vplane = jnp.clip((h1 + 16) >> 5, 0, 255)
-    # C: vertical 6-tap on unrounded b1
-    b1y = jnp.pad(b1, ((2, 3), (0, 0)), mode="edge")
-    j1 = _tap6(b1y, 0)
+    # C: vertical 6-tap on unrounded b1 (int32: range ~ +-557k)
+    b1y = _edge_pad(b1, 0, 2, 3)
+    j1 = _tap6_rows(b1y, jnp.int32)
     cplane = jnp.clip((j1 + 512) >> 10, 0, 255)
     return jnp.stack([f.astype(jnp.uint8), hplane.astype(jnp.uint8),
                       vplane.astype(jnp.uint8), cplane.astype(jnp.uint8)])

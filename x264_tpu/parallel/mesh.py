@@ -25,7 +25,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
-from ..encoder import wavefront
 from ..encoder.intra import encode_iframe_device
 
 
@@ -63,17 +62,13 @@ def make_sharded_intra_step(mesh: Mesh, width: int, band_mb_rows: int):
     slice_qp is passed per (stream, band) so it is not baked into the jit.
     """
     mbw = width // 16
-    sx, sy, sv, diag_of, lane_of = wavefront.schedule(mbw, band_mb_rows)
-    sxj, syj, svj = jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(sv)
-    dgj, lnj = jnp.asarray(diag_of), jnp.asarray(lane_of)
     cap_words = mbw * band_mb_rows * 64
 
     def band_encode(y, u, v, qp, qpc, slice_qp):
         # local shapes: [b, nb, bandH, W]
         def one(y1, u1, v1, q1, qc1, sq1):
             return encode_iframe_device(y1, u1, v1, q1, qc1, sq1,
-                                        sxj, syj, svj, dgj, lnj, mbw=mbw,
-                                        mbh=band_mb_rows,
+                                        mbw=mbw, mbh=band_mb_rows,
                                         cap_words=cap_words)
         return jax.vmap(jax.vmap(one))(y, u, v, qp, qpc, slice_qp)
 
@@ -180,15 +175,13 @@ def make_sharded_pframe_step(mesh: Mesh, width: int, band_mb_rows: int,
     same frame (threads share the reference picture)."""
     from ..encoder.inter import encode_pframe_device
     mbw = width // 16
-    sx, sy, sv, _, _ = wavefront.schedule(mbw, band_mb_rows)
-    sxj, syj, svj = jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(sv)
     cap_words = mbw * band_mb_rows * 128
 
     def band_encode(y, u, v, ry, rhp, ru, rv, qp, qpc, slice_qp, lam):
         def one(y1, u1, v1, ry1, rhp1, ru1, rv1, q1, qc1, sq1, lam1):
             return encode_pframe_device(
                 y1, u1, v1, ry1, rhp1, ru1, rv1, q1, qc1, sq1, lam1,
-                sxj, syj, svj, mbw=mbw, mbh=band_mb_rows,
+                mbw=mbw, mbh=band_mb_rows,
                 cap_words=cap_words, me_range=me_range, deblock=True)
         return jax.vmap(jax.vmap(one))(y, u, v, ry, rhp, ru, rv,
                                        qp, qpc, slice_qp, lam)
