@@ -755,6 +755,8 @@ class Decoder:
         np.clip(y, 0, 255, out=y)
         np.clip(u, 0, 255, out=u)
         np.clip(v, 0, 255, out=v)
+        self.last_mvf = mvf.copy()          # debug introspection
+        self.last_qp_map = qp_map.copy()
         if self._db[0] != 1:
             y, u, v = deblock_frame_ref(
                 y, u, v, qp_map, np.zeros((sps.mb_h, sps.mb_w), bool),

@@ -56,6 +56,22 @@ class EncoderError(Exception):
     pass
 
 
+def frame_redispatch(enc, job):
+    """Re-run a pipelined frame's device dispatch against its original
+    reference (by DPB tag; the entry was repaired in place after an
+    overflow re-encode). The frame_num/poc counters are restored around
+    the call since dispatch advances them."""
+    from . import frame_encode
+    saved = (enc.frame_num, enc.poc)
+    enc.frame_num, enc.poc = job["pre_state"]
+    try:
+        return frame_encode.dispatch_frame(enc, job["planes"],
+                                           job["ftype"], job["qp"],
+                                           ref_tag=job["ref_tag"])
+    finally:
+        enc.frame_num, enc.poc = saved
+
+
 def validate_parameters(p: P.Params) -> P.Params:
     """Clamp/reconcile params (reference validate_parameters encoder.c:423).
 
@@ -118,9 +134,12 @@ class Encoder:
         self.frames_out = 0
         self.last_keyframe = -(1 << 30)
         self.poc = 0
+        from .lookahead import Lookahead
         from .ratecontrol import RateControl
         self.rc = RateControl(self.p)
+        self._lookahead = Lookahead(self.p)
         self._dpb: list = []        # reference frames (device arrays)
+        self._max_refs = 1          # signaled refs (multi-ref lands later)
         self._pipe: list = []       # in-flight frame jobs (frame-threads)
         self._pipe_depth = 1 if self.p.threads != 1 else 0
         self._closed = False
@@ -165,15 +184,24 @@ class Encoder:
             return [], None
         planes = self._pad_to_mb(pic.planes)
 
-        # --- slicetype decision (keyint logic; lookahead lands later) ---
+        # --- slicetype decision: keyint fences + lowres scene-cut
+        # (reference x264_slicetype_decide, slicetype.c:1745) ---
         idx = self.frames_in
         self.frames_in += 1
+        keyint_min = (self.p.keyint_min if self.p.keyint_min > 0
+                      else max(1, self.p.keyint_max // 10))
+        # feed the lowres pipeline every frame so the scene-cut reference
+        # is always the previous source frame
+        cut = (self._lookahead.scene_cut(planes[0])
+               if self.p.scenecut_threshold > 0 else False)
         if pic.i_type in (TYPE_IDR, TYPE_KEYFRAME, TYPE_I):
             ftype = TYPE_IDR   # open-gop I not yet supported
         elif pic.i_type == TYPE_AUTO:
             if idx - self.last_keyframe >= self.p.keyint_max or idx == 0:
                 ftype = TYPE_IDR
             elif not self._dpb:
+                ftype = TYPE_IDR
+            elif cut and idx - self.last_keyframe >= keyint_min:
                 ftype = TYPE_IDR
             else:
                 ftype = TYPE_P
@@ -191,21 +219,34 @@ class Encoder:
         qp = self._decide_qp(ftype, pic)
 
         # --- dispatch frame to device ---
-        finalize, recon_dev = self._dispatch_frame(planes, ftype, qp, pic)
+        pre_state = (self.frame_num, self.poc)
+        finalize, retry, recon_dev, ref_tag = self._dispatch_frame(
+            planes, ftype, qp, pic)
+        tag = idx
         if recon_dev is not None:
-            self._dpb_push(recon_dev)
+            self._dpb_push(recon_dev, tag)
         if is_idr:
             self.idr_pic_id = (self.idr_pic_id + 1) % 65536
 
-        job = (finalize, pic.pts, ftype, is_idr, qp, planes)
+        job = {"finalize": finalize, "retry": retry, "pts": pic.pts,
+               "ftype": ftype, "is_idr": is_idr, "qp": qp,
+               "planes": planes, "tag": tag, "pre_state": pre_state,
+               "ref_tag": ref_tag}
         self._pipe.append(job)
         if len(self._pipe) <= self._pipe_depth:
             return [], None
         return self._finalize_job(self._pipe.pop(0))
 
     def _finalize_job(self, job) -> tuple[list, PicOut]:
-        finalize, pts, ftype, is_idr, qp, planes = job
-        nals, recon = finalize()
+        from .intra import PayloadOverflow
+        finalize = job["finalize"]
+        pts, ftype, is_idr, qp, planes = (job["pts"], job["ftype"],
+                                          job["is_idr"], job["qp"],
+                                          job["planes"])
+        try:
+            nals, recon = finalize()
+        except PayloadOverflow:
+            nals, recon, qp = self._overflow_reencode(job)
         if self.p.aud:
             from .intra import aud_nal
             nals = [aud_nal(ftype)] + nals
@@ -282,14 +323,44 @@ class Encoder:
 
     # -------------------------------------------------------- frame encode
     def _dispatch_frame(self, planes, ftype, qp, pic):
-        """Returns (finalize_fn, recon_device_arrays)."""
+        """Returns (finalize_fn, retry_fn, recon_dev, ref_tag)."""
         from . import frame_encode
         return frame_encode.dispatch_frame(self, planes, ftype, qp)
 
-    def _dpb_push(self, recon) -> None:
-        """Insert a reconstructed frame into the (device-resident) DPB:
-        border-extend + build half-pel planes once per reference
-        (reference x264_frame_filter / frame.c border expansion)."""
+    def _overflow_reencode(self, job):
+        """Device CAVLC buffer overflow: re-encode the frame at higher QP
+        (reference encoder.c:2893-2902), then repair the DPB entry and
+        re-dispatch any in-flight frames that referenced the stale recon."""
+        from .intra import PayloadOverflow
+        qp_try = job["qp"]
+        while True:
+            qp_try = min(qp_try + 4, P.QP_MAX_SPEC)
+            finalize2, recon_dev2 = job["retry"](qp_try)
+            try:
+                nals, recon = finalize2()
+                break
+            except PayloadOverflow:
+                if qp_try >= P.QP_MAX_SPEC:
+                    raise
+        self._dpb_replace(job["tag"], recon_dev2)
+        # frames dispatched against the stale recon must be re-dispatched
+        for j2 in self._pipe:
+            fin, retry, recon_dev, _ = frame_redispatch(self, j2)
+            j2["finalize"], j2["retry"] = fin, retry
+            if recon_dev is not None:
+                self._dpb_replace(j2["tag"], recon_dev)
+        return nals, recon, qp_try
+
+    def _dpb_replace(self, tag, recon) -> None:
+        for i, ref in enumerate(self._dpb):
+            if ref.get("tag") == tag:
+                fnum, poc = ref["frame_num"], ref["poc"]
+                self._dpb_push_entry(recon, tag, fnum, poc, i)
+                return
+        raise AssertionError(f"DPB repair: tag {tag} already evicted "
+                             "(retention must cover pipe depth)")
+
+    def _dpb_push_entry(self, recon, tag, frame_num, poc, at=None):
         import jax.numpy as jnp
 
         from ..ops import mc as mc_ops
@@ -297,16 +368,30 @@ class Encoder:
         ref = {
             "y_pad": y_pad,
             "hpel": mc_ops.hpel_planes(y_pad),
-            "u_pad": mc_ops.pad_plane(jnp.asarray(recon[1]),
-                                      mc_ops.PAD // 2),
-            "v_pad": mc_ops.pad_plane(jnp.asarray(recon[2]),
-                                      mc_ops.PAD // 2),
-            "frame_num": self.frame_num,
-            "poc": self.poc,
+            "cuv_pad": jnp.stack(
+                [mc_ops.pad_plane(jnp.asarray(recon[1]), mc_ops.CPAD),
+                 mc_ops.pad_plane(jnp.asarray(recon[2]), mc_ops.CPAD)]),
+            "frame_num": frame_num,
+            "poc": poc,
+            "tag": tag,
         }
-        self._dpb.append(ref)
-        max_refs = 1   # round-1: single reference (multi-ref next)
-        while len(self._dpb) > max_refs:
+        if at is None:
+            self._dpb.append(ref)
+        else:
+            self._dpb[at] = ref
+
+    def _dpb_push(self, recon, tag=-1) -> None:
+        """Insert a reconstructed frame into the (device-resident) DPB:
+        border-extend + build half-pel planes once per reference
+        (reference x264_frame_filter / frame.c border expansion).
+
+        Retention exceeds the signaled ref count by the pipeline depth so
+        an in-flight frame's reference can still be repaired in place
+        after an overflow re-encode (the extra entries are never signaled
+        in the stream — see _slice_header)."""
+        self._dpb_push_entry(recon, tag, self.frame_num, self.poc)
+        keep = self._max_refs + self._pipe_depth
+        while len(self._dpb) > keep:
             self._dpb.pop(0)
 
     def _slice_header(self, ftype: int, qp: int, first_mb: int = 0,
@@ -321,7 +406,8 @@ class Encoder:
         sh.idr_pic_id = self.idr_pic_id
         sh.poc_lsb = self.poc % (1 << self.sps.log2_max_poc_lsb)
         sh.qp = qp
-        sh.num_ref_idx_l0_active = max(1, len(self._dpb))
+        sh.num_ref_idx_l0_active = max(1, min(self._max_refs,
+                                              len(self._dpb)))
         sh.num_ref_idx_override = (
             sh.slice_type == SLICE_TYPE_P
             and sh.num_ref_idx_l0_active != self.pps.num_ref_idx_l0_active)
@@ -350,4 +436,5 @@ class Encoder:
 
     def close(self) -> dict:
         self._closed = True
+        self.rc.write_stats()    # pass-1 stat file (ratecontrol.c:1829)
         return self.stats

@@ -12,20 +12,23 @@ from ..entropy import nal as nal_mod
 from ..entropy.slice_hdr import slice_header_write
 
 
-def dispatch_frame(enc, planes, ftype, qp):
-    """Returns (finalize_fn, recon_device_arrays)."""
+def dispatch_frame(enc, planes, ftype, qp, ref_tag=None):
+    """Returns (finalize_fn, retry_fn(qp)->(finalize, recon), recon_dev,
+    ref_tag) — ref_tag is the DPB tag this frame references (None for
+    intra), used to re-dispatch against the same reference after an
+    overflow re-encode repaired the DPB."""
     from .encoder import TYPE_IDR, TYPE_I, TYPE_P
     if enc.p.force_pcm:
         if ftype not in (TYPE_IDR, TYPE_I):
             raise NotImplementedError("PCM mode is intra-only")
         nals, recon = encode_frame_pcm(enc, planes, ftype, qp)
-        return (lambda: (nals, recon)), recon
+        return (lambda: (nals, recon)), None, recon, None
     if ftype in (TYPE_IDR, TYPE_I):
         from . import intra
         return intra.dispatch_iframe(enc, planes, ftype, qp)
     if ftype == TYPE_P:
         from . import inter
-        return inter.dispatch_pframe(enc, planes, ftype, qp)
+        return inter.dispatch_pframe(enc, planes, ftype, qp, ref_tag)
     raise NotImplementedError("B-frames land with the lookahead milestone")
 
 

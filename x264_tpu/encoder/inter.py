@@ -31,10 +31,10 @@ import numpy as np
 from ..entropy import nal as nal_mod
 from ..entropy.slice_hdr import slice_header_write
 from ..ops import dct, mc, quant
-from ..ops.tables import chroma_qp
+from ..ops.tables import ZIGZAG4_FRAME, chroma_qp
 from .encoder import TYPE_IDR
 from .intra import (_chroma_blocks, _chroma_merge, _luma_blocks, _luma_merge,
-                    _mb_tiles, CAP_BYTES_PER_MB)
+                    _mb_tiles, cap_bytes_per_mb)
 
 def _mv_cost_bits(mvd):
     """Approximate rate of an MV component (se golomb length)."""
@@ -135,79 +135,88 @@ def motion_search(padded_ref, hpel, y_src, lam, me_range: int):
         return cost, mv
 
     _, mv_c = esa_scan(offsets)
+    del fine
+    return mv_c                      # [mbh, mbw, 2] full-pel
 
-    # ---- stage 2: +-1 full-pel refine around coarse best ----
-    # per-MB base differs -> shifted planes no longer shared; use one
-    # window gather [N, 4, WIN, WIN] and evaluate static in-window offsets
-    WIN = 24         # 16 + 2(left/up margin) + 6(right/down: +-1 fp + qpel)
-    MARG = 2
+
+SUBPEL_MARG = 2      # window margin: covers qpel radius 3 interp taps
+SUBPEL_WIN = 24
+
+
+def subpel_refine_mc(hpel, y_src, mv_c, lam, me_range: int,
+                     radius: int = 3):
+    """Exhaustive qpel refinement around the ESA full-pel winner + final
+    luma MC, gather-free: per-MB hpel windows come from the Pallas warp
+    (ops/warp.py), every qpel candidate is then a static window slice/avg
+    (reference refine_subpel me.c:865; this evaluates the full +-radius
+    qpel grid, a superset of the half-then-quarter ladder).
+
+    Returns (mvq [n,2] qpel, pred [n,16,16] int32, satd_total)."""
+    from ..ops.warp import mb_windows_auto
+    H, W = y_src.shape
+    mbh, mbw = H // 16, W // 16
+    n = mbh * mbw
+    tiles = _mb_tiles(y_src, 16).reshape(n, 16, 16)
+    win = mb_windows_auto(hpel, mv_c - SUBPEL_MARG, bs=16,
+                          lo=-me_range - SUBPEL_MARG,
+                          hi=me_range - SUBPEL_MARG,
+                          win=SUBPEL_WIN, pad=mc.PAD)
+    win = win.reshape(n, 4, SUBPEL_WIN, SUBPEL_WIN).astype(jnp.int32)
     mv_fp = mv_c.reshape(n, 2)
-    x0 = (jnp.arange(n, dtype=jnp.int32) % mbw) * 16
-    y0 = (jnp.arange(n, dtype=jnp.int32) // mbw) * 16
-    bx = x0 + mv_fp[:, 0] + mc.PAD - MARG
-    by = y0 + mv_fp[:, 1] + mc.PAD - MARG
-    ar = jnp.arange(WIN, dtype=jnp.int32)
-    Hp, Wp = hpel.shape[1], hpel.shape[2]
-    rows = jnp.clip(by[:, None, None] + ar[None, :, None], 0, Hp - 1)
-    cols = jnp.clip(bx[:, None, None] + ar[None, None, :], 0, Wp - 1)
-    win = hpel[:, rows, cols].astype(jnp.int32)      # [4, N, WIN, WIN]
-
-    def win_block(plane_idx, oy, ox):
-        return win[plane_idx, :, MARG + oy:MARG + oy + 16,
-                   MARG + ox:MARG + ox + 16]
+    M = SUBPEL_MARG
 
     best_cost = jnp.full((n,), 1 << 30, jnp.int32)
-    best_d = jnp.zeros((n, 2), jnp.int32)
-    for dy, dx in fine:
-        pred = win_block(0, dy, dx)
-        mvx = (mv_fp[:, 0] + dx) * 4
-        mvy = (mv_fp[:, 1] + dy) * 4
-        cost = _satd16(pred, tiles) + lam * (_mv_cost_bits(mvx)
-                                             + _mv_cost_bits(mvy))
+    best_q = mv_fp * 4
+    best_pred = win[:, 0, M:M + 16, M:M + 16]
+    cands = [(0, 0)] + [(qdx, qdy)
+                        for qdy in range(-radius, radius + 1)
+                        for qdx in range(-radius, radius + 1)
+                        if (qdx, qdy) != (0, 0)]
+    for qdx, qdy in cands:
+        fx, fy = qdx & 3, qdy & 3
+        ix, iy = qdx >> 2, qdy >> 2
+        q = fy * 4 + fx
+        p0 = int(mc.HPEL_REF0[q])
+        p1 = int(mc.HPEL_REF1[q])
+        oy0 = iy + (1 if fy == 3 else 0)
+        s0 = win[:, p0, M + oy0:M + oy0 + 16, M + ix:M + ix + 16]
+        if q & 5:
+            ox1 = ix + (1 if fx == 3 else 0)
+            s1 = win[:, p1, M + iy:M + iy + 16, M + ox1:M + ox1 + 16]
+            predq = (s0 + s1 + 1) >> 1
+        else:
+            predq = s0
+        mvq = mv_fp * 4 + jnp.asarray([qdx, qdy], jnp.int32)[None, :]
+        cost = _satd16(predq, tiles) + lam * (
+            _mv_cost_bits(mvq[:, 0]) + _mv_cost_bits(mvq[:, 1]))
         better = cost < best_cost
         best_cost = jnp.where(better, cost, best_cost)
-        best_d = jnp.where(better[:, None],
-                           jnp.stack([jnp.full((n,), dx, jnp.int32),
-                                      jnp.full((n,), dy, jnp.int32)],
-                                     axis=1), best_d)
+        best_q = jnp.where(better[:, None], mvq, best_q)
+        best_pred = jnp.where(better[:, None, None], predq, best_pred)
+    return best_q, best_pred, jnp.sum(best_cost)
 
-    # ---- stage 3: qpel refinement with static offsets: re-window at the
-    # full-pel winner so every 5x5-qpel candidate is a static slice+avg of
-    # the window (one small gather, no per-candidate gathers) ----
-    bq_cost = best_cost
-    bx2 = bx + best_d[:, 0]
-    by2 = by + best_d[:, 1]
-    rows2 = jnp.clip(by2[:, None, None] + ar[None, :, None], 0, Hp - 1)
-    cols2 = jnp.clip(bx2[:, None, None] + ar[None, None, :], 0, Wp - 1)
-    win2 = hpel[:, rows2, cols2].astype(jnp.int32)
-    mv_fp2 = mv_fp + best_d
-    best_q = mv_fp2 * 4
-    for qdy in (-2, -1, 0, 1, 2):
-        for qdx in (-2, -1, 0, 1, 2):
-            if qdx == 0 and qdy == 0:
-                continue
-            fx, fy = qdx & 3, qdy & 3
-            ix, iy = qdx >> 2, qdy >> 2
-            q = fy * 4 + fx
-            p0 = int(mc.HPEL_REF0[q])
-            p1 = int(mc.HPEL_REF1[q])
-            oy0 = iy + (1 if fy == 3 else 0)
-            s0 = win2[p0, :, MARG + oy0:MARG + oy0 + 16,
-                      MARG + ix:MARG + ix + 16]
-            if q & 5:
-                ox1 = ix + (1 if fx == 3 else 0)
-                s1 = win2[p1, :, MARG + iy:MARG + iy + 16,
-                          MARG + ox1:MARG + ox1 + 16]
-                predq = (s0 + s1 + 1) >> 1
-            else:
-                predq = s0
-            mvq = mv_fp2 * 4 + jnp.asarray([qdx, qdy], jnp.int32)[None, :]
-            cost = _satd16(predq, tiles) + lam * (
-                _mv_cost_bits(mvq[:, 0]) + _mv_cost_bits(mvq[:, 1]))
-            better = cost < bq_cost
-            bq_cost = jnp.where(better, cost, bq_cost)
-            best_q = jnp.where(better[:, None], mvq, best_q)
-    return best_q, jnp.sum(bq_cost)
+
+def chroma_mc_warp(cpads, mvq, mbh: int, mbw: int, me_range: int,
+                   radius: int = 3):
+    """Chroma MC for all MBs via warped 9x9 windows + static bilinear
+    (spec 8.4.2.2.2). cpads [2, Hc+2*CPAD, Wc+2*CPAD]; mvq [n, 2] luma
+    quarter-pel. Returns pred [n, 2, 8, 8] int32."""
+    from ..ops.warp import mb_windows_auto
+    n = mvq.shape[0]
+    hi = (4 * me_range + radius) >> 3
+    lo = -((4 * me_range + radius + 7) >> 3)
+    coff = (mvq >> 3).reshape(mbh, mbw, 2)
+    cwin = mb_windows_auto(cpads, coff, bs=8, lo=lo, hi=hi, win=9,
+                           pad=mc.CPAD)
+    cwin = cwin.reshape(n, 2, 9, 9).astype(jnp.int32)
+    A = cwin[:, :, 0:8, 0:8]
+    B = cwin[:, :, 0:8, 1:9]
+    C = cwin[:, :, 1:9, 0:8]
+    D = cwin[:, :, 1:9, 1:9]
+    dx = (mvq[:, 0] & 7)[:, None, None, None]
+    dy = (mvq[:, 1] & 7)[:, None, None, None]
+    return ((8 - dx) * (8 - dy) * A + dx * (8 - dy) * B
+            + (8 - dx) * dy * C + dx * dy * D + 32) >> 6
 
 
 def mv_predictors(mv_field):
@@ -266,25 +275,29 @@ def mv_predictors(mv_field):
 
 @partial(jax.jit, static_argnames=("mbw", "mbh", "cap_words", "me_range",
                                    "deblock", "a_off", "b_off", "cqpo",
-                                   "decimate"))
-def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_u_pad, ref_v_pad,
+                                   "decimate", "entropy"))
+def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
                          qp_mb, qpc_mb, slice_qp, lam,
                          *, mbw, mbh, cap_words, me_range, deblock=False,
-                         a_off=0, b_off=0, cqpo=0, decimate=True):
+                         a_off=0, b_off=0, cqpo=0, decimate=True,
+                         entropy=True):
     """Fused P-frame device pass: ME -> MVP/skip -> MC -> transform ->
-    entropy -> packed payload. Returns (words, total_bits, recon, stats)."""
+    entropy -> packed payload. Returns (words, total_bits, recon, stats).
+
+    With entropy=False (CABAC path) the device CAVLC stage is skipped and
+    the decision/level tensors are returned for the host C++ CABAC writer:
+    (decisions_dict, recon, stats)."""
     from ..entropy.cavlc_jax import encode_pframe_entropy_dev
     H, W = y.shape
     n = mbw * mbh
-    mvq, satd_cost = motion_search(ref_y_pad, ref_hpel, y, lam, me_range)
+    mv_c = motion_search(ref_y_pad, ref_hpel, y, lam, me_range)
+    mvq, pred_y, satd_cost = subpel_refine_mc(ref_hpel, y, mv_c, lam,
+                                              me_range)
     mv_field = mvq.reshape(mbh, mbw, 2)
     mvp, pskip = mv_predictors(mv_field)
     mvd = (mv_field - mvp).reshape(n, 2)
 
-    # --- MC + transform (batched) ---
-    x0 = (jnp.arange(n, dtype=jnp.int32) % mbw) * 16
-    y0 = (jnp.arange(n, dtype=jnp.int32) // mbw) * 16
-    pred_y = mc.luma_mc_block(ref_hpel, x0, y0, mvq, 16)
+    # --- transform (batched; pred_y came fused out of the subpel stage) ---
     src_y = _mb_tiles(y, 16).reshape(n, 16, 16)
     qp = qp_mb.reshape(-1)
     res = src_y.astype(jnp.int32) - pred_y
@@ -295,12 +308,11 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_u_pad, ref_v_pad,
     recon_y_mb = jnp.clip(pred_y + _luma_merge(dct.idct4x4(dq)), 0, 255)
 
     # --- chroma ---
-    cx0 = x0 // 2
-    cy0 = y0 // 2
     qpc = qpc_mb.reshape(-1)
+    pred_c_all = chroma_mc_warp(ref_cuv_pad, mvq, mbh, mbw, me_range)
     out_c = []
-    for plane_pad, src_pl in ((ref_u_pad, u), (ref_v_pad, v)):
-        pred_c = mc.chroma_mc_block(plane_pad, cx0, cy0, mvq, 8)
+    for ci, src_pl in enumerate((u, v)):
+        pred_c = pred_c_all[:, ci]
         src_c = _mb_tiles(src_pl, 8).reshape(n, 8, 8)
         res_c = src_c.astype(jnp.int32) - pred_c
         cblocks = _chroma_blocks(res_c)
@@ -368,13 +380,35 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_u_pad, ref_v_pad,
     recon_u = merge_plane(urec, 8, H // 2, W // 2).astype(jnp.uint8)
     recon_v = merge_plane(vrec, 8, H // 2, W // 2).astype(jnp.uint8)
 
-    words, total_bits, eff_qp = encode_pframe_entropy_dev(
-        skip, mvd, cbp_luma, cbp_chroma, qp, slice_qp,
-        lv.reshape(n, 16, 4, 4),
-        jnp.stack([udc.reshape(n, 2, 2), vdc.reshape(n, 2, 2)], axis=1),
-        jnp.stack([uac.reshape(n, 4, 4, 4), vac.reshape(n, 4, 4, 4)],
-                  axis=1),
-        mbw=mbw, mbh=mbh, cap_words=cap_words)
+    cdc_blk = jnp.stack([udc.reshape(n, 2, 2), vdc.reshape(n, 2, 2)],
+                        axis=1)
+    cac_blk = jnp.stack([uac.reshape(n, 4, 4, 4), vac.reshape(n, 4, 4, 4)],
+                        axis=1)
+    if entropy:
+        words, total_bits, eff_qp = encode_pframe_entropy_dev(
+            skip, mvd, cbp_luma, cbp_chroma, qp, slice_qp,
+            lv.reshape(n, 16, 4, 4), cdc_blk, cac_blk,
+            mbw=mbw, mbh=mbh, cap_words=cap_words)
+    else:
+        # decoder-carried QP (same rule as the CAVLC entropy stage):
+        # only MBs with coded residual update QP_prev
+        has_resid = ((cbp_luma > 0) | (cbp_chroma > 0)) & ~skip
+        idxs = jnp.arange(n, dtype=jnp.int32)
+        last_r = jax.lax.cummax(jnp.where(has_resid, idxs, -1))
+        prev_r = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
+                                  last_r[:-1]])
+        prev_qp = jnp.where(prev_r >= 0, qp[jnp.maximum(prev_r, 0)],
+                            slice_qp)
+        eff_qp = jnp.where(has_resid, qp, prev_qp)
+        zig = jnp.asarray(ZIGZAG4_FRAME)
+        decisions = {
+            "skip": skip, "mvd": mvd, "cbp_luma": cbp_luma,
+            "cbp_chroma": cbp_chroma, "qp": qp,
+            "luma_z": lv.reshape(n, 16, 16)[:, :, zig],
+            "cdc": cdc_blk.reshape(n, 2, 4),
+            "cac_z": cac_blk.reshape(n, 2, 4, 16)[:, :, :, zig],
+        }
+        words, total_bits = decisions, None
     if deblock:
         from ..ops.deblock import compute_strengths, deblock_frame
         nnz4 = nnz_l.reshape(mbh, mbw, 4, 4).transpose(0, 2, 1, 3) \
@@ -390,59 +424,99 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_u_pad, ref_v_pad,
     return words, total_bits, (recon_y, recon_u, recon_v), stats
 
 
-def dispatch_pframe(enc, planes, ftype, qp):
-    """Device dispatch of one P frame. Returns (finalize_fn, recon_dev)."""
+def cabac_finalize_pframe(enc, decisions, qp_mb, slice_qp, sh):
+    """Host tail of a CABAC P frame: transfer decision/level tensors and
+    run the C++ writer (native/cabac.cpp)."""
+    from ..entropy.cabac_host import encode_slice_cabac
+    from ..entropy.cavlc import LUMA4x4_RASTER
+    from .intra import finalize_slice_cabac
+    mbw, mbh = enc.mb_w, enc.mb_h
+    n = mbw * mbh
+    d = {k: np.asarray(val) for k, val in decisions.items()}
+    luma = d["luma_z"].astype(np.int16)[:, LUMA4x4_RASTER]  # z-scan order
+    payload = encode_slice_cabac(
+        False, mbw, mbh, slice_qp,
+        d["skip"].astype(np.uint8), np.zeros(n, np.uint8),
+        np.zeros(n, np.uint8), np.zeros(n, np.uint8),
+        d["cbp_luma"], d["cbp_chroma"], np.asarray(qp_mb).reshape(-1),
+        d["mvd"].astype(np.int16),
+        np.zeros((n, 16), np.int16), luma,
+        d["cdc"].astype(np.int16), d["cac_z"].reshape(n, 8, 16),
+        model=0)
+    sh.cabac_init_idc = 0
+    return finalize_slice_cabac(enc, payload, sh, nal_mod.NAL_SLICE,
+                                nal_mod.NAL_PRIORITY_HIGH)
+
+
+def dispatch_pframe(enc, planes, ftype, qp, ref_tag=None):
+    """Device dispatch of one P frame.
+    Returns (finalize_fn, retry_fn, recon_dev, ref_tag)."""
     from .intra import finalize_slice
-    if enc.p.cabac:
-        raise NotImplementedError("CABAC lands later; use --no-cabac")
     if not enc._dpb:
         raise RuntimeError("P frame without reference")
     mbw, mbh = enc.mb_w, enc.mb_h
-    ref = enc._dpb[-1]
+    if ref_tag is None:
+        ref = enc._dpb[-1]
+    else:   # re-dispatch after overflow repair: same reference by tag
+        ref = next(r for r in enc._dpb if r["tag"] == ref_tag)
     y, u, v = [jnp.asarray(p) for p in planes]
-    if enc.p.rc.aq_mode:
-        from ..ops.aq import qp_maps
-        qp_mb, qpc_mb = qp_maps(y, u, v, qp, enc.p.rc.aq_strength,
-                                enc.p.rc.qp_min, enc.p.rc.qp_max,
-                                enc.p.analyse.chroma_qp_offset)
-    else:
-        qp_mb = jnp.full((mbh, mbw), qp, jnp.int32)
-        qpc_mb = jnp.asarray(
-            chroma_qp(np.full((mbh, mbw), qp),
-                      enc.p.analyse.chroma_qp_offset), jnp.int32)
-    # SAD/SATD-domain lambda (reference x264_lambda_tab scale)
-    lam = max(1, int(round(2.0 ** ((qp - 12) / 6.0))))
-
-    cap_bpm = CAP_BYTES_PER_MB if qp >= 8 else 3 * CAP_BYTES_PER_MB
-    cap_words = (mbw * mbh * cap_bpm) // 4
-    me_range = min(enc.p.analyse.me_range, mc.PAD - 20)
-    words, total_bits, recon, stats = encode_pframe_device(
-        y, u, v, ref["y_pad"], ref["hpel"], ref["u_pad"], ref["v_pad"],
-        qp_mb, qpc_mb, qp, lam,
-        mbw=mbw, mbh=mbh, cap_words=cap_words, me_range=me_range,
-        decimate=enc.p.analyse.dct_decimate,
-        deblock=enc.p.deblocking_filter,
-        a_off=enc.p.deblocking_filter_alphac0 * 2,
-        b_off=enc.p.deblocking_filter_beta * 2,
-        cqpo=enc.p.analyse.chroma_qp_offset)
+    # bound by padding: ESA needs PAD >= R; the subpel warp windows need
+    # R <= PAD-5 (window extent R+5 past the last MB origin). Presets'
+    # merange 16/24 are honored (VERDICT r1 item 9).
+    me_range = min(enc.p.analyse.me_range, mc.PAD - 8)
     sh = enc._slice_header(ftype, qp)
     enc.frame_num = (enc.frame_num + 1) % (1 << enc.sps.log2_max_frame_num)
     enc.poc += 2
     materialize = (enc.p.analyse.psnr or enc.p.analyse.ssim
                    or enc.p.dump_yuv or enc.p.full_recon)
 
-    def finalize():
-        nals = finalize_slice(enc, words, total_bits, cap_words, sh,
-                              nal_mod.NAL_SLICE, nal_mod.NAL_PRIORITY_HIGH)
-        rec = [np.asarray(r) for r in recon] if materialize else list(recon)
-        enc.rc.end(ftype, sum(len(n.payload) * 8 for n in nals),
-                   float(stats["satd"]), qp)
-        return nals, rec
+    def attempt(qp_try):
+        if enc.p.rc.aq_mode:
+            from ..ops.aq import qp_maps
+            qp_mb, qpc_mb = qp_maps(y, u, v, qp_try, enc.p.rc.aq_strength,
+                                    enc.p.rc.qp_min, enc.p.rc.qp_max,
+                                    enc.p.analyse.chroma_qp_offset)
+        else:
+            qp_mb = jnp.full((mbh, mbw), qp_try, jnp.int32)
+            qpc_mb = jnp.asarray(
+                chroma_qp(np.full((mbh, mbw), qp_try),
+                          enc.p.analyse.chroma_qp_offset), jnp.int32)
+        # SAD/SATD-domain lambda (reference x264_lambda_tab scale)
+        lam = max(1, int(round(2.0 ** ((qp_try - 12) / 6.0))))
+        cap_bpm = cap_bytes_per_mb(qp_try)
+        cap_words = (mbw * mbh * cap_bpm) // 4
+        words, total_bits, recon, stats = encode_pframe_device(
+            y, u, v, ref["y_pad"], ref["hpel"], ref["cuv_pad"],
+            qp_mb, qpc_mb, qp_try, lam,
+            mbw=mbw, mbh=mbh, cap_words=cap_words, me_range=me_range,
+            decimate=enc.p.analyse.dct_decimate,
+            deblock=enc.p.deblocking_filter,
+            a_off=enc.p.deblocking_filter_alphac0 * 2,
+            b_off=enc.p.deblocking_filter_beta * 2,
+            cqpo=enc.p.analyse.chroma_qp_offset,
+            entropy=not enc.p.cabac)
 
-    return finalize, list(recon)
+        def finalize():
+            sh.qp = qp_try
+            if enc.p.cabac:
+                nals = cabac_finalize_pframe(enc, words, qp_mb, qp_try, sh)
+            else:
+                nals = finalize_slice(enc, words, total_bits, cap_words,
+                                      sh, nal_mod.NAL_SLICE,
+                                      nal_mod.NAL_PRIORITY_HIGH)
+            rec = [np.asarray(r) for r in recon] if materialize \
+                else list(recon)
+            enc.rc.end(ftype, sum(len(n.payload) * 8 for n in nals),
+                       float(stats["satd"]), qp_try)
+            return nals, rec
+
+        return finalize, list(recon)
+
+    finalize, recon = attempt(qp)
+    return finalize, attempt, recon, ref["tag"]
 
 
 def encode_pframe(enc, planes, ftype, qp):
     """Synchronous P-frame encode."""
-    finalize, _ = dispatch_pframe(enc, planes, ftype, qp)
+    finalize, _, _, _ = dispatch_pframe(enc, planes, ftype, qp)
     return finalize()

@@ -286,10 +286,132 @@ def encode_iframe_device(y, u, v, qp_mb, qpc_mb, slice_qp, *, mbw, mbh,
     return words, total_bits, recon, satd_cost
 
 
+@partial(jax.jit, static_argnames=("mbw", "mbh", "deblock", "a_off",
+                                   "b_off", "cqpo"))
+def analyze_iframe_device(y, u, v, qp_mb, qpc_mb, *, mbw, mbh,
+                          deblock=False, a_off=0, b_off=0, cqpo=0):
+    """Device pass for the CABAC path: decide + commit + deblock, returning
+    zigzagged levels for the host CABAC writer (native/cabac.cpp) instead
+    of running the device CAVLC stage."""
+    i16_mode, chroma_mode, satd_cost = decide_modes(y, u, v)
+    coeffs, recon = commit_i16x16(y, u, v, i16_mode, chroma_mode, qp_mb,
+                                  qpc_mb, mbw=mbw, mbh=mbh)
+    if deblock:
+        from ..ops.deblock import deblock_frame
+        bs = jnp.full((mbh, mbw, 4, 4), 3, jnp.int32)
+        bs = bs.at[:, :, 0, :].set(4)
+        recon = deblock_frame(
+            recon[0], recon[1], recon[2], bs, bs, qp_mb,
+            mbw=mbw, mbh=mbh,
+            a_off=a_off, b_off=b_off, chroma_qp_offset=cqpo)
+    n = mbw * mbh
+    zig = jnp.asarray(ZIGZAG4_FRAME)
+    dc_z = coeffs["dc"].reshape(n, 16)[:, zig]
+    ac_z = coeffs["ac"].reshape(n, 16, 16)[:, :, zig]
+    cdc = jnp.stack([coeffs["udc"], coeffs["vdc"]], axis=1).reshape(n, 2, 4)
+    cac = jnp.stack([coeffs["uac"], coeffs["vac"]],
+                    axis=1).reshape(n, 2, 4, 16)[:, :, :, zig]
+    return (i16_mode.reshape(-1), chroma_mode.reshape(-1), dc_z, ac_z,
+            cdc, cac, recon, satd_cost)
+
+
+def finalize_slice_cabac(enc, payload: bytes, sh, nal_type, ref_idc):
+    """Slice header + cabac_alignment_one_bits + CABAC payload -> NAL."""
+    bw = slice_header_write(sh, ref_idc)
+    bw.byte_align_one()
+    bw.extend_bytes(payload)
+    return [nal_mod.nal_encode(nal_type, ref_idc, bw.getvalue())]
+
+
+def cabac_finalize_iframe(enc, mode_m, mode_c, dc_z, ac_z, cdc, cac,
+                          qp_mb, slice_qp, sh, nal_type, ref_idc):
+    """Host tail of a CABAC I frame: transfer levels, run the C++ writer."""
+    from ..entropy.cabac_host import encode_slice_cabac
+    from ..entropy.cavlc import LUMA4x4_RASTER
+    mbw, mbh = enc.mb_w, enc.mb_h
+    n = mbw * mbh
+    # blocks raster in tensors -> z-scan coding order for the writer
+    ac = np.asarray(ac_z, np.int16)[:, LUMA4x4_RASTER]
+    cacn = np.asarray(cac, np.int16)
+    cdcn = np.asarray(cdc, np.int16)
+    cbp_luma = np.where((ac[:, :, 1:] != 0).any(axis=(1, 2)), 15, 0)
+    any_cac = (cacn[:, :, :, 1:] != 0).any(axis=(1, 2, 3))
+    any_cdc = (cdcn != 0).any(axis=(1, 2))
+    cbp_chroma = np.where(any_cac, 2, np.where(any_cdc, 1, 0))
+    payload = encode_slice_cabac(
+        True, mbw, mbh, slice_qp,
+        np.zeros(n, np.uint8), np.ones(n, np.uint8),
+        np.asarray(mode_m), np.asarray(mode_c),
+        cbp_luma, cbp_chroma, np.asarray(qp_mb).reshape(-1),
+        np.zeros((n, 2), np.int16),
+        np.asarray(dc_z, np.int16), ac, cdcn,
+        cacn.reshape(n, 8, 16))
+    return finalize_slice_cabac(enc, payload, sh, nal_type, ref_idc)
+
+
+def dispatch_iframe_cabac(enc, planes, ftype, qp):
+    """CABAC I-frame dispatch: device analysis/commit, host entropy."""
+    mbw, mbh = enc.mb_w, enc.mb_h
+    y, u, v = [jnp.asarray(p) for p in planes]
+    sh = enc._slice_header(ftype, qp)
+    nal_type = (nal_mod.NAL_SLICE_IDR if ftype == TYPE_IDR
+                else nal_mod.NAL_SLICE)
+    enc.frame_num = (enc.frame_num + 1) % (1 << enc.sps.log2_max_frame_num)
+    enc.poc += 2
+    materialize = (enc.p.analyse.psnr or enc.p.analyse.ssim
+                   or enc.p.dump_yuv or enc.p.full_recon)
+
+    def attempt(qp_try):
+        if enc.p.rc.aq_mode:
+            from ..ops.aq import qp_maps
+            qp_mb, qpc_mb = qp_maps(y, u, v, qp_try, enc.p.rc.aq_strength,
+                                    enc.p.rc.qp_min, enc.p.rc.qp_max,
+                                    enc.p.analyse.chroma_qp_offset)
+        else:
+            qp_mb = jnp.full((mbh, mbw), qp_try, jnp.int32)
+            qpc_mb = jnp.asarray(
+                chroma_qp(np.full((mbh, mbw), qp_try),
+                          enc.p.analyse.chroma_qp_offset), dtype=jnp.int32)
+        (mode_m, mode_c, dc_z, ac_z, cdc, cac, recon,
+         satd_cost) = analyze_iframe_device(
+            y, u, v, qp_mb, qpc_mb, mbw=mbw, mbh=mbh,
+            deblock=enc.p.deblocking_filter,
+            a_off=enc.p.deblocking_filter_alphac0 * 2,
+            b_off=enc.p.deblocking_filter_beta * 2,
+            cqpo=enc.p.analyse.chroma_qp_offset)
+
+        def finalize():
+            sh.qp = qp_try
+            nals = cabac_finalize_iframe(
+                enc, mode_m, mode_c, dc_z, ac_z, cdc, cac, qp_mb, qp_try,
+                sh, nal_type, nal_mod.NAL_PRIORITY_HIGHEST)
+            rec = [np.asarray(r) for r in recon] if materialize \
+                else list(recon)
+            enc.rc.end(ftype, sum(len(n.payload) * 8 for n in nals),
+                       float(satd_cost), qp_try)
+            return nals, rec
+
+        return finalize, list(recon)
+
+    finalize, recon = attempt(qp)
+    return finalize, attempt, recon, None
+
+
 # ------------------------------------------------------------- frame entry
 _SCHED_CACHE = {}
 
 CAP_BYTES_PER_MB = 450    # device payload buffer budget (asserted on host)
+
+
+def cap_bytes_per_mb(qp: int) -> int:
+    """Per-MB payload budget by QP (worst-case noise frames at low QP run
+    to ~3700 bits/MB; the budget must exceed that or every frame would
+    take the overflow re-encode path)."""
+    if qp >= 16:
+        return CAP_BYTES_PER_MB
+    if qp >= 8:
+        return 2 * CAP_BYTES_PER_MB
+    return 3 * CAP_BYTES_PER_MB
 
 
 def aud_nal(ftype):
@@ -304,6 +426,11 @@ def aud_nal(ftype):
                               bw.getvalue())
 
 
+class PayloadOverflow(Exception):
+    """Device CAVLC buffer overflow — caller re-encodes at higher QP
+    (reference analogue: encoder.c:2893-2902 overflow re-encode)."""
+
+
 def finalize_slice(enc, words, total_bits, cap_words, sh, nal_type,
                    ref_idc):
     """Host tail of a frame: sync payload, merge after the slice header.
@@ -313,9 +440,7 @@ def finalize_slice(enc, words, total_bits, cap_words, sh, nal_type,
     from ..entropy.cavlc_jax import words_to_bytes
     total_bits = int(total_bits)
     if total_bits > cap_words * 32 - 32:
-        raise RuntimeError("CAVLC payload overflowed device buffer "
-                           f"({total_bits} bits > cap); raise "
-                           "CAP_BYTES_PER_MB")
+        raise PayloadOverflow(f"{total_bits} bits > cap")
     n_words = (total_bits + 31) // 32
     payload, nbits = words_to_bytes(np.asarray(words[:n_words]), total_bits)
     bw = slice_header_write(sh, ref_idc)
@@ -326,31 +451,11 @@ def finalize_slice(enc, words, total_bits, cap_words, sh, nal_type,
 
 def dispatch_iframe(enc, planes, ftype, qp):
     """Device dispatch of a full I-frame (decide -> commit -> CAVLC).
-    Returns (finalize_fn, recon_device)."""
+    Returns (finalize_fn, retry_fn, recon_device)."""
     if enc.p.cabac:
-        raise NotImplementedError("CABAC lands in a later milestone; "
-                                  "use --no-cabac")
+        return dispatch_iframe_cabac(enc, planes, ftype, qp)
     mbw, mbh = enc.mb_w, enc.mb_h
     y, u, v = [jnp.asarray(p) for p in planes]
-    if enc.p.rc.aq_mode:
-        from ..ops.aq import qp_maps
-        qp_mb, qpc_mb = qp_maps(y, u, v, qp, enc.p.rc.aq_strength,
-                                enc.p.rc.qp_min, enc.p.rc.qp_max,
-                                enc.p.analyse.chroma_qp_offset)
-    else:
-        qp_mb = jnp.full((mbh, mbw), qp, jnp.int32)
-        qpc_mb = jnp.asarray(
-            chroma_qp(np.full((mbh, mbw), qp),
-                      enc.p.analyse.chroma_qp_offset), dtype=jnp.int32)
-    cap_bpm = CAP_BYTES_PER_MB if qp >= 8 else 3 * CAP_BYTES_PER_MB
-    cap_words = (mbw * mbh * cap_bpm) // 4
-    words, total_bits, recon, satd_cost = encode_iframe_device(
-        y, u, v, qp_mb, qpc_mb, qp,
-        mbw=mbw, mbh=mbh, cap_words=cap_words,
-        deblock=enc.p.deblocking_filter,
-        a_off=enc.p.deblocking_filter_alphac0 * 2,
-        b_off=enc.p.deblocking_filter_beta * 2,
-        cqpo=enc.p.analyse.chroma_qp_offset)
     sh = enc._slice_header(ftype, qp)
     nal_type = (nal_mod.NAL_SLICE_IDR if ftype == TYPE_IDR
                 else nal_mod.NAL_SLICE)
@@ -359,18 +464,44 @@ def dispatch_iframe(enc, planes, ftype, qp):
     materialize = (enc.p.analyse.psnr or enc.p.analyse.ssim
                    or enc.p.dump_yuv or enc.p.full_recon)
 
-    def finalize():
-        nals = finalize_slice(enc, words, total_bits, cap_words, sh,
-                              nal_type, nal_mod.NAL_PRIORITY_HIGHEST)
-        rec = [np.asarray(r) for r in recon] if materialize else list(recon)
-        enc.rc.end(ftype, sum(len(n.payload) * 8 for n in nals),
-                   float(satd_cost), qp)
-        return nals, rec
+    def attempt(qp_try):
+        if enc.p.rc.aq_mode:
+            from ..ops.aq import qp_maps
+            qp_mb, qpc_mb = qp_maps(y, u, v, qp_try, enc.p.rc.aq_strength,
+                                    enc.p.rc.qp_min, enc.p.rc.qp_max,
+                                    enc.p.analyse.chroma_qp_offset)
+        else:
+            qp_mb = jnp.full((mbh, mbw), qp_try, jnp.int32)
+            qpc_mb = jnp.asarray(
+                chroma_qp(np.full((mbh, mbw), qp_try),
+                          enc.p.analyse.chroma_qp_offset), dtype=jnp.int32)
+        cap_bpm = cap_bytes_per_mb(qp_try)
+        cap_words = (mbw * mbh * cap_bpm) // 4
+        words, total_bits, recon, satd_cost = encode_iframe_device(
+            y, u, v, qp_mb, qpc_mb, qp_try,
+            mbw=mbw, mbh=mbh, cap_words=cap_words,
+            deblock=enc.p.deblocking_filter,
+            a_off=enc.p.deblocking_filter_alphac0 * 2,
+            b_off=enc.p.deblocking_filter_beta * 2,
+            cqpo=enc.p.analyse.chroma_qp_offset)
 
-    return finalize, list(recon)
+        def finalize():
+            sh.qp = qp_try
+            nals = finalize_slice(enc, words, total_bits, cap_words, sh,
+                                  nal_type, nal_mod.NAL_PRIORITY_HIGHEST)
+            rec = [np.asarray(r) for r in recon] if materialize \
+                else list(recon)
+            enc.rc.end(ftype, sum(len(n.payload) * 8 for n in nals),
+                       float(satd_cost), qp_try)
+            return nals, rec
+
+        return finalize, list(recon)
+
+    finalize, recon = attempt(qp)
+    return finalize, attempt, recon, None
 
 
 def encode_iframe(enc, planes, ftype, qp):
     """Synchronous I-frame encode. Returns (nals, recon)."""
-    finalize, _ = dispatch_iframe(enc, planes, ftype, qp)
+    finalize, _, _, _ = dispatch_iframe(enc, planes, ftype, qp)
     return finalize()

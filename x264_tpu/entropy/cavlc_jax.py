@@ -120,6 +120,7 @@ def residual_blocks_dev(coeffs, nc, chroma_dc: bool = False):
         len_cols[1 + k] = jnp.where(active, 1, zero_i)
 
     sl = jnp.where((total > 10) & (t1 < 3), 1, 0).astype(jnp.int32)
+    over = jnp.zeros((B,), bool)
     maxk = min(L, 16)
     for k in range(maxk):
         lv = levels_rev[:, k]
@@ -135,6 +136,7 @@ def residual_blocks_dev(coeffs, nc, chroma_dc: bool = False):
                       jnp.uint32(1 << 12)
                       | jnp.minimum(lc - 30, 4095).astype(jnp.uint32)))
         l0v = jnp.where(lc < 14, lc + 1, jnp.where(lc < 30, 19, 28))
+        over0 = lc > 30 + 4095
         # suffixLength > 0 branch
         slp = jnp.maximum(sl, 1)
         prefix = lc >> slp
@@ -147,7 +149,12 @@ def residual_blocks_dev(coeffs, nc, chroma_dc: bool = False):
             esc, jnp.uint32(1 << 12)
             | jnp.clip(lc - (15 << slp), 0, 4095).astype(jnp.uint32), cpv)
         lpv = jnp.where(esc, 28, lpv)
+        overp = esc & (lc - (15 << slp) > 4095)
         use0 = sl == 0
+        # level escape overflow: the value is not CAVLC-representable at
+        # this suffix length; the frame must re-encode at higher QP
+        # (reference h->mb.b_overflow, encoder.c:2893)
+        over = over | (active & jnp.where(use0, over0, overp))
         code_cols[4 + k] = jnp.where(active, jnp.where(use0, c0v, cpv),
                                      zero_u)
         len_cols[4 + k] = jnp.where(active, jnp.where(use0, l0v, lpv),
@@ -197,11 +204,11 @@ def residual_blocks_dev(coeffs, nc, chroma_dc: bool = False):
             len_cols[k] = zero_i
     codes = jnp.stack(code_cols, axis=1)
     lens = jnp.stack(len_cols, axis=1)
-    return codes, lens, total
+    return codes, lens, total, over
 
 
 def pack_mb_stream(codes, lens, mb_cap_words: int, cap_words: int,
-                   slot_chunk: int = 64):
+                   slot_chunk: int = 64, force_over=False):
     """Pack grouped (code,len≤32) elements MSB-first into uint32 big-endian
     words. codes/lens are [M, S]: M groups (MBs), S slots each, stream order
     = row-major.
@@ -249,7 +256,7 @@ def pack_mb_stream(codes, lens, mb_cap_words: int, cap_words: int,
         a0 = jnp.sum(jnp.where(wi == w0c, v0[:, s0:s1, None], 0), axis=1)
         a1 = jnp.sum(jnp.where(wi == w0c + 1, v1[:, s0:s1, None], 0), axis=1)
         acc = acc + a0 + a1
-    mb_over = jnp.any(mb_bits > mb_cap_words * 32)
+    mb_over = jnp.any(mb_bits > mb_cap_words * 32) | force_over
 
     # phase B: bit-align MB buffers and scatter at word offsets
     mb_end = jnp.cumsum(mb_bits)
@@ -314,12 +321,12 @@ def encode_i16x16_frame_dev(i16_mode, chroma_mode, qp_flat, slice_qp,
 
     nnz_ac = jnp.sum(ac_z[:, :, 1:] != 0, axis=2).astype(jnp.int32)
     nc_l = _nc_grid_dev(nnz_ac, mbh, mbw, 4)
-    dc_codes, dc_lens, _ = residual_blocks_dev(dc_z, nc_l[:, 0])
-    ac_codes, ac_lens, _ = residual_blocks_dev(
+    dc_codes, dc_lens, _, dc_ov = residual_blocks_dev(dc_z, nc_l[:, 0])
+    ac_codes, ac_lens, _, ac_ov = residual_blocks_dev(
         ac_z[:, :, 1:].reshape(n * 16, 15), nc_l.reshape(-1))
     ac_codes = ac_codes.reshape(n, 16, BLOCK_SLOTS)
     ac_lens = ac_lens.reshape(n, 16, BLOCK_SLOTS)
-    cdc_codes, cdc_lens, _ = residual_blocks_dev(
+    cdc_codes, cdc_lens, _, cdc_ov = residual_blocks_dev(
         cdc.reshape(n * 2, 4), jnp.zeros(n * 2, jnp.int32), chroma_dc=True)
     cdc_codes = cdc_codes.reshape(n, 2, BLOCK_SLOTS)
     cdc_lens = cdc_lens.reshape(n, 2, BLOCK_SLOTS)
@@ -327,10 +334,12 @@ def encode_i16x16_frame_dev(i16_mode, chroma_mode, qp_flat, slice_qp,
     nc_u = _nc_grid_dev(nnz_cac[:, 0], mbh, mbw, 2)
     nc_v = _nc_grid_dev(nnz_cac[:, 1], mbh, mbw, 2)
     nc_c = jnp.stack([nc_u, nc_v], axis=1)
-    cac_codes, cac_lens, _ = residual_blocks_dev(
+    cac_codes, cac_lens, _, cac_ov = residual_blocks_dev(
         cac_z[:, :, :, 1:].reshape(n * 8, 15), nc_c.reshape(-1))
     cac_codes = cac_codes.reshape(n, 8, BLOCK_SLOTS)
     cac_lens = cac_lens.reshape(n, 8, BLOCK_SLOTS)
+    lvl_over = (jnp.any(dc_ov) | jnp.any(ac_ov) | jnp.any(cdc_ov)
+                | jnp.any(cac_ov))
 
     cbp_luma = jnp.sum(nnz_ac, axis=1) > 0
     any_cac = jnp.sum(nnz_cac.reshape(n, 8), axis=1) > 0
@@ -370,7 +379,8 @@ def encode_i16x16_frame_dev(i16_mode, chroma_mode, qp_flat, slice_qp,
         ac_lens.reshape(n, -1),
         cdc_lens.reshape(n, -1),
         cac_lens.reshape(n, -1)], axis=1)
-    return pack_mb_stream(codes, lens, cap_words // n, cap_words)
+    return pack_mb_stream(codes, lens, cap_words // n, cap_words,
+                          force_over=lvl_over)
 
 
 @partial(jax.jit, static_argnames=("mbw", "mbh", "cap_words"))
@@ -401,11 +411,11 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
     # ---- residual blocks ----
     nnz_l = jnp.sum(luma_z != 0, axis=2).astype(jnp.int32)
     nc_l = _nc_grid_dev(nnz_l, mbh, mbw, 4)
-    l_codes, l_lens, _ = residual_blocks_dev(
+    l_codes, l_lens, _, l_ov = residual_blocks_dev(
         luma_z.reshape(n * 16, 16), nc_l.reshape(-1))
     l_codes = l_codes.reshape(n, 16, BLOCK_SLOTS)
     l_lens = l_lens.reshape(n, 16, BLOCK_SLOTS)
-    cdc_codes, cdc_lens, _ = residual_blocks_dev(
+    cdc_codes, cdc_lens, _, cdc_ov = residual_blocks_dev(
         cdc.reshape(n * 2, 4), jnp.zeros(n * 2, jnp.int32), chroma_dc=True)
     cdc_codes = cdc_codes.reshape(n, 2, BLOCK_SLOTS)
     cdc_lens = cdc_lens.reshape(n, 2, BLOCK_SLOTS)
@@ -413,7 +423,7 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
     nc_u = _nc_grid_dev(nnz_cac[:, 0], mbh, mbw, 2)
     nc_v = _nc_grid_dev(nnz_cac[:, 1], mbh, mbw, 2)
     nc_c = jnp.stack([nc_u, nc_v], axis=1)
-    cac_codes, cac_lens, _ = residual_blocks_dev(
+    cac_codes, cac_lens, _, cac_ov = residual_blocks_dev(
         cac_z[:, :, :, 1:].reshape(n * 8, 15), nc_c.reshape(-1))
     cac_codes = cac_codes.reshape(n, 8, BLOCK_SLOTS)
     cac_lens = cac_lens.reshape(n, 8, BLOCK_SLOTS)
@@ -478,8 +488,12 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
     trow_l = jnp.zeros((1, S), jnp.int32).at[0, 0].set(tl)
     codes = jnp.concatenate([codes, trow_c], axis=0)
     lens = jnp.concatenate([lens, trow_l], axis=0)
+    # level overflow only matters for blocks that are actually written
+    lvl_over = (jnp.any(l_ov.reshape(n, 16) & (l_lens.sum(2) > 0))
+                | jnp.any(cdc_ov.reshape(n, 2) & (cdc_lens.sum(2) > 0))
+                | jnp.any(cac_ov.reshape(n, 8) & (cac_lens.sum(2) > 0)))
     words, total_bits = pack_mb_stream(codes, lens, cap_words // n,
-                                       cap_words)
+                                       cap_words, force_over=lvl_over)
     return words, total_bits, eff_qp
 
 

@@ -52,6 +52,10 @@ def filter_lines_luma(p, q, bs, alpha, beta, tc0):
     p, q: [..., 4] samples (p[...,0]=p3..p[...,3]=p0; q[...,0]=q0..q3).
     bs, alpha, beta, tc0: broadcastable per-line ints.
     Returns filtered (p, q)."""
+    # int32 throughout: XLA:TPU miscompiles negative int16 >> in fusions
+    # (see ops/mc.py hpel_planes note)
+    p = p.astype(jnp.int32)
+    q = q.astype(jnp.int32)
     p3, p2, p1, p0 = p[..., 0], p[..., 1], p[..., 2], p[..., 3]
     q0, q1, q2, q3 = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     filt = ((bs > 0) & (jnp.abs(p0 - q0) < alpha)
@@ -105,6 +109,8 @@ def filter_lines_luma(p, q, bs, alpha, beta, tc0):
 
 def filter_lines_chroma(p, q, bs, alpha, beta, tc0):
     """Chroma: p,q [..., 2] (p1,p0 | q0,q1)."""
+    p = p.astype(jnp.int32)
+    q = q.astype(jnp.int32)
     p1, p0 = p[..., 0], p[..., 1]
     q0, q1 = q[..., 0], q[..., 1]
     filt = ((bs > 0) & (jnp.abs(p0 - q0) < alpha)

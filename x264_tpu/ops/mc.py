@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 PAD = 32          # border extension (reference frame.c:59 padded strides)
+CPAD = 32         # chroma border (sized for the warp kernel's row bands)
 
 # qpel index (my&3)*4 + (mx&3) -> source hpel planes (0=full,1=H,2=V,3=C)
 HPEL_REF0 = np.array([0, 1, 1, 1, 0, 1, 1, 1, 2, 3, 3, 3, 0, 1, 1, 1])
@@ -72,10 +73,13 @@ def hpel_planes(padded):
     # horizontal 6-tap at every x (replicated edges)
     fx = _edge_pad(f, 1, 2, 3)
     b1 = _tap6_cols(fx, jnp.int16)            # [H, W] unrounded
-    hplane = jnp.clip((b1 + 16) >> 5, 0, 255)
+    # NOTE: the rounding shift must be int32 — XLA:TPU miscompiles the
+    # int16 arithmetic >> inside this fusion (negative taps come back as
+    # logical shifts), verified empirically; int32 is exact.
+    hplane = jnp.clip((b1.astype(jnp.int32) + 16) >> 5, 0, 255)
     fy = _edge_pad(f, 0, 2, 3)
     h1 = _tap6_rows(fy, jnp.int16)
-    vplane = jnp.clip((h1 + 16) >> 5, 0, 255)
+    vplane = jnp.clip((h1.astype(jnp.int32) + 16) >> 5, 0, 255)
     # C: vertical 6-tap on unrounded b1 (int32: range ~ +-557k)
     b1y = _edge_pad(b1, 0, 2, 3)
     j1 = _tap6_rows(b1y, jnp.int32)

@@ -177,20 +177,20 @@ def make_sharded_pframe_step(mesh: Mesh, width: int, band_mb_rows: int,
     mbw = width // 16
     cap_words = mbw * band_mb_rows * 128
 
-    def band_encode(y, u, v, ry, rhp, ru, rv, qp, qpc, slice_qp, lam):
-        def one(y1, u1, v1, ry1, rhp1, ru1, rv1, q1, qc1, sq1, lam1):
+    def band_encode(y, u, v, ry, rhp, rcuv, qp, qpc, slice_qp, lam):
+        def one(y1, u1, v1, ry1, rhp1, rcuv1, q1, qc1, sq1, lam1):
             return encode_pframe_device(
-                y1, u1, v1, ry1, rhp1, ru1, rv1, q1, qc1, sq1, lam1,
+                y1, u1, v1, ry1, rhp1, rcuv1, q1, qc1, sq1, lam1,
                 mbw=mbw, mbh=band_mb_rows,
                 cap_words=cap_words, me_range=me_range, deblock=True)
-        return jax.vmap(jax.vmap(one))(y, u, v, ry, rhp, ru, rv,
+        return jax.vmap(jax.vmap(one))(y, u, v, ry, rhp, rcuv,
                                        qp, qpc, slice_qp, lam)
 
     pspec = P("stream", "band")
     step = jax.jit(
         jax.shard_map(
             band_encode, mesh=mesh,
-            in_specs=(pspec,) * 11,
+            in_specs=(pspec,) * 10,
             out_specs=pspec,
             check_vma=False,
         ))
@@ -219,29 +219,26 @@ def sharded_pframe_encode(mesh: Mesh, planes_batch, refs_batch, qp: int = 26,
     vs = np.stack([split(f[2], bh // 2) for f in planes_batch])
 
     # per-band padded reference windows (band rows +- PAD, full width + PAD)
-    ry_l, rhp_l, ru_l, rv_l = [], [], [], []
+    ry_l, rhp_l, rcuv_l = [], [], []
     for f in refs_batch:
         y_pad = mc_ops.pad_plane(jnp.asarray(f[0]))
         hp = mc_ops.hpel_planes(y_pad)
-        u_pad = mc_ops.pad_plane(jnp.asarray(f[1]), mc_ops.PAD // 2)
-        v_pad = mc_ops.pad_plane(jnp.asarray(f[2]), mc_ops.PAD // 2)
+        cuv = jnp.stack([mc_ops.pad_plane(jnp.asarray(f[1]), mc_ops.CPAD),
+                         mc_ops.pad_plane(jnp.asarray(f[2]), mc_ops.CPAD)])
         PAD = mc_ops.PAD
+        CPAD = mc_ops.CPAD
         ry = jnp.stack([y_pad[b * bh:b * bh + bh + 2 * PAD]
                         for b in range(nb)])
         rh = jnp.stack([hp[:, b * bh:b * bh + bh + 2 * PAD]
                         for b in range(nb)])
-        ru = jnp.stack([u_pad[b * bh // 2:b * bh // 2 + bh // 2 + PAD]
-                        for b in range(nb)])
-        rv = jnp.stack([v_pad[b * bh // 2:b * bh // 2 + bh // 2 + PAD]
+        rc = jnp.stack([cuv[:, b * bh // 2:b * bh // 2 + bh // 2 + 2 * CPAD]
                         for b in range(nb)])
         ry_l.append(ry)
         rhp_l.append(rh)
-        ru_l.append(ru)
-        rv_l.append(rv)
+        rcuv_l.append(rc)
     ry = jnp.stack(ry_l)
     rhp = jnp.stack(rhp_l)
-    ru = jnp.stack(ru_l)
-    rv = jnp.stack(rv_l)
+    rcuv = jnp.stack(rcuv_l)
 
     qp_mb = np.full((B, nb, band_mb_rows, mbw), qp, np.int32)
     qpc_mb = np.asarray(chroma_qp(qp_mb), np.int32)
@@ -251,6 +248,6 @@ def sharded_pframe_encode(mesh: Mesh, planes_batch, refs_batch, qp: int = 26,
     step = make_sharded_pframe_step(mesh, W, band_mb_rows, me_range)
     sh = NamedSharding(mesh, P("stream", "band"))
     args = [jax.device_put(np.asarray(a), sh)
-            for a in (ys, us, vs, ry, rhp, ru, rv, qp_mb, qpc_mb,
+            for a in (ys, us, vs, ry, rhp, rcuv, qp_mb, qpc_mb,
                       slice_qp, lam)]
     return step(*args)
