@@ -45,7 +45,8 @@ def build_argparser() -> argparse.ArgumentParser:
 # CLI-level options (everything else falls through to param_parse)
 _CLI_VALUE_OPTS = {"-o", "--output", "--preset", "--tune", "--profile",
                    "--frames", "--seek", "--input-res", "--fps",
-                   "--dump-yuv"}
+                   "--dump-yuv", "--muxer", "--qpfile", "--vf",
+                   "--video-filter"}
 _CLI_FLAG_OPTS = {"--quiet", "--verbose", "-h", "--help"}
 # boolean encoder options that never take a value
 _NO_VALUE_PARAMS = {"no-cabac", "no-deblock", "no-scenecut", "cabac",
@@ -57,6 +58,7 @@ _NO_VALUE_PARAMS = {"no-cabac", "no-deblock", "no-scenecut", "cabac",
                     "fake-interlaced", "bluray-compat", "sliced-threads",
                     "no-sliced-threads", "no-psy", "psy", "no-chroma-me",
                     "chroma-me", "constrained-intra", "no-deterministic",
+                    "thread-input", "no-thread-input",
                     "slow-firstpass", "nf", "filler", "pic-struct",
                     "force-cfr", "no-progress"}
 
@@ -65,7 +67,8 @@ def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     cli = {"preset": "medium", "tune": None, "profile": None, "frames": 0,
            "seek": 0, "input_res": None, "fps": None, "dump_yuv": None,
-           "quiet": False, "verbose": False, "output": None, "input": None}
+           "quiet": False, "verbose": False, "output": None, "input": None,
+           "muxer": None, "qpfile": None, "vf": None, "video_filter": None}
     passthrough = []           # (name, value)
     i = 0
     while i < len(argv):
@@ -108,6 +111,16 @@ def main(argv=None) -> int:
     known.frames = int(cli["frames"])
     known.seek = int(cli["seek"])
 
+    # CLI-only flags that are not encoder params (reference x264.c options)
+    thread_input = True
+    kept = []
+    for name, value in passthrough:
+        if name in ("thread-input", "no-thread-input"):
+            thread_input = name == "thread-input"
+        else:
+            kept.append((name, value))
+    passthrough = kept
+
     p = P.param_default_preset(known.preset, known.tune)
     for name, value in passthrough:
         try:
@@ -129,6 +142,18 @@ def main(argv=None) -> int:
             fps = tuple(map(int, known.fps.split("/"))) \
                 if "/" in known.fps else (int(float(known.fps) * 1000), 1000)
         reader = RawReader(known.input, w, h, fps=fps)
+    # --- filter chain (reference init_vid_filters, x264.c:1305) ---
+    from .io.filters import build_chain
+    try:
+        reader = build_chain(reader, cli.get("vf") or cli.get(
+            "video_filter"))
+    except ValueError as e:
+        print(f"x264-tpu [error]: {e}", file=sys.stderr)
+        return 2
+    # async read-ahead (reference input/thread.c; --no-thread-input off)
+    if thread_input:
+        from .io.thread_input import ThreadedReader
+        reader = ThreadedReader(reader)
     info = reader.info
     p.width, p.height = info.width, info.height
     p.fps_num, p.fps_den = info.fps_num, info.fps_den
@@ -140,9 +165,36 @@ def main(argv=None) -> int:
     if known.dump_yuv:
         p.dump_yuv = known.dump_yuv
 
+    # --- qpfile: per-frame forced type/QP (reference parse_qpfile,
+    # x264.c; format "<frame> <I|i|K|P|B|b> [qp]") ---
+    qpfile: dict[int, tuple[int, int]] = {}
+    if cli.get("qpfile"):
+        from .encoder.encoder import (TYPE_B, TYPE_BREF, TYPE_I, TYPE_IDR,
+                                      TYPE_KEYFRAME, TYPE_P)
+        tmap = {"I": TYPE_IDR, "i": TYPE_I, "K": TYPE_KEYFRAME,
+                "P": TYPE_P, "B": TYPE_BREF, "b": TYPE_B}
+        try:
+            with open(cli["qpfile"]) as qf:
+                for line in qf:
+                    parts = line.split()
+                    if len(parts) < 2 or parts[0].startswith("#"):
+                        continue
+                    fno = int(parts[0])
+                    ft = tmap.get(parts[1])
+                    if ft is None:
+                        print(f"x264-tpu [error]: bad qpfile type "
+                              f"'{parts[1]}'", file=sys.stderr)
+                        return 2
+                    fqp = int(parts[2]) if len(parts) > 2 else -1
+                    qpfile[fno] = (ft, fqp)
+        except OSError as e:
+            print(f"x264-tpu [error]: {e}", file=sys.stderr)
+            return 2
+
     # --- encode loop (reference encode() x264.c:1923) ---
     enc = Encoder(p)
-    out = open_output(known.output)
+    out = open_output(known.output, getattr(known, "muxer", None))
+    out.set_param(p)
     out.write_headers(enc.headers())
     dumper = None
     if p.dump_yuv:
@@ -158,9 +210,13 @@ def main(argv=None) -> int:
         if known.frames and fed >= known.frames:
             break
         fed += 1
-        nals, pic_out = enc.encode(Picture(planes, pts=idx))
+        pic = Picture(planes, pts=idx)
+        if fed - 1 in qpfile:
+            pic.i_type, pic.forced_qp = qpfile[fed - 1]
+        nals, pic_out = enc.encode(pic)
         if nals:
-            total_bytes += out.write_frame(nals)
+            total_bytes += out.write_frame(nals, pts=pic_out.pts,
+                                           dts=pic_out.dts)
         if dumper and pic_out is not None and pic_out.recon is not None:
             dumper.write_frame([np.asarray(r) for r in pic_out.recon])
         if pic_out is not None:
@@ -175,7 +231,8 @@ def main(argv=None) -> int:
     while enc.delayed_frames():
         nals, pic_out = enc.encode(None)
         if nals:
-            total_bytes += out.write_frame(nals)
+            total_bytes += out.write_frame(nals, pts=pic_out.pts,
+                                           dts=pic_out.dts)
         if pic_out is not None:
             if dumper and pic_out.recon is not None:
                 dumper.write_frame([np.asarray(r) for r in pic_out.recon])

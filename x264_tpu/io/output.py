@@ -1,6 +1,7 @@
 """Output muxers (reference: output/output.h vtable; output/raw.c).
 
-Raw Annex-B elementary stream for now; mkv/mp4/flv are later milestones.
+Raw Annex-B here; MP4/MKV/FLV in mux.py. open_output() selects by file
+extension like the reference CLI (x264.c select_output, x264.c:1189).
 """
 
 from __future__ import annotations
@@ -26,7 +27,7 @@ class RawOutput:
     def write_headers(self, nals: list[NAL]) -> int:
         return self.write_frame(nals)
 
-    def write_frame(self, nals: list[NAL]) -> int:
+    def write_frame(self, nals: list[NAL], pts=None, dts=None) -> int:
         data = annexb_bytes(nals)
         self._f.write(data)
         self.bytes_written += len(data)
@@ -37,5 +38,18 @@ class RawOutput:
             self._f.close()
 
 
-def open_output(path: str):
+def open_output(path: str, muxer: str | None = None):
+    """Select a muxer by explicit name or output extension (reference
+    select_output, x264.c:1189)."""
+    from . import mux
+    if muxer is None and isinstance(path, str):
+        ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
+        muxer = {"mp4": "mp4", "mov": "mp4", "mkv": "mkv",
+                 "flv": "flv"}.get(ext, "raw")
+    if muxer == "mp4":
+        return mux.MP4Output(path)
+    if muxer == "mkv":
+        return mux.MKVOutput(path)
+    if muxer == "flv":
+        return mux.FLVOutput(path)
     return RawOutput(path)
