@@ -1,0 +1,584 @@
+// CABAC engine + MB-layer slice writer (host side).
+//
+// Reference analogues: common/cabac.c:53-184 (range coder),
+// encoder/cabac.c:1088 x264_macroblock_write_cabac (MB layer). The TPU
+// design keeps analysis/transform/reconstruction on device and ships the
+// per-MB decision + residual tensors to this serial writer (SURVEY §7.1:
+// "C++ host code for the serial entropy stage").
+//
+// The arithmetic (range subdivision, state machine, renormalization with
+// outstanding-byte carry resolution, termination) is the normative H.264
+// 9.3.4 algorithm; tables are passed in from Python
+// (x264_tpu/entropy/cabac_tables.py — spec tables 9-12..9-36).
+//
+// Coverage: I slices with I16x16 MBs; P slices with P_Skip, P_L0_16x16
+// and I16x16 MBs (intra-in-P). Grows with the encoder's mode set.
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+
+namespace {
+
+struct Cabac {
+    uint32_t low = 0;
+    int range = 0x01FE;
+    int queue = -9;      // first shifted-out bit is not written
+    int outstanding = 0; // pending 0xFF bytes awaiting carry resolution
+    uint8_t *p = nullptr, *start = nullptr, *end = nullptr;
+    uint8_t state[1024];
+    const uint8_t *lps;     // [64*4]
+    const uint8_t *trans;   // [128*2]
+
+    bool overflow() const { return p >= end - 8; }
+
+    void put_pending() {
+        if (queue < 0) return;
+        int out = low >> (queue + 10);
+        low &= (0x400u << queue) - 1;
+        queue -= 8;
+        if ((out & 0xFF) == 0xFF) {
+            outstanding++;
+        } else {
+            int carry = out >> 8;
+            // carry can touch the previous byte only; 0xFF bytes are held
+            // in `outstanding` (writes before slice data start land in the
+            // slice header area, which a carry cannot reach: p[-1] exists)
+            if (p > start) p[-1] = (uint8_t)(p[-1] + carry);
+            while (outstanding > 0 && p < end) {
+                *p++ = (uint8_t)(carry - 1);
+                outstanding--;
+            }
+            if (p < end) *p++ = (uint8_t)out;
+        }
+    }
+
+    void renorm() {
+        while (range < 0x100) {
+            range <<= 1;
+            low <<= 1;
+            queue += 1;
+            put_pending();
+        }
+    }
+
+    void decision(int ctx, int b) {
+        int s = state[ctx];
+        int rlps = lps[(s >> 1) * 4 + ((range >> 6) - 4)];
+        range -= rlps;
+        if (b != (s & 1)) {
+            low += (uint32_t)range;
+            range = rlps;
+        }
+        state[ctx] = trans[s * 2 + b];
+        renorm();
+    }
+
+    void bypass(int b) {
+        low <<= 1;
+        if (b) low += (uint32_t)range;
+        queue += 1;
+        put_pending();
+    }
+
+    // Exp-Golomb suffix in bypass mode (k-th order)
+    void ue_bypass(int exp_bits, int val) {
+        int k = exp_bits;
+        while (val >= (1 << k)) {
+            bypass(1);
+            val -= 1 << k;
+            k++;
+        }
+        bypass(0);
+        while (k--) bypass((val >> k) & 1);
+    }
+
+    void terminal(int b) {
+        range -= 2;
+        if (b) {
+            low += (uint32_t)range;
+            range = 2;
+        }
+        renorm();
+    }
+
+    void flush() {
+        // stop bit + alignment (reference cabac_encode_flush)
+        low += (uint32_t)range - 2;
+        low |= 1;
+        low <<= 9;
+        queue += 9;
+        put_pending();
+        put_pending();
+        low <<= -queue;
+        queue = 0;
+        put_pending();
+        while (outstanding > 0 && p < end) {
+            *p++ = 0xFF;
+            outstanding--;
+        }
+    }
+};
+
+// residual context layout (spec table 9-40 via common/tables.c:1778-1791)
+const int SIG_OFF[5] = {105 + 0, 105 + 15, 105 + 29, 105 + 44, 105 + 47};
+const int LAST_OFF[5] = {166 + 0, 166 + 15, 166 + 29, 166 + 44, 166 + 47};
+const int LVL_OFF[5] = {227 + 0, 227 + 10, 227 + 20, 227 + 30, 227 + 39};
+const int CBF_BASE[5] = {85, 89, 93, 97, 101};
+const int COUNT_M1[5] = {15, 14, 15, 3, 14};
+
+const uint8_t LVL1_CTX[8] = {1, 2, 3, 4, 0, 0, 0, 0};
+const uint8_t LVLGT1_CTX[8] = {5, 5, 5, 5, 6, 7, 8, 9};
+const uint8_t LVL_TRANS[2][8] = {{1, 2, 3, 3, 4, 5, 6, 7},
+                                 {4, 4, 4, 4, 5, 6, 7, 7}};
+
+// residual block: sigmap + levels (reference cabac_block_residual_internal)
+void block_residual(Cabac &cb, int cat, const int16_t *l, int n) {
+    int count_m1 = COUNT_M1[cat];
+    int last = -1;
+    for (int i = 0; i < n; i++)
+        if (l[i]) last = i;
+    // caller guarantees cbf was 1 => last >= 0
+    int16_t coeffs[16];
+    int ci = -1;
+    int sig = SIG_OFF[cat], lst = LAST_OFF[cat];
+    for (int i = 0;; i++) {
+        if (i == count_m1) {        // significance inferred at max pos
+            coeffs[++ci] = l[i];
+            break;
+        }
+        if (l[i]) {
+            coeffs[++ci] = l[i];
+            cb.decision(sig + i, 1);
+            if (i == last) {
+                cb.decision(lst + i, 1);
+                break;
+            }
+            cb.decision(lst + i, 0);
+        } else {
+            cb.decision(sig + i, 0);
+        }
+    }
+    int node = 0;
+    int lvl = LVL_OFF[cat];
+    for (; ci >= 0; ci--) {
+        int c = coeffs[ci];
+        int a = c < 0 ? -c : c;
+        int ctx = LVL1_CTX[node] + lvl;
+        if (a > 1) {
+            cb.decision(ctx, 1);
+            ctx = LVLGT1_CTX[node] + lvl;
+            int m = a < 15 ? a : 15;
+            for (int i = m - 2; i > 0; i--) cb.decision(ctx, 1);
+            if (a < 15)
+                cb.decision(ctx, 0);
+            else
+                cb.ue_bypass(0, a - 15);
+            node = LVL_TRANS[1][node];
+        } else {
+            cb.decision(ctx, 0);
+            node = LVL_TRANS[0][node];
+        }
+        cb.bypass(c < 0);
+    }
+}
+
+struct MBInfo {           // per-MB state for neighbor contexts
+    uint8_t coded = 0;        // inside current slice
+    uint8_t intra = 0;
+    uint8_t i16 = 0;          // is I16x16 (luma DC present)
+    uint8_t skip = 0;
+    uint8_t not_i4x4 = 1;     // mb_type != I_4x4 (for I mb_type ctx)
+    uint8_t cpm = 0;          // chroma pred mode
+    uint8_t cbp_l = 0, cbp_c = 0;
+    uint8_t dc_nnz[3] = {0, 0, 0};   // luma DC, chroma U DC, chroma V DC
+    uint8_t mvd[2] = {0, 0};         // capped |mvd|
+};
+
+struct Slice {
+    Cabac cb;
+    int mbw, mbh, n;
+    int slice_type;          // 0=P, 2=I
+    int slice_qp;
+    int last_qp, last_dqp;
+    MBInfo *mbs;
+    uint8_t *nnz_l;          // [mbh*4][mbw*4]
+    uint8_t *nnz_c;          // [2][mbh*2][mbw*2]
+    int intra_in_p_base = 17;
+
+    MBInfo &mb(int x, int y) { return mbs[y * mbw + x]; }
+
+    int nzl(int gx, int gy, int intra_cur) {
+        // luma 4x4 nnz with availability default (spec 9.3.3.1.1.9)
+        if (gx < 0 || gy < 0) return intra_cur;
+        return nnz_l[gy * mbw * 4 + gx] > 0;
+    }
+    int nzc(int pl, int gx, int gy, int intra_cur) {
+        if (gx < 0 || gy < 0) return intra_cur;
+        return nnz_c[(pl * mbh * 2 + gy) * mbw * 2 + gx] > 0;
+    }
+};
+
+void write_cbf_and_residual(Slice &S, int x, int y, int cat,
+                            const int16_t *l, int n, int nza, int nzb,
+                            uint8_t *set_nnz) {
+    int nnz = 0;
+    for (int i = 0; i < n; i++) nnz += l[i] != 0;
+    int ctx = CBF_BASE[cat] + 2 * (nzb != 0) + (nza != 0);
+    S.cb.decision(ctx, nnz > 0);
+    if (set_nnz) *set_nnz = (uint8_t)nnz;
+    if (nnz > 0) block_residual(S.cb, cat, l, n);
+}
+
+void write_qp_delta(Slice &S, int qp, int has_residual, int i16) {
+    int dqp = qp - S.last_qp;
+    if (i16 && !has_residual && dqp > 0) dqp = 0;   // reference quirk
+    int ctx = S.last_dqp != 0;
+    S.last_dqp = dqp;
+    S.last_qp += dqp;
+    if (dqp != 0) {
+        int val = dqp <= 0 ? -2 * dqp : 2 * dqp - 1;
+        // dqp is interpreted modulo QP_MAX_SPEC+1 = 52
+        if (val >= 51 && val != 52) val = 103 - val;
+        int first = 1;
+        while (val-- > 0) {
+            S.cb.decision(60 + ctx, 1);
+            ctx = first ? 2 : 3;
+            first = 0;
+        }
+    }
+    S.cb.decision(60 + ctx, 0);
+}
+
+// z-scan order of 4x4 luma blocks within an MB (coding order)
+const int ZX[16] = {0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3};
+const int ZY[16] = {0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3};
+
+void write_i16x16(Slice &S, int x, int y, int in_p, int i16_mode,
+                  int chroma_mode, int cbp_l, int cbp_c, int qp,
+                  const int16_t *ldc, const int16_t *lac,
+                  const int16_t *cdc, const int16_t *cac) {
+    Cabac &cb = S.cb;
+    MBInfo &me = S.mb(x, y);
+    // ---- mb_type ----
+    if (in_p) {
+        cb.decision(14, 1);
+        int b = S.intra_in_p_base;
+        cb.decision(b + 0, 1);
+        cb.terminal(0);
+        cb.decision(b + 1, cbp_l != 0);
+        if (cbp_c == 0)
+            cb.decision(b + 2, 0);
+        else {
+            cb.decision(b + 2, 1);
+            cb.decision(b + 2, cbp_c >> 1);
+        }
+        cb.decision(b + 3, i16_mode >> 1);
+        cb.decision(b + 3, i16_mode & 1);
+    } else {
+        int ctx = 0;
+        if (x > 0 && S.mb(x - 1, y).coded && S.mb(x - 1, y).not_i4x4) ctx++;
+        if (y > 0 && S.mb(x, y - 1).coded && S.mb(x, y - 1).not_i4x4) ctx++;
+        cb.decision(3 + ctx, 1);
+        cb.terminal(0);
+        cb.decision(3 + 3, cbp_l != 0);
+        if (cbp_c == 0)
+            cb.decision(3 + 4, 0);
+        else {
+            cb.decision(3 + 4, 1);
+            cb.decision(3 + 5, cbp_c >> 1);
+        }
+        cb.decision(3 + 6, i16_mode >> 1);
+        cb.decision(3 + 7, i16_mode & 1);
+    }
+    // ---- intra_chroma_pred_mode ----
+    {
+        int ctx = 0;
+        if (x > 0 && S.mb(x - 1, y).coded && S.mb(x - 1, y).cpm != 0) ctx++;
+        if (y > 0 && S.mb(x, y - 1).coded && S.mb(x, y - 1).cpm != 0) ctx++;
+        cb.decision(64 + ctx, chroma_mode > 0);
+        if (chroma_mode > 0) {
+            cb.decision(64 + 3, chroma_mode > 1);
+            if (chroma_mode > 1) cb.decision(64 + 3, chroma_mode > 2);
+        }
+    }
+    // ---- mb_qp_delta (always present for I16x16). The reference's
+    // empty-I16 dqp suppression (encoder/cabac.c:150) is NOT applied: the
+    // device deblock uses the per-MB qp map, so the signaled QP must
+    // follow it even for empty MBs ----
+    write_qp_delta(S, qp, 1, 1);
+
+    // ---- luma DC (cat 0): neighbors are the I16 DC flags ----
+    {
+        int nza = x > 0 ? (S.mb(x - 1, y).coded ? S.mb(x - 1, y).dc_nnz[0]
+                                                : 0)
+                        : 1;   // unavailable + intra -> 1
+        int nzb = y > 0 ? (S.mb(x, y - 1).coded ? S.mb(x, y - 1).dc_nnz[0]
+                                                : 0)
+                        : 1;
+        if (x == 0) nza = 1;
+        if (y == 0) nzb = 1;
+        // available neighbor that has no luma DC block -> 0
+        write_cbf_and_residual(S, x, y, 0, ldc, 16, nza, nzb,
+                               &me.dc_nnz[0]);
+    }
+    // ---- luma AC (cat 1) if cbp_l, z-scan ----
+    for (int b = 0; b < 16 && cbp_l; b++) {
+        int bx = ZX[b], by = ZY[b];
+        int gx = x * 4 + bx, gy = y * 4 + by;
+        int nza = S.nzl(gx - 1, gy, 1);
+        int nzb = S.nzl(gx, gy - 1, 1);
+        uint8_t nnz;
+        write_cbf_and_residual(S, x, y, 1, lac + b * 16 + 1, 15, nza, nzb,
+                               &nnz);
+        S.nnz_l[gy * S.mbw * 4 + gx] = nnz;
+    }
+    // ---- chroma DC (cat 3) if cbp_c ----
+    for (int pl = 0; pl < 2 && cbp_c; pl++) {
+        int nza = x > 0 ? (S.mb(x - 1, y).coded
+                               ? S.mb(x - 1, y).dc_nnz[1 + pl] : 1)
+                        : 1;
+        int nzb = y > 0 ? (S.mb(x, y - 1).coded
+                               ? S.mb(x, y - 1).dc_nnz[1 + pl] : 1)
+                        : 1;
+        write_cbf_and_residual(S, x, y, 3, cdc + pl * 4, 4, nza, nzb,
+                               &me.dc_nnz[1 + pl]);
+    }
+    // ---- chroma AC (cat 4) if cbp_c == 2 ----
+    for (int pl = 0; pl < 2 && cbp_c == 2; pl++)
+        for (int b = 0; b < 4; b++) {
+            int gx = x * 2 + (b & 1), gy = y * 2 + (b >> 1);
+            int nza = S.nzc(pl, gx - 1, gy, 1);
+            int nzb = S.nzc(pl, gx, gy - 1, 1);
+            uint8_t nnz;
+            write_cbf_and_residual(S, x, y, 4,
+                                   cac + (pl * 4 + b) * 16 + 1, 15,
+                                   nza, nzb, &nnz);
+            S.nnz_c[(pl * S.mbh * 2 + gy) * S.mbw * 2 + gx] = nnz;
+        }
+    me.intra = 1;
+    me.i16 = 1;
+    me.not_i4x4 = 1;
+    me.cpm = (uint8_t)chroma_mode;
+    me.cbp_l = (uint8_t)cbp_l;
+    me.cbp_c = (uint8_t)cbp_c;
+    me.coded = 1;
+}
+
+void write_p16x16(Slice &S, int x, int y, const int16_t *mvd, int cbp_l,
+                  int cbp_c, int qp, const int16_t *lraw,
+                  const int16_t *cdc, const int16_t *cac) {
+    Cabac &cb = S.cb;
+    MBInfo &me = S.mb(x, y);
+    // ---- mb_type: P_L0_16x16 ----
+    cb.decision(14, 0);
+    cb.decision(15, 0);
+    cb.decision(16, 0);
+    // (single ref: no ref_idx)
+    // ---- mvd ----
+    for (int c = 0; c < 2; c++) {
+        int amvd = (x > 0 ? S.mb(x - 1, y).mvd[c] : 0)
+                 + (y > 0 ? S.mb(x, y - 1).mvd[c] : 0);
+        int ctx = (amvd > 2) + (amvd > 32);
+        int base = c ? 47 : 40;
+        int v = mvd[c];
+        int a = v < 0 ? -v : v;
+        if (a == 0) {
+            cb.decision(base + ctx, 0);
+        } else {
+            static const uint8_t ctxes[8] = {3, 4, 5, 6, 6, 6, 6, 6};
+            cb.decision(base + ctx, 1);
+            if (a < 9) {
+                for (int i = 1; i < a; i++)
+                    cb.decision(base + ctxes[i - 1], 1);
+                cb.decision(base + ctxes[a - 1], 0);
+            } else {
+                for (int i = 1; i < 9; i++)
+                    cb.decision(base + ctxes[i - 1], 1);
+                cb.ue_bypass(3, a - 9);
+            }
+            cb.bypass(v < 0);
+        }
+        me.mvd[c] = (uint8_t)(a < 66 ? a : 66);
+    }
+    // ---- cbp ----
+    {
+        // cbp cache words (-1 when unavailable, reference cbp packing)
+        int cl = x > 0 && S.mb(x - 1, y).coded
+                     ? (S.mb(x - 1, y).cbp_l | (S.mb(x - 1, y).cbp_c << 4))
+                     : -1;
+        int ct = y > 0 && S.mb(x, y - 1).coded
+                     ? (S.mb(x, y - 1).cbp_l | (S.mb(x, y - 1).cbp_c << 4))
+                     : -1;
+        int cbp = cbp_l;
+        cb.decision(76 - ((cl >> 1) & 1) - ((ct >> 1) & 2), (cbp >> 0) & 1);
+        cb.decision(76 - ((cbp >> 0) & 1) - ((ct >> 2) & 2), (cbp >> 1) & 1);
+        cb.decision(76 - ((cl >> 3) & 1) - ((cbp << 1) & 2), (cbp >> 2) & 1);
+        cb.decision(76 - ((cbp >> 2) & 1) - ((cbp >> 0) & 2), (cbp >> 3) & 1);
+        int ca = cl == -1 ? 0 : (cl & 0x30);
+        int cbb = ct == -1 ? 0 : (ct & 0x30);
+        int ctx = (ca != 0) + 2 * (cbb != 0);
+        if (cbp_c == 0) {
+            cb.decision(77 + ctx, 0);
+        } else {
+            cb.decision(77 + ctx, 1);
+            ctx = 4 + (ca == 0x20) + 2 * (cbb == 0x20);
+            cb.decision(77 + ctx, cbp_c >> 1);
+        }
+    }
+    // ---- mb_qp_delta only when residual present ----
+    if (cbp_l || cbp_c)
+        write_qp_delta(S, qp, 1, 0);
+    else
+        S.last_dqp = 0;     // no dqp syntax -> ctx resets (reference)
+
+    // ---- luma 4x4 (cat 2), z-scan, only quads in cbp ----
+    for (int b = 0; b < 16; b++) {
+        int bx = ZX[b], by = ZY[b];
+        int quad = (by >> 1) * 2 + (bx >> 1);
+        int gx = x * 4 + bx, gy = y * 4 + by;
+        if (cbp_l & (1 << quad)) {
+            int nza = S.nzl(gx - 1, gy, 0);
+            int nzb = S.nzl(gx, gy - 1, 0);
+            uint8_t nnz;
+            write_cbf_and_residual(S, x, y, 2, lraw + b * 16, 16, nza, nzb,
+                                   &nnz);
+            S.nnz_l[gy * S.mbw * 4 + gx] = nnz;
+        } else {
+            S.nnz_l[gy * S.mbw * 4 + gx] = 0;
+        }
+    }
+    for (int pl = 0; pl < 2 && cbp_c; pl++) {
+        int nza = x > 0 ? (S.mb(x - 1, y).coded
+                               ? S.mb(x - 1, y).dc_nnz[1 + pl] : 0)
+                        : 0;
+        int nzb = y > 0 ? (S.mb(x, y - 1).coded
+                               ? S.mb(x, y - 1).dc_nnz[1 + pl] : 0)
+                        : 0;
+        write_cbf_and_residual(S, x, y, 3, cdc + pl * 4, 4, nza, nzb,
+                               &me.dc_nnz[1 + pl]);
+    }
+    for (int pl = 0; pl < 2 && cbp_c == 2; pl++)
+        for (int b = 0; b < 4; b++) {
+            int gx = x * 2 + (b & 1), gy = y * 2 + (b >> 1);
+            int nza = S.nzc(pl, gx - 1, gy, 0);
+            int nzb = S.nzc(pl, gx, gy - 1, 0);
+            uint8_t nnz;
+            write_cbf_and_residual(S, x, y, 4,
+                                   cac + (pl * 4 + b) * 16 + 1, 15,
+                                   nza, nzb, &nnz);
+            S.nnz_c[(pl * S.mbh * 2 + gy) * S.mbw * 2 + gx] = nnz;
+        }
+    me.intra = 0;
+    me.i16 = 0;
+    me.not_i4x4 = 1;
+    me.cpm = 0;
+    me.cbp_l = (uint8_t)cbp_l;
+    me.cbp_c = (uint8_t)cbp_c;
+    me.coded = 1;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns bytes written, or -1 on buffer overflow.
+// All arrays are length n = mbw*mbh in raster order unless noted.
+int cabac_encode_slice(
+    const uint8_t *init_states,   // [1024] packed (state<<1|mps)
+    const uint8_t *range_lps,     // [64*4]
+    const uint8_t *transition,    // [128*2]
+    int slice_type,               // 0=P, 2=I
+    int mbw, int mbh, int slice_qp,
+    const uint8_t *skip,          // [n] P_Skip flags
+    const uint8_t *is_intra,      // [n] I16x16 flag (1 in I slices)
+    const uint8_t *i16_mode,      // [n]
+    const uint8_t *chroma_mode,   // [n]
+    const uint8_t *cbp_luma,      // [n] 0..15
+    const uint8_t *cbp_chroma,    // [n] 0..2
+    const int8_t *qp,             // [n] per-MB qp
+    const int16_t *mvd,           // [n*2]
+    const int16_t *luma_dc,       // [n*16]    zigzag (I16 MBs)
+    const int16_t *luma_ac,       // [n*16*16] zigzag, z-scan blocks
+    const int16_t *chroma_dc,     // [n*2*4]
+    const int16_t *chroma_ac,     // [n*8*16]  zigzag, (pl,blk) raster
+    uint8_t *out, int out_cap)
+{
+    int n = mbw * mbh;
+    Slice S;
+    S.mbw = mbw;
+    S.mbh = mbh;
+    S.n = n;
+    S.slice_type = slice_type;
+    S.slice_qp = slice_qp;
+    S.last_qp = slice_qp;
+    S.last_dqp = 0;
+    S.cb.lps = range_lps;
+    S.cb.trans = transition;
+    std::memcpy(S.cb.state, init_states, 1024);
+    S.cb.start = S.cb.p = out;
+    S.cb.end = out + out_cap;
+    S.mbs = (MBInfo *)std::calloc(n, sizeof(MBInfo));
+    S.nnz_l = (uint8_t *)std::calloc(mbh * 4 * mbw * 4, 1);
+    S.nnz_c = (uint8_t *)std::calloc(2 * mbh * 2 * mbw * 2, 1);
+
+    for (int y = 0; y < mbh; y++) {
+        for (int x = 0; x < mbw; x++) {
+            int i = y * mbw + x;
+            if (S.cb.overflow()) goto overflow;
+            if (slice_type == 0) {
+                int ctx = 11;
+                if (x > 0 && S.mb(x - 1, y).coded && !S.mb(x - 1, y).skip)
+                    ctx++;
+                if (y > 0 && S.mb(x, y - 1).coded && !S.mb(x, y - 1).skip)
+                    ctx++;
+                S.cb.decision(ctx, skip[i]);
+                if (skip[i]) {
+                    MBInfo &me = S.mb(x, y);
+                    me = MBInfo();
+                    me.coded = 1;
+                    me.skip = 1;
+                    me.not_i4x4 = 1;
+                    S.last_dqp = 0;
+                    // zero nnz for neighbors
+                    for (int b = 0; b < 16; b++)
+                        S.nnz_l[(y * 4 + ZY[b]) * mbw * 4 + x * 4 + ZX[b]]
+                            = 0;
+                    for (int pl = 0; pl < 2; pl++)
+                        for (int b = 0; b < 4; b++)
+                            S.nnz_c[(pl * mbh * 2 + y * 2 + (b >> 1))
+                                        * mbw * 2 + x * 2 + (b & 1)] = 0;
+                    if (i < n - 1) S.cb.terminal(0);
+                    continue;
+                }
+            }
+            if (is_intra[i]) {
+                write_i16x16(S, x, y, slice_type == 0, i16_mode[i],
+                             chroma_mode[i], cbp_luma[i], cbp_chroma[i],
+                             qp[i], luma_dc + i * 16,
+                             luma_ac + i * 16 * 16, chroma_dc + i * 8,
+                             chroma_ac + i * 8 * 16);
+            } else {
+                write_p16x16(S, x, y, mvd + i * 2, cbp_luma[i],
+                             cbp_chroma[i], qp[i], luma_ac + i * 16 * 16,
+                             chroma_dc + i * 8, chroma_ac + i * 8 * 16);
+            }
+            if (i < n - 1) S.cb.terminal(0);
+        }
+    }
+    S.cb.flush();   // includes end_of_slice terminal 1 semantics
+    {
+        int written = (int)(S.cb.p - out);
+        std::free(S.mbs);
+        std::free(S.nnz_l);
+        std::free(S.nnz_c);
+        return written;
+    }
+overflow:
+    std::free(S.mbs);
+    std::free(S.nnz_l);
+    std::free(S.nnz_c);
+    return -1;
+}
+
+}  // extern "C"

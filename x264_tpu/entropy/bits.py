@@ -106,6 +106,11 @@ class BitWriter:
         if self._nbits:
             self.write(8 - self._nbits, 0)
 
+    def byte_align_one(self) -> None:
+        """cabac_alignment_one_bit padding (spec 7.3.4)."""
+        while self._nbits:
+            self.write1(1)
+
     @property
     def bit_pos(self) -> int:
         return len(self._bytes) * 8 + self._nbits

@@ -1,0 +1,121 @@
+"""Host CABAC writer: ctypes bridge to the C++ engine (native/cabac.cpp).
+
+Reference analogues: common/cabac.c (engine), encoder/cabac.c:1088 (MB
+writer). The device computes decisions/residuals as tensors; this module
+ships them to the serial C++ bit engine (SURVEY §7.1 design stance).
+The shared library is built on demand with g++ and cached next to the
+source.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from . import cabac_tables as T
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "build", "libcabac.so")
+_SRC = os.path.join(_NATIVE_DIR, "cabac.cpp")
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if (not os.path.exists(_SO_PATH)
+            or os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC)):
+        os.makedirs(os.path.dirname(_SO_PATH), exist_ok=True)
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-o", _SO_PATH, _SRC],
+            check=True, capture_output=True)
+    lib = ctypes.CDLL(_SO_PATH)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    i8 = ctypes.POINTER(ctypes.c_int8)
+    i16 = ctypes.POINTER(ctypes.c_int16)
+    lib.cabac_encode_slice.restype = ctypes.c_int
+    lib.cabac_encode_slice.argtypes = [
+        u8, u8, u8,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        u8, u8, u8, u8, u8, u8, i8, i16, i16, i16, i16, i16,
+        u8, ctypes.c_int]
+    _lib = lib
+    return lib
+
+
+def init_states(slice_type_i: bool, qp: int, model: int = 0) -> np.ndarray:
+    """Packed initial context states (reference x264_cabac_init,
+    common/cabac.c:32-46): state = clip(((m*qp)>>4)+n, 1, 126), packed as
+    (min(state,127-state)<<1) | (state>>6)."""
+    tab = T.CTX_INIT_I if slice_type_i else T.CTX_INIT_PB[model]
+    m = tab[:, 0].astype(np.int32)
+    n = tab[:, 1].astype(np.int32)
+    state = np.clip(((m * qp) >> 4) + n, 1, 126)
+    packed = (np.minimum(state, 127 - state) << 1) | (state >> 6)
+    return packed.astype(np.uint8)
+
+
+_LPS_FLAT = np.ascontiguousarray(T.RANGE_LPS.reshape(-1))
+_TRANS_FLAT = np.ascontiguousarray(T.TRANSITION.reshape(-1))
+
+
+def _ptr(a, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def encode_slice_cabac(slice_type_i: bool, mbw: int, mbh: int,
+                       slice_qp: int, skip, is_intra, i16_mode,
+                       chroma_mode, cbp_luma, cbp_chroma, qp_mb, mvd,
+                       luma_dc, luma_ac, chroma_dc, chroma_ac,
+                       model: int = 0) -> bytes:
+    """Write one slice's CABAC mb layer. Residual arrays are zigzagged;
+    luma blocks in z-scan coding order. Returns the payload bytes
+    (cabac-aligned slice data, to append after the slice header)."""
+    lib = _load()
+    n = mbw * mbh
+    states = init_states(slice_type_i, slice_qp, model)
+
+    def u8c(a):
+        return np.ascontiguousarray(np.asarray(a, np.uint8).reshape(-1))
+
+    def i16c(a, shape):
+        out = np.ascontiguousarray(np.asarray(a, np.int16).reshape(-1))
+        assert out.size == shape, (out.size, shape)
+        return out
+
+    skip = u8c(skip)
+    is_intra = u8c(is_intra)
+    i16_mode = u8c(i16_mode)
+    chroma_mode = u8c(chroma_mode)
+    cbp_luma = u8c(cbp_luma)
+    cbp_chroma = u8c(cbp_chroma)
+    qp_mb = np.ascontiguousarray(np.asarray(qp_mb, np.int8).reshape(-1))
+    mvd = i16c(mvd, n * 2)
+    luma_dc = i16c(luma_dc, n * 16)
+    luma_ac = i16c(luma_ac, n * 256)
+    chroma_dc = i16c(chroma_dc, n * 8)
+    chroma_ac = i16c(chroma_ac, n * 128)
+
+    cap = max(65536, n * 1024)
+    out = np.empty(cap, np.uint8)
+    rc = lib.cabac_encode_slice(
+        _ptr(states, ctypes.c_uint8),
+        _ptr(_LPS_FLAT, ctypes.c_uint8),
+        _ptr(_TRANS_FLAT, ctypes.c_uint8),
+        2 if slice_type_i else 0, mbw, mbh, slice_qp,
+        _ptr(skip, ctypes.c_uint8), _ptr(is_intra, ctypes.c_uint8),
+        _ptr(i16_mode, ctypes.c_uint8), _ptr(chroma_mode, ctypes.c_uint8),
+        _ptr(cbp_luma, ctypes.c_uint8), _ptr(cbp_chroma, ctypes.c_uint8),
+        _ptr(qp_mb, ctypes.c_int8), _ptr(mvd, ctypes.c_int16),
+        _ptr(luma_dc, ctypes.c_int16), _ptr(luma_ac, ctypes.c_int16),
+        _ptr(chroma_dc, ctypes.c_int16), _ptr(chroma_ac, ctypes.c_int16),
+        _ptr(out, ctypes.c_uint8), cap)
+    if rc < 0:
+        raise RuntimeError("CABAC output buffer overflow")
+    return out[:rc].tobytes()
