@@ -48,6 +48,7 @@ def encode_ippp(frames, w, h, qp=26, keyint=250):
     p = param_default_preset("medium")
     p.width, p.height = w, h
     p.cabac = False
+    p.bframe = 0     # IPPP: refdec has no B decode yet
     p.deblocking_filter = False
     p.keyint_max = keyint
     p.rc.rc_method = 0
@@ -139,6 +140,7 @@ def test_ippp_deblock_conformance(tmp_path):
     p = param_default_preset("medium")
     p.width, p.height = w, h
     p.cabac = False
+    p.bframe = 0     # IPPP: refdec has no B decode yet
     p.deblocking_filter = True
     p.rc.rc_method = 0
     p.rc.qp_constant = 30

@@ -34,6 +34,7 @@ def encode(frames, w, h, qp=26):
     p = param_default_preset("medium")
     p.width, p.height = w, h
     p.cabac = False
+    p.bframe = 0     # IPPP: refdec has no B decode yet
     p.deblocking_filter = False
     p.rc.rc_method = 0
     p.rc.qp_constant = qp

@@ -110,6 +110,7 @@ def test_sharded_intra_multislice_conformance(tmp_path):
     p = param_default_preset("medium")
     p.width, p.height = w, h
     p.cabac = False
+    p.bframe = 0     # IPPP: refdec has no B decode yet
     p.rc.rc_method = 0
     p.rc.qp_constant = 28
     p = validate_parameters(p)
@@ -152,6 +153,7 @@ def test_sharded_pframe_multislice_conformance(tmp_path):
     p = param_default_preset("medium")
     p.width, p.height = w, h
     p.cabac = False
+    p.bframe = 0     # IPPP: refdec has no B decode yet
     p.deblocking_filter = True
     p.rc.rc_method = 0
     p.rc.qp_constant = qp

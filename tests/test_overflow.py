@@ -40,6 +40,7 @@ def test_overflow_reencode_conformant(monkeypatch, threads):
     p = param_default_preset("veryfast")
     p.width, p.height = 96, 64
     p.cabac = False
+    p.bframe = 0     # IPPP: refdec has no B decode yet
     p.threads = threads
     p.rc.rc_method = 0
     p.rc.qp_constant = 12

@@ -32,6 +32,7 @@ def _encode(frames, w, h, **rc):
     p = param_default_preset("medium")
     p.width, p.height = w, h
     p.cabac = False
+    p.bframe = 0     # IPPP: refdec has no B decode yet
     p.threads = 1
     p.fps_num, p.fps_den = 25, 1
     for k, v in rc.items():
@@ -95,6 +96,7 @@ def test_aq_conformance():
     p = param_default_preset("medium")
     p.width, p.height = w, h
     p.cabac = False
+    p.bframe = 0     # IPPP: refdec has no B decode yet
     p.threads = 1
     p.rc.rc_method = 1
     p.rc.rf_constant = 26
@@ -111,3 +113,65 @@ def test_aq_conformance():
     for i in range(3):
         for c in range(3):
             np.testing.assert_array_equal(dec[i][c], recs[i][c])
+
+
+def test_vbv_respects_buffer():
+    """CBR with a declared decoder buffer: the integrated buffer state
+    must never underflow (reference update_vbv, ratecontrol.c:2137)."""
+    frames = _frames(16, 64, 48)
+    p = param_default_preset("medium")
+    p.width, p.height = 64, 48
+    p.cabac = False
+    p.bframe = 0     # IPPP: refdec has no B decode yet
+    p.threads = 1
+    p.fps_num, p.fps_den = 25, 1
+    p.rc.rc_method = 2
+    p.rc.bitrate = 100
+    p.rc.vbv_max_bitrate = 100
+    p.rc.vbv_buffer_size = 60        # ~0.6s buffer
+    enc = Encoder(p)
+    buffer_size = 60 * 1000.0
+    buffer_rate = 100 * 1000.0 / 25
+    fill = buffer_size * 0.9
+    min_fill = fill
+    for i, f in enumerate(frames):
+        nals, out = enc.encode(Picture(f, pts=i))
+        bits = sum(len(n.payload) * 8 for n in nals)
+        fill = min(fill + buffer_rate - bits, buffer_size)
+        min_fill = min(min_fill, fill)
+    # the frame-level VBV must keep a healthy margin (no underflow)
+    assert min_fill > -buffer_rate, min_fill
+
+
+def test_two_pass_hits_target(tmp_path):
+    """Pass 1 writes stats; pass 2 hits the bitrate target closely
+    (reference init_pass2, ratecontrol.c:2932)."""
+    frames = _frames(20, 64, 48)
+    stat = str(tmp_path / "2pass.log")
+
+    def run(write, read):
+        p = param_default_preset("medium")
+        p.width, p.height = 64, 48
+        p.cabac = False
+        p.bframe = 0     # IPPP: refdec has no B decode yet
+        p.threads = 1
+        p.fps_num, p.fps_den = 25, 1
+        p.rc.rc_method = 2
+        p.rc.bitrate = 120
+        p.rc.stat_write = write
+        p.rc.stat_read = read
+        p.rc.stat_out = stat
+        p.rc.stat_in = stat
+        enc = Encoder(p)
+        total = 0
+        for i, f in enumerate(frames):
+            nals, out = enc.encode(Picture(f, pts=i))
+            total += sum(len(n.payload) for n in nals)
+        enc.close()
+        return total * 8 * 25 / len(frames) / 1000
+
+    run(True, False)
+    import os
+    assert os.path.getsize(stat) > 0
+    kbps2 = run(False, True)
+    assert 90 < kbps2 < 150, kbps2   # within ~25% of 120 kbps

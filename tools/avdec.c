@@ -17,12 +17,30 @@
 static FILE *out;
 static int nframes = 0;
 
+#include <libavutil/motion_vector.h>
+
 static void write_frame(AVFrame *f) {
     for (int p = 0; p < 3; p++) {
         int w = p ? f->width / 2 : f->width;
         int h = p ? f->height / 2 : f->height;
         for (int y = 0; y < h; y++)
             fwrite(f->data[p] + y * f->linesize[p], 1, w, out);
+    }
+    if (getenv("AVDEC_DUMP_MVS")) {
+        AVFrameSideData *sd =
+            av_frame_get_side_data(f, AV_FRAME_DATA_MOTION_VECTORS);
+        if (sd) {
+            const AVMotionVector *mv = (const AVMotionVector *)sd->data;
+            int n = sd->size / sizeof(*mv);
+            for (int i = 0; i < n; i++)
+                fprintf(stderr,
+                        "MV frame=%d src=%d blk=%dx%d at=%d,%d "
+                        "mv=%d,%d\n", nframes, mv[i].source, mv[i].w,
+                        mv[i].h, mv[i].dst_x, mv[i].dst_y,
+                        mv[i].motion_x, mv[i].motion_y);
+        } else {
+            fprintf(stderr, "MV frame=%d none\n", nframes);
+        }
     }
     nframes++;
 }
@@ -52,6 +70,8 @@ int main(int argc, char **argv) {
     AVCodecContext *c = avcodec_alloc_context3(codec);
     /* strict conformance: report every spec violation */
     c->err_recognition = AV_EF_EXPLODE | AV_EF_BITSTREAM | AV_EF_COMPLIANT;
+    if (getenv("AVDEC_DUMP_MVS"))
+        c->flags2 |= AV_CODEC_FLAG2_EXPORT_MVS;
     avcodec_open2(c, codec, NULL);
     AVFrame *frame = av_frame_alloc();
     AVPacket *pkt = av_packet_alloc();

@@ -65,6 +65,10 @@ def frame_redispatch(enc, job):
     saved = (enc.frame_num, enc.poc)
     enc.frame_num, enc.poc = job["pre_state"]
     try:
+        if job["ftype"] == TYPE_B:
+            from . import bframe
+            return bframe.dispatch_bframe(enc, job["planes"], job["qp"],
+                                          job["ref_tag"], job["ref_bwd"])
         return frame_encode.dispatch_frame(enc, job["planes"],
                                            job["ftype"], job["qp"],
                                            ref_tag=job["ref_tag"])
@@ -139,9 +143,15 @@ class Encoder:
         self.rc = RateControl(self.p)
         self._lookahead = Lookahead(self.p)
         self._dpb: list = []        # reference frames (device arrays)
-        self._max_refs = 1          # signaled refs (multi-ref lands later)
+        # signaled DPB refs: both B anchors stay referenced (sliding
+        # window evicts older anchors automatically)
+        self._max_refs = 2 if self.p.bframe > 0 else 1
         self._pipe: list = []       # in-flight frame jobs (frame-threads)
         self._pipe_depth = 1 if self.p.threads != 1 else 0
+        self._bqueue: list = []     # pending B candidates (display order)
+        self._last_anchor_tag = None
+        self._idr_display_base = 0
+        self._coding_out = 0        # frames dispatched (coding order)
         self._closed = False
         # stats accumulation (reference encoder_close stats, encoder.c:4196)
         self.stats = {"frames": 0, "bytes": 0,
@@ -153,20 +163,43 @@ class Encoder:
 
     # ------------------------------------------------------------- headers
     def headers(self) -> list[nal_mod.NAL]:
-        """SPS+PPS (+SEI version) NALs (reference x264_encoder_headers)."""
+        """SPS+PPS (+SEI suite) NALs (reference x264_encoder_headers +
+        the SEI writes in encoder_encode, encoder.c:3662-3853)."""
+        def sei(payload):
+            return nal_mod.nal_encode(nal_mod.NAL_SEI,
+                                      nal_mod.NAL_PRIORITY_DISPOSABLE,
+                                      payload)
         nals = [
             nal_mod.nal_encode(nal_mod.NAL_SPS, nal_mod.NAL_PRIORITY_HIGHEST,
                                sets.sps_write(self.sps)),
             nal_mod.nal_encode(nal_mod.NAL_PPS, nal_mod.NAL_PRIORITY_HIGHEST,
                                sets.pps_write(self.pps)),
-            nal_mod.nal_encode(nal_mod.NAL_SEI,
-                               nal_mod.NAL_PRIORITY_DISPOSABLE,
-                               sets.sei_version(self.p)),
+            sei(sets.sei_version(self.p)),
         ]
+        if self.p.frame_packing >= 0:
+            nals.append(sei(sets.sei_frame_packing(self.p.frame_packing)))
+        if self.p.mastering_display:
+            import re
+            v = [int(x) for x in re.findall(r"-?\d+",
+                                            self.p.mastering_display)]
+            if len(v) == 10:
+                nals.append(sei(sets.sei_mastering_display(
+                    [(v[0], v[1]), (v[2], v[3]), (v[4], v[5])],
+                    (v[6], v[7]), v[8], v[9])))
+        if self.p.content_light_level:
+            try:
+                cll, fall = (int(x) for x in
+                             self.p.content_light_level.split(","))
+                nals.append(sei(sets.sei_content_light_level(cll, fall)))
+            except ValueError:
+                pass
+        if self.p.alternative_transfer != 2:
+            nals.append(sei(sets.sei_alternative_transfer(
+                self.p.alternative_transfer)))
         return nals
 
     def delayed_frames(self) -> int:
-        return len(self._pipe)
+        return len(self._pipe) + len(self._bqueue)
 
     # ------------------------------------------------------------- encode
     def encode(self, pic: Optional[Picture]) -> tuple[list, Optional[PicOut]]:
@@ -179,6 +212,12 @@ class Encoder:
         if self._closed:
             raise EncoderError("encoder closed")
         if pic is None:
+            # stream flush: pending B-candidates have no future anchor ->
+            # encode them as P in display order (reference flush path)
+            while self._bqueue:
+                q = self._bqueue.pop(0)
+                self._enqueue_frame(q["planes"], TYPE_P, q["pic"],
+                                    q["idx"])
             if self._pipe:
                 return self._finalize_job(self._pipe.pop(0))
             return [], None
@@ -194,48 +233,83 @@ class Encoder:
         # is always the previous source frame
         cut = (self._lookahead.scene_cut(planes[0])
                if self.p.scenecut_threshold > 0 else False)
-        if pic.i_type in (TYPE_IDR, TYPE_KEYFRAME, TYPE_I):
-            ftype = TYPE_IDR   # open-gop I not yet supported
-        elif pic.i_type == TYPE_AUTO:
-            if idx - self.last_keyframe >= self.p.keyint_max or idx == 0:
-                ftype = TYPE_IDR
-            elif not self._dpb:
-                ftype = TYPE_IDR
-            elif cut and idx - self.last_keyframe >= keyint_min:
-                ftype = TYPE_IDR
-            else:
-                ftype = TYPE_P
-        else:
-            ftype = pic.i_type
+        b_active = self.p.bframe > 0 and not self.p.cabac
+        force_idr = (
+            pic.i_type in (TYPE_IDR, TYPE_KEYFRAME, TYPE_I)
+            or (pic.i_type == TYPE_AUTO
+                and (idx - self.last_keyframe >= self.p.keyint_max
+                     or idx == 0
+                     or (not self._dpb and not self._bqueue)
+                     or (cut and idx - self.last_keyframe >= keyint_min))))
 
+        if force_idr:
+            # queued B-candidates lose their future anchor: encode as P
+            while self._bqueue:
+                q = self._bqueue.pop(0)
+                self._enqueue_frame(q["planes"], TYPE_P, q["pic"],
+                                    q["idx"])
+            self._enqueue_frame(planes, TYPE_IDR, pic, idx)
+        elif (b_active and pic.i_type in (TYPE_AUTO, TYPE_B, TYPE_BREF)
+              and len(self._bqueue) < self.p.bframe
+              and pic.i_type != TYPE_P):
+            # B candidate: held until the next anchor arrives
+            # (reference lookahead ifbuf; b-adapt none cadence)
+            self._bqueue.append({"planes": planes, "pic": pic,
+                                 "idx": idx})
+            return [], None
+        else:
+            # P anchor (coding order: anchor first, then the B run)
+            prev_anchor = self._last_anchor_tag
+            self._enqueue_frame(planes, TYPE_P, pic, idx)
+            while self._bqueue:
+                q = self._bqueue.pop(0)
+                self._enqueue_frame(q["planes"], TYPE_B, q["pic"],
+                                    q["idx"], ref_fwd=prev_anchor,
+                                    ref_bwd=idx)
+        if len(self._pipe) <= self._pipe_depth:
+            return [], None
+        return self._finalize_job(self._pipe.pop(0))
+
+    def _enqueue_frame(self, planes, ftype, pic, idx, ref_fwd=None,
+                       ref_bwd=None) -> None:
+        """Dispatch one frame in coding order and append its job
+        (reference slices_write dispatch, encoder.c:3885)."""
         is_idr = ftype == TYPE_IDR
         if is_idr:
             self.last_keyframe = idx
             self.frame_num = 0
-            self.poc = 0
+            self._idr_display_base = idx
             self._dpb.clear()
+            self._last_anchor_tag = None
+        self.poc = 2 * (idx - self._idr_display_base)
 
-        # --- rate control (CQP / flat CRF for now) ---
         qp = self._decide_qp(ftype, pic)
-
-        # --- dispatch frame to device ---
         pre_state = (self.frame_num, self.poc)
-        finalize, retry, recon_dev, ref_tag = self._dispatch_frame(
-            planes, ftype, qp, pic)
+        if ftype == TYPE_B:
+            from . import bframe
+            finalize, retry, recon_dev, _ = bframe.dispatch_bframe(
+                self, planes, qp, ref_fwd, ref_bwd)
+        else:
+            finalize, retry, recon_dev, ref_fwd = self._dispatch_frame(
+                planes, ftype, qp, pic)
+            # reference pictures advance frame_num (spec 7.4.3)
+            self.frame_num = (self.frame_num + 1) % (
+                1 << self.sps.log2_max_frame_num)
         tag = idx
         if recon_dev is not None:
             self._dpb_push(recon_dev, tag)
+            self._last_anchor_tag = tag
         if is_idr:
             self.idr_pic_id = (self.idr_pic_id + 1) % 65536
 
+        b_active = self.p.bframe > 0 and not self.p.cabac
+        dts = self._coding_out - (1 if b_active else 0)
+        self._coding_out += 1
         job = {"finalize": finalize, "retry": retry, "pts": pic.pts,
-               "ftype": ftype, "is_idr": is_idr, "qp": qp,
+               "dts": dts, "ftype": ftype, "is_idr": is_idr, "qp": qp,
                "planes": planes, "tag": tag, "pre_state": pre_state,
-               "ref_tag": ref_tag}
+               "ref_tag": ref_fwd, "ref_bwd": ref_bwd}
         self._pipe.append(job)
-        if len(self._pipe) <= self._pipe_depth:
-            return [], None
-        return self._finalize_job(self._pipe.pop(0))
 
     def _finalize_job(self, job) -> tuple[list, PicOut]:
         from .intra import PayloadOverflow
@@ -247,10 +321,31 @@ class Encoder:
             nals, recon = finalize()
         except PayloadOverflow:
             nals, recon, qp = self._overflow_reencode(job)
+        if self.sps.nal_hrd_parameters:
+            # HRD SEIs (reference encoder.c:3723-3767): buffering period
+            # at every IDR, picture timing on every AU; delays in ticks
+            # of 2 fields per frame
+            hrd = []
+            if is_idr:
+                init_delay = int(0.9 * self.sps.hrd_cpb_size * 90000
+                                 / max(self.sps.hrd_bitrate, 1))
+                hrd.append(nal_mod.nal_encode(
+                    nal_mod.NAL_SEI, nal_mod.NAL_PRIORITY_DISPOSABLE,
+                    sets.sei_buffering_period(self.sps,
+                                              min(init_delay, (1 << 24)
+                                                  - 1))))
+                self._hrd_bp_idx = self.frames_out
+            cpb_delay = 2 * (self.frames_out
+                             - getattr(self, "_hrd_bp_idx", 0))
+            dpb_delay = 2 * max(0, pts - job.get("dts", pts))
+            hrd.append(nal_mod.nal_encode(
+                nal_mod.NAL_SEI, nal_mod.NAL_PRIORITY_DISPOSABLE,
+                sets.sei_pic_timing(self.sps, cpb_delay, dpb_delay)))
+            nals = hrd + nals
         if self.p.aud:
             from .intra import aud_nal
             nals = [aud_nal(ftype)] + nals
-        out = PicOut(pts=pts, dts=pts, i_type=ftype,
+        out = PicOut(pts=pts, dts=job.get("dts", pts), i_type=ftype,
                      b_keyframe=is_idr, qp=qp,
                      recon=[r[:self.p.height, :self.p.width] if i == 0 else
                             r[:self._chroma_h(), :self._chroma_w()]
@@ -342,7 +437,8 @@ class Encoder:
             except PayloadOverflow:
                 if qp_try >= P.QP_MAX_SPEC:
                     raise
-        self._dpb_replace(job["tag"], recon_dev2)
+        if recon_dev2 is not None:          # B frames store no recon
+            self._dpb_replace(job["tag"], recon_dev2)
         # frames dispatched against the stale recon must be re-dispatched
         for j2 in self._pipe:
             fin, retry, recon_dev, _ = frame_redispatch(self, j2)
@@ -406,11 +502,15 @@ class Encoder:
         sh.idr_pic_id = self.idr_pic_id
         sh.poc_lsb = self.poc % (1 << self.sps.log2_max_poc_lsb)
         sh.qp = qp
-        sh.num_ref_idx_l0_active = max(1, min(self._max_refs,
-                                              len(self._dpb)))
+        # one active ref per list until multi-ref lands (ref_idx is then
+        # never coded in the MB layer)
+        sh.num_ref_idx_l0_active = 1
+        sh.num_ref_idx_l1_active = 1
         sh.num_ref_idx_override = (
-            sh.slice_type == SLICE_TYPE_P
-            and sh.num_ref_idx_l0_active != self.pps.num_ref_idx_l0_active)
+            sh.slice_type in (SLICE_TYPE_P, SLICE_TYPE_B)
+            and (self.pps.num_ref_idx_l0_active != 1
+                 or (sh.slice_type == SLICE_TYPE_B
+                     and self.pps.num_ref_idx_l1_active != 1)))
         if not self.p.deblocking_filter:
             sh.disable_deblocking_filter_idc = 1
         sh.alpha_c0_offset = self.p.deblocking_filter_alphac0 * 2

@@ -465,8 +465,7 @@ def dispatch_pframe(enc, planes, ftype, qp, ref_tag=None):
     # merange 16/24 are honored (VERDICT r1 item 9).
     me_range = min(enc.p.analyse.me_range, mc.PAD - 8)
     sh = enc._slice_header(ftype, qp)
-    enc.frame_num = (enc.frame_num + 1) % (1 << enc.sps.log2_max_frame_num)
-    enc.poc += 2
+    # frame_num/poc transitions are owned by the orchestrator (encoder.py)
     materialize = (enc.p.analyse.psnr or enc.p.analyse.ssim
                    or enc.p.dump_yuv or enc.p.full_recon)
 

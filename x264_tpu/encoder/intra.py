@@ -356,8 +356,7 @@ def dispatch_iframe_cabac(enc, planes, ftype, qp):
     sh = enc._slice_header(ftype, qp)
     nal_type = (nal_mod.NAL_SLICE_IDR if ftype == TYPE_IDR
                 else nal_mod.NAL_SLICE)
-    enc.frame_num = (enc.frame_num + 1) % (1 << enc.sps.log2_max_frame_num)
-    enc.poc += 2
+    # frame_num/poc transitions are owned by the orchestrator (encoder.py)
     materialize = (enc.p.analyse.psnr or enc.p.analyse.ssim
                    or enc.p.dump_yuv or enc.p.full_recon)
 
@@ -459,8 +458,7 @@ def dispatch_iframe(enc, planes, ftype, qp):
     sh = enc._slice_header(ftype, qp)
     nal_type = (nal_mod.NAL_SLICE_IDR if ftype == TYPE_IDR
                 else nal_mod.NAL_SLICE)
-    enc.frame_num = (enc.frame_num + 1) % (1 << enc.sps.log2_max_frame_num)
-    enc.poc += 2
+    # frame_num/poc transitions are owned by the orchestrator (encoder.py)
     materialize = (enc.p.analyse.psnr or enc.p.analyse.ssim
                    or enc.p.dump_yuv or enc.p.full_recon)
 

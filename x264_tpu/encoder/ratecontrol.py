@@ -1,12 +1,24 @@
-"""Rate control: CQP / CRF / ABR (reference encoder/ratecontrol.c, 3134 LoC;
-doc/ratecontrol.txt).
+"""Rate control: CQP / CRF / ABR + frame-level VBV + 2-pass (reference
+encoder/ratecontrol.c, 3134 LoC; doc/ratecontrol.txt).
 
-Round-1 scope: frame-level control with the reference's qscale model —
+Frame-level control with the reference's qscale model —
 qscale = blurred_complexity^(1-qcompress) / rate_factor — driven by the
-device-computed frame SATD cost, with ABR buffer feedback. Per-MB adaptive
-quantization, VBV and 2-pass land next. Under the frame pipeline the state
-updates lag one frame, exactly like the reference's frame-thread RC sync
-(x264_thread_sync_ratecontrol, ratecontrol.c:2754).
+device-computed frame SATD cost, with ABR buffer feedback.
+
+VBV (reference ratecontrol.c:2137 update_vbv / clip_qscale): a bit
+predictor (bits ~ coef*complexity/qscale, reference predict_size
+ratecontrol.c:2109) clamps each frame's qscale so the predicted size fits
+the decoder buffer; the buffer state integrates actual sizes.
+
+2-pass (reference ratecontrol.c:744 stat parse, init_pass2
+ratecontrol.c:2932): pass 1 logs per-frame {type, qp, satd, bits}; pass 2
+solves for the rate factor that hits the bit budget under the
+bits ~ c*cplx^qcomp model and schedules per-frame QPs, with an ABR-style
+feedback term correcting drift against the actual bits spent.
+
+Under the frame pipeline the state updates lag one frame, exactly like
+the reference's frame-thread RC sync (x264_thread_sync_ratecontrol,
+ratecontrol.c:2754).
 """
 
 from __future__ import annotations
@@ -57,12 +69,141 @@ class RateControl:
                                       1.0)
         self.cbr_decay = 1.0
 
+        # ---- VBV state (reference ratecontrol.c:2137) ----
+        rc = p.rc
+        self.vbv = bool(rc.vbv_buffer_size and rc.vbv_max_bitrate)
+        if self.vbv:
+            self.buffer_size = rc.vbv_buffer_size * 1000.0
+            self.buffer_rate = rc.vbv_max_bitrate * 1000.0 / max(self.fps,
+                                                                 1.0)
+            self.buffer_fill = self.buffer_size * min(
+                max(rc.vbv_buffer_init, 0.0), 1.0)
+            # bit predictor per frame type: bits ~ coef * cplx / qscale
+            self.pred_coef = {k: 0.5 for k in "IPB"}
+            self.pred_count = {k: 1.0 for k in "IPB"}
+
+        # ---- 2-pass state ----
+        self.started = 0
+        self.stat_lines: list[str] = []
+        self.pass2 = []                 # per-frame scheduled (type, qp)
+        self.pass2_expected = []        # cumulative expected bits
+        if rc.stat_read:
+            self._init_pass2()
+
+    @staticmethod
+    def _tkey(ftype: int) -> str:
+        return {TYPE_IDR: "I", TYPE_I: "I", TYPE_P: "P",
+                TYPE_B: "B", TYPE_BREF: "B"}[ftype]
+
+    # -------------------------------------------------------------- 2-pass
+    def _init_pass2(self) -> None:
+        """Parse the pass-1 stat file and schedule per-frame QPs
+        (reference init_pass2, ratecontrol.c:2932)."""
+        rc = self.p.rc
+        recs = []
+        with open(rc.stat_in) as f:
+            for line in f:
+                parts = dict(kv.split(":", 1) for kv in line.split()
+                             if ":" in kv)
+                if "type" not in parts:
+                    continue
+                recs.append((parts["type"], float(parts["q"]),
+                             float(parts["tex"]), float(parts["bits"])))
+        if not recs:
+            raise ValueError("empty 2-pass stats file")
+        # calibrate the bits ~ c * cplx^qcomp * (1/ipb) model from pass 1
+        csum = ccount = 0.0
+        for t, q, cplx, bits in recs:
+            qs = qp2qscale(q)
+            csum += bits * qs / max(cplx, 1.0)
+            ccount += 1
+        c = csum / max(ccount, 1.0)
+        target_total = self.bitrate / self.fps * len(recs)
+
+        def total_for(rf: float) -> float:
+            tot = 0.0
+            for t, _, cplx, _ in recs:
+                qs = max(cplx, 1.0) ** (1.0 - self.qcomp) / rf
+                if t == "I":
+                    qs /= rc.ip_factor
+                elif t == "B":
+                    qs *= rc.pb_factor
+                qs = min(max(qs, qp2qscale(rc.qp_min)),
+                         qp2qscale(rc.qp_max))
+                tot += c * max(cplx, 1.0) / qs
+            return tot
+
+        lo, hi = 1e-6, 1e9
+        for _ in range(60):             # bisection on the rate factor
+            mid = math.sqrt(lo * hi)
+            if total_for(mid) > target_total:
+                lo, hi = lo, mid
+            else:
+                lo, hi = mid, hi
+        rf = math.sqrt(lo * hi)
+        cum = 0.0
+        for t, _, cplx, _ in recs:
+            qs = max(cplx, 1.0) ** (1.0 - self.qcomp) / rf
+            if t == "I":
+                qs /= rc.ip_factor
+            elif t == "B":
+                qs *= rc.pb_factor
+            qp = min(max(qscale2qp(qs), rc.qp_min), rc.qp_max)
+            self.pass2.append((t, qp))
+            cum += c * max(cplx, 1.0) / min(max(qs, qp2qscale(rc.qp_min)),
+                                            qp2qscale(rc.qp_max))
+            self.pass2_expected.append(cum)
+
+    def write_stats(self) -> None:
+        """Flush pass-1 stats (reference ratecontrol_end stat write)."""
+        if self.p.rc.stat_write and self.stat_lines:
+            path = self.p.rc.stat_out
+            with open(path, "w") as f:
+                f.write("".join(self.stat_lines))
+
+    # ----------------------------------------------------------------- VBV
+    def _clip_qscale_vbv(self, tkey: str, qscale: float) -> float:
+        """Raise qscale until the predicted frame fits the buffer
+        (reference clip_qscale, ratecontrol.c:2244)."""
+        cplx = (self.cplx_sum / self.cplx_count
+                if self.cplx_count > 0 else float(self.base_cplx))
+        coef = self.pred_coef[tkey] / self.pred_count[tkey]
+        for _ in range(32):
+            pred = coef * cplx / max(qscale, 1e-9)
+            # keep at least 20% of the buffer after this frame when
+            # possible (reference keeps space for subsequent frames)
+            space = self.buffer_fill + self.buffer_rate \
+                - 0.2 * self.buffer_size
+            if pred <= max(space, self.buffer_rate * 0.5) \
+                    or qscale >= qp2qscale(self.p.rc.qp_max):
+                break
+            qscale *= 1.1
+        return qscale
+
     # ------------------------------------------------------------- frame
     def start(self, ftype: int, forced_qp: int = -1) -> int:
         """QP for the upcoming frame (reference x264_ratecontrol_start)."""
         rc = self.p.rc
+        idx = getattr(self, "started", 0)
+        self.started = idx + 1
         if forced_qp >= 0:
             return forced_qp
+        if self.pass2:
+            t, qp = self.pass2[min(idx, len(self.pass2) - 1)]
+            # drift correction vs the pass-2 plan (reference vbv_pass2 /
+            # ABR-style feedback, ratecontrol.c:2868)
+            if idx > 0:
+                expected = self.pass2_expected[
+                    min(idx - 1, len(self.pass2_expected) - 1)]
+                drift = (self.total_bits - expected) / max(
+                    2.0 * rc.rate_tolerance * self.bitrate, 1.0)
+                qp += min(max(6.0 * drift, -4.0), 4.0)
+            qp = min(max(qp, rc.qp_min), rc.qp_max)
+            if self.vbv:
+                tkey = self._tkey(ftype)
+                qp = qscale2qp(self._clip_qscale_vbv(tkey, qp2qscale(qp)))
+                qp = min(max(qp, rc.qp_min), rc.qp_max)
+            return int(round(qp))
         if self.method == P.RC_CQP:
             q = rc.qp_constant
             if ftype in (TYPE_IDR, TYPE_I):
@@ -94,6 +235,8 @@ class RateControl:
         elif ftype in (TYPE_B, TYPE_BREF):
             qscale *= rc.pb_factor
 
+        if self.vbv:
+            qscale = self._clip_qscale_vbv(self._tkey(ftype), qscale)
         qp = qscale2qp(max(qscale, 1e-4))
         qp = min(max(qp, rc.qp_min), rc.qp_max)
         self._pending_qscale = qp2qscale(qp)
@@ -102,7 +245,26 @@ class RateControl:
     def end(self, ftype: int, bits: int, satd_cost: float,
             qp_used: int) -> None:
         """Post-frame update (reference x264_ratecontrol_end)."""
-        if self.method == P.RC_CQP:
+        tkey = self._tkey(ftype)
+        if self.p.rc.stat_write:
+            self.stat_lines.append(
+                f"in:{self.frames} out:{self.frames} type:{tkey} "
+                f"q:{qp_used:.2f} tex:{float(satd_cost):.0f} "
+                f"bits:{bits}\n")
+        if self.vbv:
+            cplx = max(float(satd_cost), 1.0)
+            qs = qp2qscale(qp_used)
+            # update the size predictor (reference update_predictor)
+            self.pred_coef[tkey] = (self.pred_coef[tkey] * 0.5
+                                    + bits * qs / cplx)
+            self.pred_count[tkey] = self.pred_count[tkey] * 0.5 + 1.0
+            self.buffer_fill = min(
+                self.buffer_fill + self.buffer_rate - bits,
+                self.buffer_size)
+            self.buffer_fill = max(self.buffer_fill, 0.0)
+        if self.method == P.RC_CQP and not self.pass2:
+            if self.p.rc.stat_write:
+                self.frames += 1
             return
         satd = max(float(satd_cost), 1.0)
         self.cplx_sum = self.cplx_sum * 0.5 + satd

@@ -497,6 +497,97 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
     return words, total_bits, eff_qp
 
 
+@partial(jax.jit, static_argnames=("mbw", "mbh", "cap_words"))
+def encode_bframe_entropy_dev(mode, mvd0, mvd1, cbp_luma, cbp_chroma,
+                              qp_flat, slice_qp, luma_lv, cdc_blk, cac_blk,
+                              *, mbw: int, mbh: int, cap_words: int):
+    """B-slice MB layer on device (B_L0/L1/BI_16x16, no B_Skip/direct yet,
+    1 ref per list; reference cavlc.c:487 B branches).
+
+    mode [N] 0=L0 1=L1 2=BI; mvd0/mvd1 [N,2]; the rest as in the P
+    writer. Returns (words, total_bits, eff_qp)."""
+    n = mbw * mbh
+    zig = jnp.asarray(ZIGZAG4_FRAME)
+    luma_z = luma_lv.reshape(n, 16, 16)[:, :, zig]
+    cdc = cdc_blk.reshape(n, 2, 4)
+    cac_z = cac_blk.reshape(n, 2, 4, 16)[:, :, :, zig]
+
+    # ---- residual blocks (same machinery as P) ----
+    nnz_l = jnp.sum(luma_z != 0, axis=2).astype(jnp.int32)
+    nc_l = _nc_grid_dev(nnz_l, mbh, mbw, 4)
+    l_codes, l_lens, _, l_ov = residual_blocks_dev(
+        luma_z.reshape(n * 16, 16), nc_l.reshape(-1))
+    l_codes = l_codes.reshape(n, 16, BLOCK_SLOTS)
+    l_lens = l_lens.reshape(n, 16, BLOCK_SLOTS)
+    cdc_codes, cdc_lens, _, cdc_ov = residual_blocks_dev(
+        cdc.reshape(n * 2, 4), jnp.zeros(n * 2, jnp.int32), chroma_dc=True)
+    cdc_codes = cdc_codes.reshape(n, 2, BLOCK_SLOTS)
+    cdc_lens = cdc_lens.reshape(n, 2, BLOCK_SLOTS)
+    cac_z_nz = jnp.sum(cac_z[:, :, :, 1:] != 0, axis=3).astype(jnp.int32)
+    nc_u = _nc_grid_dev(cac_z_nz[:, 0], mbh, mbw, 2)
+    nc_v = _nc_grid_dev(cac_z_nz[:, 1], mbh, mbw, 2)
+    nc_c = jnp.stack([nc_u, nc_v], axis=1)
+    cac_codes, cac_lens, _, cac_ov = residual_blocks_dev(
+        cac_z[:, :, :, 1:].reshape(n * 8, 15), nc_c.reshape(-1))
+    cac_codes = cac_codes.reshape(n, 8, BLOCK_SLOTS)
+    cac_lens = cac_lens.reshape(n, 8, BLOCK_SLOTS)
+
+    # ---- header: run(0), mb_type(mode+1), mvd l0, mvd l1, cbp, dqp ----
+    h_codes = jnp.zeros((n, 8), jnp.uint32)
+    h_lens = jnp.zeros((n, 8), jnp.int32)
+    h_codes = h_codes.at[:, 0].set(1)                 # mb_skip_run ue(0)
+    h_lens = h_lens.at[:, 0].set(1)
+    c, l = ue_dev(mode + 1)                           # noqa: E741
+    h_codes = h_codes.at[:, 1].set(c)
+    h_lens = h_lens.at[:, 1].set(l)
+    use0 = mode != 1
+    use1 = mode != 0
+    for slot, (mvd, use, comp) in enumerate(
+            [(mvd0, use0, 0), (mvd0, use0, 1),
+             (mvd1, use1, 0), (mvd1, use1, 1)]):
+        c, l = se_dev(mvd[:, comp])                   # noqa: E741
+        h_codes = h_codes.at[:, 2 + slot].set(c)
+        h_lens = h_lens.at[:, 2 + slot].set(jnp.where(use, l, 0))
+    c, l = ue_dev(lut(V.CBP_TO_GOLOMB_INTER,          # noqa: E741
+                      cbp_chroma * 16 + cbp_luma))
+    h_codes = h_codes.at[:, 6].set(c)
+    h_lens = h_lens.at[:, 6].set(l)
+    has_resid = (cbp_luma > 0) | (cbp_chroma > 0)
+    idxs = jnp.arange(n, dtype=jnp.int32)
+    last_r = jax.lax.cummax(jnp.where(has_resid, idxs, -1))
+    prev_r = jnp.concatenate([jnp.full((1,), -1, jnp.int32), last_r[:-1]])
+    prev_qp = jnp.where(prev_r >= 0, qp_flat[jnp.maximum(prev_r, 0)],
+                        slice_qp)
+    c, l = se_dev(jnp.where(has_resid, qp_flat - prev_qp, 0))  # noqa: E741
+    h_codes = h_codes.at[:, 7].set(c)
+    h_lens = h_lens.at[:, 7].set(jnp.where(has_resid, l, 0))
+    eff_qp = jnp.where(has_resid, qp_flat, prev_qp)
+
+    # ---- gating ----
+    blk_r = jnp.arange(16)
+    quad = (blk_r // 4 // 2) * 2 + (blk_r % 4) // 2
+    qbit = (cbp_luma[:, None] >> quad[None, :]) & 1
+    l_lens = jnp.where((qbit > 0)[:, :, None], l_lens, 0)
+    cdc_lens = jnp.where((cbp_chroma > 0)[:, None, None], cdc_lens, 0)
+    cac_lens = jnp.where((cbp_chroma == 2)[:, None, None], cac_lens, 0)
+    order = jnp.asarray(LUMA4x4_RASTER)
+    l_codes = l_codes[:, order]
+    l_lens = l_lens[:, order]
+
+    codes = jnp.concatenate([
+        h_codes, l_codes.reshape(n, -1),
+        cdc_codes.reshape(n, -1), cac_codes.reshape(n, -1)], axis=1)
+    lens = jnp.concatenate([
+        h_lens, l_lens.reshape(n, -1),
+        cdc_lens.reshape(n, -1), cac_lens.reshape(n, -1)], axis=1)
+    lvl_over = (jnp.any(l_ov.reshape(n, 16) & (l_lens.sum(2) > 0))
+                | jnp.any(cdc_ov.reshape(n, 2) & (cdc_lens.sum(2) > 0))
+                | jnp.any(cac_ov.reshape(n, 8) & (cac_lens.sum(2) > 0)))
+    words, total_bits = pack_mb_stream(codes, lens, cap_words // n,
+                                       cap_words, force_over=lvl_over)
+    return words, total_bits, eff_qp
+
+
 def words_to_bytes(words: np.ndarray, total_bits: int) -> tuple[bytes, int]:
     """Host: big-endian words -> byte string truncated to ceil(total_bits/8).
     Returns (payload, total_bits)."""

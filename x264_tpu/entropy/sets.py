@@ -98,6 +98,15 @@ class SPS:
     bitstream_restriction: bool = True
     max_num_reorder_frames: int = 0
     max_dec_frame_buffering: int = 3
+    # HRD (spec E.1.2; present when VBV is configured)
+    nal_hrd_parameters: bool = False
+    hrd_bitrate: int = 0             # bits/s
+    hrd_cpb_size: int = 0            # bits
+    hrd_cbr: bool = False
+    initial_cpb_removal_delay_length: int = 24
+    cpb_removal_delay_length: int = 24
+    dpb_output_delay_length: int = 24
+    pic_struct_present: bool = False
 
 
 def sps_init(p: P.Params, sps_id: int = 0) -> SPS:
@@ -125,7 +134,10 @@ def sps_init(p: P.Params, sps_id: int = 0) -> SPS:
     sps.bit_depth_luma = sps.bit_depth_chroma = p.bitdepth
     sps.qpprime_y_zero_transform_bypass = lossless
     sps.mb_width, sps.mb_height = p.mb_width, p.mb_height
-    sps.num_ref_frames = max(1, p.frame_reference) + (p.bframe_pyramid > 0)
+    # B frames keep both anchors referenced -> DPB needs >= 2 slots
+    sps.num_ref_frames = max(max(1, p.frame_reference),
+                             2 if p.bframe > 0 else 1) \
+        + (p.bframe_pyramid > 0 and p.bframe > 0)
     sps.poc_type = 0 if (p.bframe or p.interlaced) else 2
     sps.frame_mbs_only = not p.interlaced
     sps.direct8x8_inference = True
@@ -150,6 +162,14 @@ def sps_init(p: P.Params, sps_id: int = 0) -> SPS:
     sps.fixed_frame_rate = not p.vfr_input
     sps.max_num_reorder_frames = min(p.bframe, 1) + (p.bframe_pyramid > 0)
     sps.max_dec_frame_buffering = sps.num_ref_frames
+    # HRD (reference set.c hrd setup; requires VBV, encoder.c:538)
+    if (p.nal_hrd != P.NAL_HRD_NONE and p.rc.vbv_buffer_size > 0
+            and p.rc.vbv_max_bitrate > 0):
+        sps.nal_hrd_parameters = True
+        sps.hrd_bitrate = p.rc.vbv_max_bitrate * 1000
+        sps.hrd_cpb_size = p.rc.vbv_buffer_size * 1000
+        sps.hrd_cbr = p.nal_hrd == P.NAL_HRD_CBR
+    sps.pic_struct_present = p.pic_struct
     return sps
 
 
@@ -240,9 +260,24 @@ def _vui_write(bw: BitWriter, sps: SPS) -> None:
         bw.write(32, sps.num_units_in_tick)
         bw.write(32, sps.time_scale)
         bw.write1(int(sps.fixed_frame_rate))
-    bw.write1(0)  # nal_hrd_parameters_present (HRD TODO)
+    bw.write1(int(sps.nal_hrd_parameters))
+    if sps.nal_hrd_parameters:
+        # hrd_parameters (spec E.1.2): one CPB, scaled rate/size
+        bw.write_ue(0)                       # cpb_cnt_minus1
+        br_scale, cpb_scale = 4, 3          # reference set.c HRD scales
+        bw.write(4, br_scale)
+        bw.write(4, cpb_scale)
+        bw.write_ue(max(1, sps.hrd_bitrate >> (6 + br_scale)) - 1)
+        bw.write_ue(max(1, sps.hrd_cpb_size >> (4 + cpb_scale)) - 1)
+        bw.write1(int(sps.hrd_cbr))
+        bw.write(5, sps.initial_cpb_removal_delay_length - 1)
+        bw.write(5, sps.cpb_removal_delay_length - 1)
+        bw.write(5, sps.dpb_output_delay_length - 1)
+        bw.write(5, 23)                      # time_offset_length
     bw.write1(0)  # vcl_hrd_parameters_present
-    bw.write1(0)  # pic_struct_present
+    if sps.nal_hrd_parameters:
+        bw.write1(0)                         # low_delay_hrd
+    bw.write1(int(sps.pic_struct_present))
     bw.write1(int(sps.bitstream_restriction))
     if sps.bitstream_restriction:
         bw.write1(1)   # motion_vectors_over_pic_boundaries
@@ -322,12 +357,25 @@ def pps_write(pps: PPS) -> bytes:
 
 
 # ------------------------------------------------------------------- SEI
+SEI_BUFFERING_PERIOD = 0
+SEI_PIC_TIMING = 1
 SEI_USER_DATA_UNREGISTERED = 5
 SEI_RECOVERY_POINT = 6
+SEI_FILLER = 3
+SEI_FRAME_PACKING = 45
+SEI_MASTERING_DISPLAY = 137
+SEI_CONTENT_LIGHT_LEVEL = 144
+SEI_ALTERNATIVE_TRANSFER = 147
 
 _VERSION_UUID = bytes([0x2A, 0x0C, 0x7E, 0x41, 0x9D, 0xB1, 0x45, 0x0F,
                        0x8A, 0x3D, 0x6C, 0x31, 0xD0, 0x8F, 0x22, 0xE4])
 
+
+
+def _sei_align(bw: BitWriter) -> None:
+    """SEI payload alignment (spec D.1): pad only when not byte-aligned."""
+    if bw._nbits:
+        bw.rbsp_trailing()
 
 def sei_write(payload_type: int, payload: bytes) -> bytes:
     """Generic SEI message wrapper (spec 7.3.2.3; reference set.c:574)."""
@@ -370,3 +418,93 @@ def sei_recovery_point(recovery_frame_cnt: int) -> bytes:
     bw.rbsp_trailing()
     data = bw.getvalue()
     return sei_write(SEI_RECOVERY_POINT, data)
+
+
+def sei_buffering_period(sps: SPS, initial_cpb_removal_delay: int) -> bytes:
+    """Buffering period SEI (spec D.1.1; reference set.c:654). Requires
+    HRD parameters in the SPS VUI (written when VBV is configured)."""
+    bw = BitWriter()
+    bw.write_ue(sps.id)
+    bw.write(sps.initial_cpb_removal_delay_length,
+             initial_cpb_removal_delay)
+    bw.write(sps.initial_cpb_removal_delay_length, 0)   # offset
+    _sei_align(bw)
+    return sei_write(SEI_BUFFERING_PERIOD, bw.getvalue())
+
+
+def sei_pic_timing(sps: SPS, cpb_removal_delay: int,
+                   dpb_output_delay: int, pic_struct: int = 0) -> bytes:
+    """Picture timing SEI (spec D.1.2; reference set.c:687)."""
+    bw = BitWriter()
+    if sps.nal_hrd_parameters:
+        bw.write(sps.cpb_removal_delay_length, cpb_removal_delay)
+        bw.write(sps.dpb_output_delay_length, dpb_output_delay)
+    if sps.pic_struct_present:
+        bw.write(4, pic_struct)
+    _sei_align(bw)
+    return sei_write(SEI_PIC_TIMING, bw.getvalue())
+
+
+def sei_filler(size: int) -> bytes:
+    """Filler payload SEI (reference set.c: filler via NAL_FILLER too)."""
+    return sei_write(SEI_FILLER, b"\xff" * max(0, size))
+
+
+def sei_frame_packing(arrangement_type: int) -> bytes:
+    """Frame packing arrangement SEI (spec D.1.25; reference set.c:718,
+    --frame-packing). 3=side-by-side, 4=top-bottom, 5=temporal, ..."""
+    bw = BitWriter()
+    bw.write_ue(0)                       # arrangement id
+    bw.write1(0)                         # cancel
+    bw.write(7, arrangement_type)
+    bw.write1(0)                         # quincunx
+    bw.write(6, 0)                       # content_interpretation
+    bw.write1(0)                         # spatial_flipping
+    bw.write1(0)                         # frame0_flipped
+    bw.write1(0)                         # field_views
+    bw.write1(arrangement_type == 5)     # current_frame_is_frame0
+    bw.write1(0)                         # frame0_self_contained
+    bw.write1(0)                         # frame1_self_contained
+    if arrangement_type not in (5,):
+        for _ in range(4):
+            bw.write(4, 0)               # grid positions
+    bw.write(8, 0)                       # arrangement_repetition_period
+    bw.write1(0)                         # extension flag
+    _sei_align(bw)
+    return sei_write(SEI_FRAME_PACKING, bw.getvalue())
+
+
+def sei_mastering_display(primaries, white_point, max_lum,
+                          min_lum) -> bytes:
+    """Mastering display colour volume SEI (spec D.1.29; reference
+    set.c:804, --mastering-display). primaries: 3 (x,y) GBR pairs in
+    0.00002 units; luminance in 0.0001 cd/m2."""
+    bw = BitWriter()
+    for x, y in primaries:
+        bw.write(16, x)
+        bw.write(16, y)
+    bw.write(16, white_point[0])
+    bw.write(16, white_point[1])
+    bw.write(32, max_lum)
+    bw.write(32, min_lum)
+    _sei_align(bw)
+    return sei_write(SEI_MASTERING_DISPLAY, bw.getvalue())
+
+
+def sei_content_light_level(max_cll: int, max_fall: int) -> bytes:
+    """Content light level SEI (spec D.1.31; reference set.c:830,
+    --cll)."""
+    bw = BitWriter()
+    bw.write(16, max_cll)
+    bw.write(16, max_fall)
+    _sei_align(bw)
+    return sei_write(SEI_CONTENT_LIGHT_LEVEL, bw.getvalue())
+
+
+def sei_alternative_transfer(transfer: int) -> bytes:
+    """Alternative transfer characteristics SEI (spec D.1.32; reference
+    set.c:843, --atc-sei)."""
+    bw = BitWriter()
+    bw.write(8, transfer)
+    _sei_align(bw)
+    return sei_write(SEI_ALTERNATIVE_TRANSFER, bw.getvalue())

@@ -24,6 +24,7 @@ class SliceHeader:
     poc_lsb: int = 0
     qp: int = 26
     # ref handling
+    direct_spatial_mv_pred: bool = True
     num_ref_idx_l0_active: int = 1
     num_ref_idx_l1_active: int = 1
     num_ref_idx_override: bool = False
@@ -50,6 +51,8 @@ def slice_header_write(sh: SliceHeader, nal_ref_idc: int) -> BitWriter:
         bw.write_ue(sh.idr_pic_id)
     if sh.sps.poc_type == 0:
         bw.write(sh.sps.log2_max_poc_lsb, sh.poc_lsb)
+    if sh.slice_type == SLICE_TYPE_B:
+        bw.write1(int(sh.direct_spatial_mv_pred))
     if sh.slice_type in (SLICE_TYPE_P, SLICE_TYPE_B):
         bw.write1(int(sh.num_ref_idx_override))
         if sh.num_ref_idx_override:

@@ -172,6 +172,53 @@ def compute_strengths(intra_mb, nnz4, mv_mb, *, mbw, mbh):
     return bs_v, bs_h
 
 
+def compute_strengths_b(nnz4, mode_mb, mv0_mb, mv1_mb, *, mbw, mbh):
+    """Boundary strengths for a B frame with 16x16 L0/L1/BI partitions
+    (spec 8.7.2.1 mixed-prediction rules; reference deblock_strength_c,
+    deblock.c:277).
+
+    mode_mb [mbh,mbw]: 0=L0 1=L1 2=BI. bs = 2 on nnz edges; else 1 when
+    the blocks use different reference sets (mode mismatch) or, with the
+    same set, when any used list's |mv delta| >= 4; else 0. (Our two refs
+    are distinct pictures, so no cross-list swap case arises.)"""
+    ih, iw = mbh * 4, mbw * 4
+
+    def rep4(a):
+        return jnp.repeat(jnp.repeat(a, 4, axis=0), 4, axis=1)
+
+    mode4 = rep4(mode_mb)
+    mv04 = rep4(mv0_mb)
+    mv14 = rep4(mv1_mb)
+
+    def edge_bs(axis):
+        def shift(a):
+            if axis == 1:
+                pad = ((0, 0), (1, 0)) + ((0, 0),) * (a.ndim - 2)
+                return jnp.pad(a, pad)[:, :-1]
+            pad = ((1, 0), (0, 0)) + ((0, 0),) * (a.ndim - 2)
+            return jnp.pad(a, pad)[:-1]
+
+        nnz_p = shift(nnz4)
+        mode_p = shift(mode4)
+        mv0_p = shift(mv04)
+        mv1_p = shift(mv14)
+        nz = (nnz4 > 0) | (nnz_p > 0)
+        diff_set = mode4 != mode_p
+        use0 = mode4 != 1
+        use1 = mode4 != 0
+        d0 = jnp.any(jnp.abs(mv04 - mv0_p) >= 4, axis=-1)
+        d1 = jnp.any(jnp.abs(mv14 - mv1_p) >= 4, axis=-1)
+        mv_diff = (use0 & d0) | (use1 & d1)
+        return jnp.where(nz, 2,
+                         jnp.where(diff_set | mv_diff, 1, 0))
+
+    bs_v_grid = edge_bs(1)
+    bs_h_grid = edge_bs(0)
+    bs_v = bs_v_grid.reshape(mbh, 4, mbw, 4).transpose(0, 2, 3, 1)
+    bs_h = bs_h_grid.reshape(mbh, 4, mbw, 4).transpose(0, 2, 1, 3)
+    return bs_v, bs_h
+
+
 def _lut(table, idx):
     """Small-table lookup as dense one-hot sum (TPU gathers are ~10ns/elem;
     a 52-entry compare+select+sum is far cheaper — same idiom as

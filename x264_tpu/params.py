@@ -271,6 +271,8 @@ class Params:
     crop_rect: tuple = (0, 0, 0, 0)
     frame_packing: int = -1
     alternative_transfer: int = 2
+    mastering_display: str = ""      # "G(x,y)B(x,y)R(x,y)WP(x,y)L(max,min)"
+    content_light_level: str = ""    # "maxcll,maxfall"
     stitchable: bool = False
     opencl: bool = False             # reference GPU-lookahead toggle; TPU build
                                      # runs lookahead on-device always
@@ -879,6 +881,12 @@ def param_parse(p: Params, name: str, value: Optional[str] = None) -> None:
         p.fake_interlaced = b()
     elif name == "frame-packing":
         p.frame_packing = i()
+    elif name == "mastering-display":
+        p.mastering_display = value
+    elif name == "cll":
+        p.content_light_level = value
+    elif name == "atc-sei":
+        p.alternative_transfer = i()
     elif name == "alternative-transfer":
         p.alternative_transfer = i()
     elif name == "stitchable":
