@@ -192,7 +192,7 @@ struct MBInfo {           // per-MB state for neighbor contexts
     uint8_t cpm = 0;          // chroma pred mode
     uint8_t cbp_l = 0, cbp_c = 0;
     uint8_t dc_nnz[3] = {0, 0, 0};   // luma DC, chroma U DC, chroma V DC
-    uint8_t mvd[2] = {0, 0};         // capped |mvd|
+    uint8_t mvd[2][2] = {{0, 0}, {0, 0}};    // capped |mvd| per list
 };
 
 struct Slice {
@@ -365,20 +365,14 @@ void write_i16x16(Slice &S, int x, int y, int in_p, int i16_mode,
     me.coded = 1;
 }
 
-void write_p16x16(Slice &S, int x, int y, const int16_t *mvd, int cbp_l,
-                  int cbp_c, int qp, const int16_t *lraw,
-                  const int16_t *cdc, const int16_t *cac) {
+void write_mvd_list(Slice &S, MBInfo &me, int x, int y, int list,
+                    const int16_t *mvd) {
+    // mvd components with neighbor-|mvd|-sum contexts (reference
+    // cabac_mvd_cpn, encoder/cabac.c:270)
     Cabac &cb = S.cb;
-    MBInfo &me = S.mb(x, y);
-    // ---- mb_type: P_L0_16x16 ----
-    cb.decision(14, 0);
-    cb.decision(15, 0);
-    cb.decision(16, 0);
-    // (single ref: no ref_idx)
-    // ---- mvd ----
     for (int c = 0; c < 2; c++) {
-        int amvd = (x > 0 ? S.mb(x - 1, y).mvd[c] : 0)
-                 + (y > 0 ? S.mb(x, y - 1).mvd[c] : 0);
+        int amvd = (x > 0 ? S.mb(x - 1, y).mvd[list][c] : 0)
+                 + (y > 0 ? S.mb(x, y - 1).mvd[list][c] : 0);
         int ctx = (amvd > 2) + (amvd > 32);
         int base = c ? 47 : 40;
         int v = mvd[c];
@@ -399,11 +393,16 @@ void write_p16x16(Slice &S, int x, int y, const int16_t *mvd, int cbp_l,
             }
             cb.bypass(v < 0);
         }
-        me.mvd[c] = (uint8_t)(a < 66 ? a : 66);
+        me.mvd[list][c] = (uint8_t)(a < 66 ? a : 66);
     }
+}
+
+void write_cbp_dqp_residual(Slice &S, int x, int y, MBInfo &me, int cbp_l,
+                            int cbp_c, int qp, const int16_t *lraw,
+                            const int16_t *cdc, const int16_t *cac) {
+    Cabac &cb = S.cb;
     // ---- cbp ----
     {
-        // cbp cache words (-1 when unavailable, reference cbp packing)
         int cl = x > 0 && S.mb(x - 1, y).coded
                      ? (S.mb(x - 1, y).cbp_l | (S.mb(x - 1, y).cbp_c << 4))
                      : -1;
@@ -426,13 +425,11 @@ void write_p16x16(Slice &S, int x, int y, const int16_t *mvd, int cbp_l,
             cb.decision(77 + ctx, cbp_c >> 1);
         }
     }
-    // ---- mb_qp_delta only when residual present ----
     if (cbp_l || cbp_c)
         write_qp_delta(S, qp, 1, 0);
     else
-        S.last_dqp = 0;     // no dqp syntax -> ctx resets (reference)
+        S.last_dqp = 0;
 
-    // ---- luma 4x4 (cat 2), z-scan, only quads in cbp ----
     for (int b = 0; b < 16; b++) {
         int bx = ZX[b], by = ZY[b];
         int quad = (by >> 1) * 2 + (bx >> 1);
@@ -478,6 +475,51 @@ void write_p16x16(Slice &S, int x, int y, const int16_t *mvd, int cbp_l,
     me.coded = 1;
 }
 
+void write_p16x16(Slice &S, int x, int y, const int16_t *mvd, int cbp_l,
+                  int cbp_c, int qp, const int16_t *lraw,
+                  const int16_t *cdc, const int16_t *cac) {
+    Cabac &cb = S.cb;
+    MBInfo &me = S.mb(x, y);
+    // ---- mb_type: P_L0_16x16 ----
+    cb.decision(14, 0);
+    cb.decision(15, 0);
+    cb.decision(16, 0);
+    // (single ref: no ref_idx)
+    write_mvd_list(S, me, x, y, 0, mvd);
+    write_cbp_dqp_residual(S, x, y, me, cbp_l, cbp_c, qp, lraw, cdc, cac);
+}
+
+void write_b16x16(Slice &S, int x, int y, int bmode, const int16_t *mvd0,
+                  const int16_t *mvd1, int cbp_l, int cbp_c, int qp,
+                  const int16_t *lraw, const int16_t *cdc,
+                  const int16_t *cac) {
+    // bmode: 0=L0, 1=L1, 2=BI (reference cabac_mb_header_b with
+    // partition D_16x16; bit patterns from i_mb_bits column 3)
+    Cabac &cb = S.cb;
+    MBInfo &me = S.mb(x, y);
+    int ctx = 0;
+    if (x > 0 && S.mb(x - 1, y).coded && !S.mb(x - 1, y).skip) ctx++;
+    if (y > 0 && S.mb(x, y - 1).coded && !S.mb(x, y - 1).skip) ctx++;
+    cb.decision(27 + ctx, 1);            // not B_Direct
+    if (bmode == 0) {                    // B_L0_16x16: '100'
+        cb.decision(27 + 3, 0);
+        cb.decision(27 + 5, 0);
+    } else if (bmode == 1) {             // B_L1_16x16: '101'
+        cb.decision(27 + 3, 0);
+        cb.decision(27 + 5, 1);
+    } else {                             // B_Bi_16x16: '110000'
+        cb.decision(27 + 3, 1);
+        cb.decision(27 + 4, 0);
+        cb.decision(27 + 5, 0);
+        cb.decision(27 + 5, 0);
+        cb.decision(27 + 5, 0);
+    }
+    // (single ref per list: no ref_idx)
+    if (bmode != 1) write_mvd_list(S, me, x, y, 0, mvd0);
+    if (bmode != 0) write_mvd_list(S, me, x, y, 1, mvd1);
+    write_cbp_dqp_residual(S, x, y, me, cbp_l, cbp_c, qp, lraw, cdc, cac);
+}
+
 }  // namespace
 
 extern "C" {
@@ -488,7 +530,7 @@ int cabac_encode_slice(
     const uint8_t *init_states,   // [1024] packed (state<<1|mps)
     const uint8_t *range_lps,     // [64*4]
     const uint8_t *transition,    // [128*2]
-    int slice_type,               // 0=P, 2=I
+    int slice_type,               // 0=P, 1=B, 2=I
     int mbw, int mbh, int slice_qp,
     const uint8_t *skip,          // [n] P_Skip flags
     const uint8_t *is_intra,      // [n] I16x16 flag (1 in I slices)
@@ -497,7 +539,9 @@ int cabac_encode_slice(
     const uint8_t *cbp_luma,      // [n] 0..15
     const uint8_t *cbp_chroma,    // [n] 0..2
     const int8_t *qp,             // [n] per-MB qp
-    const int16_t *mvd,           // [n*2]
+    const uint8_t *bmode,         // [n] B: 0=L0 1=L1 2=BI
+    const int16_t *mvd,           // [n*2] (list0)
+    const int16_t *mvd1,          // [n*2] (list1, B only)
     const int16_t *luma_dc,       // [n*16]    zigzag (I16 MBs)
     const int16_t *luma_ac,       // [n*16*16] zigzag, z-scan blocks
     const int16_t *chroma_dc,     // [n*2*4]
@@ -526,8 +570,9 @@ int cabac_encode_slice(
         for (int x = 0; x < mbw; x++) {
             int i = y * mbw + x;
             if (S.cb.overflow()) goto overflow;
-            if (slice_type == 0) {
-                int ctx = 11;
+            if (slice_type != 2) {
+                // mb_skip_flag (ctx 11.. for P, 24.. for B)
+                int ctx = slice_type == 1 ? 24 : 11;
                 if (x > 0 && S.mb(x - 1, y).coded && !S.mb(x - 1, y).skip)
                     ctx++;
                 if (y > 0 && S.mb(x, y - 1).coded && !S.mb(x, y - 1).skip)
@@ -558,6 +603,11 @@ int cabac_encode_slice(
                              qp[i], luma_dc + i * 16,
                              luma_ac + i * 16 * 16, chroma_dc + i * 8,
                              chroma_ac + i * 8 * 16);
+            } else if (slice_type == 1) {
+                write_b16x16(S, x, y, bmode[i], mvd + i * 2,
+                             mvd1 + i * 2, cbp_luma[i], cbp_chroma[i],
+                             qp[i], luma_ac + i * 16 * 16,
+                             chroma_dc + i * 8, chroma_ac + i * 8 * 16);
             } else {
                 write_p16x16(S, x, y, mvd + i * 2, cbp_luma[i],
                              cbp_chroma[i], qp[i], luma_ac + i * 16 * 16,

@@ -47,6 +47,7 @@ def _encode(frames, cabac, qp=26, aq=None, threads=1):
     p.width, p.height = W, H
     p.cabac = cabac
     p.threads = threads
+    p.bframe = 0          # IPPP: recons compared positionally
     p.rc.rc_method = 0
     p.rc.qp_constant = qp
     if aq is not None:
@@ -129,3 +130,42 @@ def test_cabac_pipelined_threads(tmp_path):
         for pi in range(3):
             assert np.array_equal(np.asarray(df[pi]),
                                   np.asarray(rf[pi])), f"f{i} p{pi}"
+
+
+def test_cabac_bframes_conformant(tmp_path):
+    """CABAC B slices (native/cabac.cpp B writer: mb_type tree 27+,
+    per-list mvd, skip ctx 24+)."""
+    frames = _clip(7)
+    p = param_default_preset("veryfast")
+    p.width, p.height = W, H
+    p.cabac = True
+    p.threads = 1
+    p.bframe = 2
+    p.scenecut_threshold = 0
+    p.rc.rc_method = 0
+    p.rc.qp_constant = 26
+    enc = Encoder(p)
+    nals_all, outs = [], []
+    for i, f in enumerate(frames):
+        nals, out = enc.encode(Picture(f, pts=i))
+        if out is not None:
+            nals_all += nals
+            outs.append(out)
+    while enc.delayed_frames():
+        nals, out = enc.encode(None)
+        nals_all += nals
+        outs.append(out)
+    from x264_tpu.encoder.encoder import TYPE_B
+    assert TYPE_B in [o.i_type for o in outs]
+    data = b""
+    for n in enc.headers() + nals_all:
+        data += b"\x00\x00\x00\x01" + n.payload
+    dec = _avdec(data, tmp_path)
+    assert len(dec) == len(outs)
+    by_pts = {o.pts: o for o in outs}
+    for disp, df in enumerate(dec):
+        o = by_pts[disp]
+        for pi in range(3):
+            assert np.array_equal(np.asarray(df[pi]),
+                                  np.asarray(o.recon[pi])), \
+                f"display {disp} plane {pi}"

@@ -111,11 +111,12 @@ def mv_predictors_b(mv_field, use_mask):
 
 @partial(jax.jit, static_argnames=("mbw", "mbh", "cap_words", "me_range",
                                    "deblock", "a_off", "b_off", "cqpo",
-                                   "decimate"))
+                                   "decimate", "entropy"))
 def encode_bframe_device(y, u, v, r0_y, r0_hpel, r0_cuv, r1_y, r1_hpel,
                          r1_cuv, qp_mb, qpc_mb, slice_qp, lam, w0, w1,
                          *, mbw, mbh, cap_words, me_range, deblock=False,
-                         a_off=0, b_off=0, cqpo=0, decimate=True):
+                         a_off=0, b_off=0, cqpo=0, decimate=True,
+                         entropy=True):
     """Fused B-frame device pass. Returns (words, total_bits, recon,
     stats). (w0, w1) are the implicit bipred weights (traced scalars so
     POC-distance changes do not recompile)."""
@@ -229,13 +230,34 @@ def encode_bframe_device(y, u, v, r0_y, r0_hpel, r0_cuv, r1_y, r1_hpel,
     recon_u = merge_plane(urec, 8, H // 2, W // 2).astype(jnp.uint8)
     recon_v = merge_plane(vrec, 8, H // 2, W // 2).astype(jnp.uint8)
 
-    words, total_bits, eff_qp = encode_bframe_entropy_dev(
-        mode, mvd0, mvd1, cbp_luma, cbp_chroma, qp, slice_qp,
-        lv.reshape(n, 16, 4, 4),
-        jnp.stack([udc.reshape(n, 2, 2), vdc.reshape(n, 2, 2)], axis=1),
-        jnp.stack([uac.reshape(n, 4, 4, 4), vac.reshape(n, 4, 4, 4)],
-                  axis=1),
-        mbw=mbw, mbh=mbh, cap_words=cap_words)
+    cdc_blk = jnp.stack([udc.reshape(n, 2, 2), vdc.reshape(n, 2, 2)],
+                        axis=1)
+    cac_blk = jnp.stack([uac.reshape(n, 4, 4, 4), vac.reshape(n, 4, 4, 4)],
+                        axis=1)
+    if entropy:
+        words, total_bits, eff_qp = encode_bframe_entropy_dev(
+            mode, mvd0, mvd1, cbp_luma, cbp_chroma, qp, slice_qp,
+            lv.reshape(n, 16, 4, 4), cdc_blk, cac_blk,
+            mbw=mbw, mbh=mbh, cap_words=cap_words)
+    else:
+        # decoder-carried QP (same rule as the CAVLC entropy stage)
+        has_resid = (cbp_luma > 0) | (cbp_chroma > 0)
+        idxs = jnp.arange(n, dtype=jnp.int32)
+        last_r = jax.lax.cummax(jnp.where(has_resid, idxs, -1))
+        prev_r = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
+                                  last_r[:-1]])
+        prev_qp = jnp.where(prev_r >= 0, qp[jnp.maximum(prev_r, 0)],
+                            slice_qp)
+        eff_qp = jnp.where(has_resid, qp, prev_qp)
+        zig = jnp.asarray(ZIGZAG4_FRAME)
+        decisions = {
+            "mode": mode, "mvd0": mvd0, "mvd1": mvd1,
+            "cbp_luma": cbp_luma, "cbp_chroma": cbp_chroma, "qp": qp,
+            "luma_z": lv.reshape(n, 16, 16)[:, :, zig],
+            "cdc": cdc_blk.reshape(n, 2, 4),
+            "cac_z": cac_blk.reshape(n, 2, 4, 16)[:, :, :, zig],
+        }
+        words, total_bits = decisions, None
     if deblock:
         from ..ops.deblock import compute_strengths_b, deblock_frame
         nnz4 = nnz_l.reshape(mbh, mbw, 4, 4).transpose(0, 2, 1, 3) \
@@ -250,14 +272,34 @@ def encode_bframe_device(y, u, v, r0_y, r0_hpel, r0_cuv, r1_y, r1_hpel,
     return words, total_bits, (recon_y, recon_u, recon_v), stats
 
 
+def cabac_finalize_bframe(enc, decisions, qp_mb, slice_qp, sh):
+    """Host tail of a CABAC B frame (native/cabac.cpp B writer)."""
+    from ..entropy.cabac_host import encode_slice_cabac
+    from ..entropy.cavlc import LUMA4x4_RASTER
+    from .intra import finalize_slice_cabac
+    mbw, mbh = enc.mb_w, enc.mb_h
+    n = mbw * mbh
+    d = {k: np.asarray(val) for k, val in decisions.items()}
+    luma = d["luma_z"].astype(np.int16)[:, LUMA4x4_RASTER]
+    payload = encode_slice_cabac(
+        1, mbw, mbh, slice_qp,
+        np.zeros(n, np.uint8), np.zeros(n, np.uint8),
+        np.zeros(n, np.uint8), np.zeros(n, np.uint8),
+        d["cbp_luma"], d["cbp_chroma"], np.asarray(qp_mb).reshape(-1),
+        d["mvd0"].astype(np.int16),
+        np.zeros((n, 16), np.int16), luma,
+        d["cdc"].astype(np.int16), d["cac_z"].reshape(n, 8, 16),
+        model=0, bmode=d["mode"], mvd1=d["mvd1"].astype(np.int16))
+    sh.cabac_init_idc = 0
+    return finalize_slice_cabac(enc, payload, sh, nal_mod.NAL_SLICE,
+                                nal_mod.NAL_PRIORITY_DISPOSABLE)
+
+
 def dispatch_bframe(enc, planes, qp, ref_fwd_tag, ref_bwd_tag):
     """Device dispatch of one non-reference B frame.
     Returns (finalize_fn, retry_fn, recon_dev=None, ref_tag)."""
     from .encoder import TYPE_B
     from .intra import PayloadOverflow, finalize_slice  # noqa: F401
-    if enc.p.cabac:
-        raise NotImplementedError("CABAC B writer lands next; use "
-                                  "--no-cabac with --bframes")
     mbw, mbh = enc.mb_w, enc.mb_h
     ref0 = next(r for r in enc._dpb if r["tag"] == ref_fwd_tag)
     ref1 = next(r for r in enc._dpb if r["tag"] == ref_bwd_tag)
@@ -295,13 +337,18 @@ def dispatch_bframe(enc, planes, qp, ref_fwd_tag, ref_bwd_tag):
             deblock=enc.p.deblocking_filter,
             a_off=enc.p.deblocking_filter_alphac0 * 2,
             b_off=enc.p.deblocking_filter_beta * 2,
-            cqpo=enc.p.analyse.chroma_qp_offset)
+            cqpo=enc.p.analyse.chroma_qp_offset,
+            entropy=not enc.p.cabac)
 
         def finalize():
             sh.qp = qp_try
-            nals = finalize_slice(enc, words, total_bits, cap_words, sh,
-                                  nal_mod.NAL_SLICE,
-                                  nal_mod.NAL_PRIORITY_DISPOSABLE)
+            if enc.p.cabac:
+                nals = cabac_finalize_bframe(enc, words, qp_mb, qp_try,
+                                             sh)
+            else:
+                nals = finalize_slice(enc, words, total_bits, cap_words,
+                                      sh, nal_mod.NAL_SLICE,
+                                      nal_mod.NAL_PRIORITY_DISPOSABLE)
             rec = [np.asarray(r) for r in recon] if materialize \
                 else list(recon)
             enc.rc.end(TYPE_B, sum(len(n.payload) * 8 for n in nals),

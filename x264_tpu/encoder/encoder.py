@@ -233,7 +233,7 @@ class Encoder:
         # is always the previous source frame
         cut = (self._lookahead.scene_cut(planes[0])
                if self.p.scenecut_threshold > 0 else False)
-        b_active = self.p.bframe > 0 and not self.p.cabac
+        b_active = self.p.bframe > 0
         force_idr = (
             pic.i_type in (TYPE_IDR, TYPE_KEYFRAME, TYPE_I)
             or (pic.i_type == TYPE_AUTO
@@ -302,7 +302,7 @@ class Encoder:
         if is_idr:
             self.idr_pic_id = (self.idr_pic_id + 1) % 65536
 
-        b_active = self.p.bframe > 0 and not self.p.cabac
+        b_active = self.p.bframe > 0
         dts = self._coding_out - (1 if b_active else 0)
         self._coding_out += 1
         job = {"finalize": finalize, "retry": retry, "pts": pic.pts,

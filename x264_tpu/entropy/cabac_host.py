@@ -43,7 +43,7 @@ def _load():
     lib.cabac_encode_slice.argtypes = [
         u8, u8, u8,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        u8, u8, u8, u8, u8, u8, i8, i16, i16, i16, i16, i16,
+        u8, u8, u8, u8, u8, u8, i8, u8, i16, i16, i16, i16, i16, i16,
         u8, ctypes.c_int]
     _lib = lib
     return lib
@@ -69,17 +69,21 @@ def _ptr(a, ctype):
     return a.ctypes.data_as(ctypes.POINTER(ctype))
 
 
-def encode_slice_cabac(slice_type_i: bool, mbw: int, mbh: int,
+def encode_slice_cabac(slice_type, mbw: int, mbh: int,
                        slice_qp: int, skip, is_intra, i16_mode,
                        chroma_mode, cbp_luma, cbp_chroma, qp_mb, mvd,
                        luma_dc, luma_ac, chroma_dc, chroma_ac,
-                       model: int = 0) -> bytes:
+                       model: int = 0, bmode=None, mvd1=None) -> bytes:
     """Write one slice's CABAC mb layer. Residual arrays are zigzagged;
     luma blocks in z-scan coding order. Returns the payload bytes
     (cabac-aligned slice data, to append after the slice header)."""
     lib = _load()
     n = mbw * mbh
-    states = init_states(slice_type_i, slice_qp, model)
+    # slice_type: True/2 = I, False/0 = P, 1 = B (I uses the I init
+    # table; P and B share the PB tables, selected by cabac_init_idc)
+    st = 2 if slice_type is True else 0 if slice_type is False \
+        else int(slice_type)
+    states = init_states(st == 2, slice_qp, model)
 
     def u8c(a):
         return np.ascontiguousarray(np.asarray(a, np.uint8).reshape(-1))
@@ -97,6 +101,8 @@ def encode_slice_cabac(slice_type_i: bool, mbw: int, mbh: int,
     cbp_chroma = u8c(cbp_chroma)
     qp_mb = np.ascontiguousarray(np.asarray(qp_mb, np.int8).reshape(-1))
     mvd = i16c(mvd, n * 2)
+    bmode = u8c(bmode if bmode is not None else np.zeros(n))
+    mvd1 = i16c(mvd1 if mvd1 is not None else np.zeros((n, 2)), n * 2)
     luma_dc = i16c(luma_dc, n * 16)
     luma_ac = i16c(luma_ac, n * 256)
     chroma_dc = i16c(chroma_dc, n * 8)
@@ -108,11 +114,12 @@ def encode_slice_cabac(slice_type_i: bool, mbw: int, mbh: int,
         _ptr(states, ctypes.c_uint8),
         _ptr(_LPS_FLAT, ctypes.c_uint8),
         _ptr(_TRANS_FLAT, ctypes.c_uint8),
-        2 if slice_type_i else 0, mbw, mbh, slice_qp,
+        st, mbw, mbh, slice_qp,
         _ptr(skip, ctypes.c_uint8), _ptr(is_intra, ctypes.c_uint8),
         _ptr(i16_mode, ctypes.c_uint8), _ptr(chroma_mode, ctypes.c_uint8),
         _ptr(cbp_luma, ctypes.c_uint8), _ptr(cbp_chroma, ctypes.c_uint8),
-        _ptr(qp_mb, ctypes.c_int8), _ptr(mvd, ctypes.c_int16),
+        _ptr(qp_mb, ctypes.c_int8), _ptr(bmode, ctypes.c_uint8),
+        _ptr(mvd, ctypes.c_int16), _ptr(mvd1, ctypes.c_int16),
         _ptr(luma_dc, ctypes.c_int16), _ptr(luma_ac, ctypes.c_int16),
         _ptr(chroma_dc, ctypes.c_int16), _ptr(chroma_ac, ctypes.c_int16),
         _ptr(out, ctypes.c_uint8), cap)
