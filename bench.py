@@ -108,6 +108,7 @@ def run_reference(y4m_path):
     try:
         out = subprocess.run(
             [exe, "--preset", "veryfast", "--qp", str(QP), "--no-cabac",
+             "--bframes", "0",
              "--psnr", "--tune", "psnr", "-o", "/tmp/bench_ref.264",
              y4m_path],
             capture_output=True, timeout=600, text=True)
@@ -128,6 +129,7 @@ def main():
     p = param_default_preset("medium")
     p.width, p.height = W, H
     p.cabac = False
+    p.bframe = 0         # metric is IPPP; keep comparable across rounds
     p.rc.rc_method = 0
     p.rc.qp_constant = QP
     p.analyse.psnr = False
