@@ -73,8 +73,33 @@ def main(argv=None) -> int:
     i = 0
     while i < len(argv):
         tok = argv[i]
-        if tok in ("-h", "--help"):
+        if tok in ("-h", "--help", "--longhelp", "--fullhelp"):
+            # 3 help levels like the reference (x264.c help/longhelp/
+            # fullhelp): base CLI, +frequently used encoder keys, +every
+            # parser key
             build_argparser().print_help()
+            level = ("-h", "--help", "--longhelp",
+                     "--fullhelp").index(tok)
+            if level >= 2:
+                print("\nFrequently used encoder options "
+                      "(--key value or --key=value):")
+                for k in ("qp", "crf", "bitrate", "preset", "tune",
+                          "profile", "keyint", "min-keyint", "scenecut",
+                          "bframes", "ref", "no-cabac", "no-deblock",
+                          "deblock", "aq-mode", "aq-strength", "merange",
+                          "threads", "vbv-maxrate", "vbv-bufsize", "pass",
+                          "stats", "qpfile", "vf", "muxer"):
+                    print(f"  --{k}")
+            if level >= 3:
+                from . import params as _P
+                import inspect
+                src = inspect.getsource(_P.param_parse)
+                keys = sorted(set(
+                    s.strip('"') for s in
+                    __import__("re").findall(r'"[a-z0-9-]+"', src)))
+                print("\nAll parser keys (x264_param_parse parity):")
+                for k in keys:
+                    print(f"  --{k}")
             return 0
         if tok in _CLI_FLAG_OPTS:
             cli[tok.lstrip("-")] = True
