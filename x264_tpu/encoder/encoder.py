@@ -527,12 +527,29 @@ class Encoder:
             setattr(self.p, name, getattr(new_params, name))
 
     def intra_refresh(self) -> None:
-        self.last_keyframe = -(1 << 30)   # force IDR next frame (PIR TODO)
+        """Queue an intra refresh (reference x264_encoder_intra_refresh,
+        x264.h:985). The PIR column sweep needs intra-in-P (next
+        milestone); until then the refresh is honored as an immediate
+        recovery point: the next frame is coded IDR."""
+        self.last_keyframe = -(1 << 30)
 
     def invalidate_reference(self, pts: int) -> int:
-        self._dpb.clear()    # conservative: force re-key (refined later)
-        self.last_keyframe = -(1 << 30)
-        return 0
+        """Mark reconstructed frames with pts >= `pts` unusable
+        (reference x264_encoder_invalidate_reference, encoder.c:3286):
+        the decoder lost them, so later frames must not predict from
+        them. Entries older than `pts` stay usable; if none remain, the
+        next frame is forced IDR (reference encoder.c:3485-3497)."""
+        keep = [r for r in self._dpb if r["tag"] < pts]
+        dropped = len(self._dpb) - len(keep)
+        self._dpb = keep
+        if not self._dpb:
+            self.last_keyframe = -(1 << 30)
+        if keep:
+            # the surviving entry is older than the decoder's default
+            # list0[0] assumption; until ref_pic_list_mod is wired the
+            # safest conformant action is a recovery IDR as well
+            self.last_keyframe = -(1 << 30)
+        return 0 if dropped or not self._dpb else -1
 
     def close(self) -> dict:
         self._closed = True
