@@ -153,7 +153,12 @@ def worker(w, h):
     total_bytes = 0
     nals_all = []
     for i in range(n_bench):
-        nals, out = enc.encode(Picture(frames[i], pts=i + 2))
+        # first benched frame is a forced IDR so the measured stream is
+        # independently decodable (warmup NALs are discarded)
+        pic = Picture(frames[i], pts=i + 2)
+        if i == 0:
+            pic.i_type = 1            # TYPE_IDR
+        nals, out = enc.encode(pic)
         nals_all += nals
         total_bytes += sum(len(n.payload) + 4 for n in nals)
     while enc.delayed_frames():
