@@ -1,15 +1,21 @@
 // CABAC engine + MB-layer slice writer (host side).
 //
-// Reference analogues: common/cabac.c:53-184 (range coder),
-// encoder/cabac.c:1088 x264_macroblock_write_cabac (MB layer). The TPU
-// design keeps analysis/transform/reconstruction on device and ships the
-// per-MB decision + residual tensors to this serial writer (SURVEY §7.1:
-// "C++ host code for the serial entropy stage").
+// The arithmetic coder below is a direct implementation of the normative
+// H.264 encoding process, clause 9.3.4: EncodeDecision (9.3.4.2, Figure
+// 9-7), renormalization + PutBit with firstBitFlag / bitsOutstanding
+// (9.3.4.3, Figures 9-8/9-9), EncodeBypass (9.3.4.4, Figure 9-10),
+// EncodeTerminate + EncodeFlush (9.3.4.5/9.3.4.6, Figures 9-11/9-12).
+// Output is produced bit-by-bit through PutBit and packed MSB-first into
+// bytes; carries resolve through the outstanding-bit counter exactly as
+// in the spec flowcharts. Tables (rangeTabLPS, transIdxMPS/LPS) are
+// passed in from Python in the spec's own [pStateIdx] layout
+// (x264_tpu/entropy/cabac_tables.py, spec tables 9-44/9-45).
 //
-// The arithmetic (range subdivision, state machine, renormalization with
-// outstanding-byte carry resolution, termination) is the normative H.264
-// 9.3.4 algorithm; tables are passed in from Python
-// (x264_tpu/entropy/cabac_tables.py — spec tables 9-12..9-36).
+// The MB-layer syntax writer plays the role of the reference's
+// encoder/cabac.c:1088 x264_macroblock_write_cabac: the TPU design keeps
+// analysis/transform/reconstruction on device and ships per-MB decision +
+// residual tensors to this serial writer (SURVEY §7.1: "C++ host code for
+// the serial entropy stage").
 //
 // Coverage: I slices with I16x16 MBs; P slices with P_Skip, P_L0_16x16
 // and I16x16 MBs (intra-in-P). Grows with the encoder's mode set.
@@ -21,64 +27,92 @@
 namespace {
 
 struct Cabac {
-    uint32_t low = 0;
-    int range = 0x01FE;
-    int queue = -9;      // first shifted-out bit is not written
-    int outstanding = 0; // pending 0xFF bytes awaiting carry resolution
+    uint32_t low = 0;        // codILow
+    uint32_t range = 510;    // codIRange
+    int bits_outstanding = 0;
+    bool first_bit = true;   // firstBitFlag (9.3.4.3: first bit skipped)
+    uint32_t cur = 0;        // byte under construction, MSB-first
+    int nbits = 0;           // bits filled in `cur` (0..7)
+    bool of = false;         // output buffer overflow latch
     uint8_t *p = nullptr, *start = nullptr, *end = nullptr;
-    uint8_t state[1024];
-    const uint8_t *lps;     // [64*4]
-    const uint8_t *trans;   // [128*2]
+    uint8_t pstate[1024];    // pStateIdx per context
+    uint8_t mps[1024];       // valMPS per context
+    const uint8_t *lps_tab;    // rangeTabLPS, [64][4]
+    const uint8_t *trans_lps;  // transIdxLPS, [64]
+    const uint8_t *trans_mps;  // transIdxMPS, [64]
 
-    bool overflow() const { return p >= end - 8; }
+    bool overflow() const { return of; }
 
-    void put_pending() {
-        if (queue < 0) return;
-        int out = low >> (queue + 10);
-        low &= (0x400u << queue) - 1;
-        queue -= 8;
-        if ((out & 0xFF) == 0xFF) {
-            outstanding++;
-        } else {
-            int carry = out >> 8;
-            // carry can touch the previous byte only; 0xFF bytes are held
-            // in `outstanding` (writes before slice data start land in the
-            // slice header area, which a carry cannot reach: p[-1] exists)
-            if (p > start) p[-1] = (uint8_t)(p[-1] + carry);
-            while (outstanding > 0 && p < end) {
-                *p++ = (uint8_t)(carry - 1);
-                outstanding--;
-            }
-            if (p < end) *p++ = (uint8_t)out;
+    void write_bit(uint32_t b) {
+        cur = (cur << 1) | b;
+        if (++nbits == 8) {
+            if (p < end)
+                *p++ = (uint8_t)cur;
+            else
+                of = true;
+            nbits = 0;
+            cur = 0;
         }
     }
 
+    // PutBit(B), Figure 9-9
+    void put_bit(uint32_t b) {
+        if (first_bit)
+            first_bit = false;
+        else
+            write_bit(b);
+        while (bits_outstanding > 0) {
+            write_bit(1 - b);
+            bits_outstanding--;
+        }
+    }
+
+    // RenormE, Figure 9-8
     void renorm() {
-        while (range < 0x100) {
+        while (range < 256) {
+            if (low < 256) {
+                put_bit(0);
+            } else if (low >= 512) {
+                low -= 512;
+                put_bit(1);
+            } else {
+                low -= 256;
+                bits_outstanding++;
+            }
             range <<= 1;
             low <<= 1;
-            queue += 1;
-            put_pending();
         }
     }
 
+    // EncodeDecision, Figure 9-7
     void decision(int ctx, int b) {
-        int s = state[ctx];
-        int rlps = lps[(s >> 1) * 4 + ((range >> 6) - 4)];
+        int ps = pstate[ctx];
+        uint32_t rlps = lps_tab[ps * 4 + ((range >> 6) & 3)];
         range -= rlps;
-        if (b != (s & 1)) {
-            low += (uint32_t)range;
+        if ((uint32_t)b != mps[ctx]) {
+            low += range;
             range = rlps;
+            if (ps == 0) mps[ctx] ^= 1;
+            pstate[ctx] = trans_lps[ps];
+        } else {
+            pstate[ctx] = trans_mps[ps];
         }
-        state[ctx] = trans[s * 2 + b];
         renorm();
     }
 
+    // EncodeBypass, Figure 9-10
     void bypass(int b) {
         low <<= 1;
-        if (b) low += (uint32_t)range;
-        queue += 1;
-        put_pending();
+        if (b) low += range;
+        if (low >= 1024) {
+            put_bit(1);
+            low -= 1024;
+        } else if (low < 512) {
+            put_bit(0);
+        } else {
+            low -= 512;
+            bits_outstanding++;
+        }
     }
 
     // Exp-Golomb suffix in bypass mode (k-th order)
@@ -93,30 +127,27 @@ struct Cabac {
         while (k--) bypass((val >> k) & 1);
     }
 
+    // EncodeTerminate, Figure 9-11 (b = end_of_slice_flag)
     void terminal(int b) {
         range -= 2;
         if (b) {
-            low += (uint32_t)range;
-            range = 2;
+            low += range;
+            flush();
+        } else {
+            renorm();
         }
-        renorm();
     }
 
+    // EncodeFlush, Figure 9-12, then zero-pad to the byte boundary
+    // (the stop bit written by the flush is the rbsp_stop_one_bit).
     void flush() {
-        // stop bit + alignment (reference cabac_encode_flush)
-        low += (uint32_t)range - 2;
-        low |= 1;
-        low <<= 9;
-        queue += 9;
-        put_pending();
-        put_pending();
-        low <<= -queue;
-        queue = 0;
-        put_pending();
-        while (outstanding > 0 && p < end) {
-            *p++ = 0xFF;
-            outstanding--;
-        }
+        range = 2;
+        renorm();
+        put_bit((low >> 9) & 1);
+        uint32_t tail = ((low >> 7) & 3) | 1;
+        write_bit((tail >> 1) & 1);
+        write_bit(tail & 1);
+        while (nbits != 0) write_bit(0);
     }
 };
 
@@ -527,9 +558,11 @@ extern "C" {
 // Returns bytes written, or -1 on buffer overflow.
 // All arrays are length n = mbw*mbh in raster order unless noted.
 int cabac_encode_slice(
-    const uint8_t *init_states,   // [1024] packed (state<<1|mps)
-    const uint8_t *range_lps,     // [64*4]
-    const uint8_t *transition,    // [128*2]
+    const uint8_t *init_pstate,   // [1024] initial pStateIdx (9.3.1.1)
+    const uint8_t *init_mps,      // [1024] initial valMPS
+    const uint8_t *range_lps,     // [64*4] rangeTabLPS (table 9-44)
+    const uint8_t *trans_mps,     // [64] transIdxMPS (table 9-45)
+    const uint8_t *trans_lps,     // [64] transIdxLPS (table 9-45)
     int slice_type,               // 0=P, 1=B, 2=I
     int mbw, int mbh, int slice_qp,
     const uint8_t *skip,          // [n] P_Skip flags
@@ -557,9 +590,11 @@ int cabac_encode_slice(
     S.slice_qp = slice_qp;
     S.last_qp = slice_qp;
     S.last_dqp = 0;
-    S.cb.lps = range_lps;
-    S.cb.trans = transition;
-    std::memcpy(S.cb.state, init_states, 1024);
+    S.cb.lps_tab = range_lps;
+    S.cb.trans_mps = trans_mps;
+    S.cb.trans_lps = trans_lps;
+    std::memcpy(S.cb.pstate, init_pstate, 1024);
+    std::memcpy(S.cb.mps, init_mps, 1024);
     S.cb.start = S.cb.p = out;
     S.cb.end = out + out_cap;
     S.mbs = (MBInfo *)std::calloc(n, sizeof(MBInfo));
@@ -593,7 +628,7 @@ int cabac_encode_slice(
                         for (int b = 0; b < 4; b++)
                             S.nnz_c[(pl * mbh * 2 + y * 2 + (b >> 1))
                                         * mbw * 2 + x * 2 + (b & 1)] = 0;
-                    if (i < n - 1) S.cb.terminal(0);
+                    S.cb.terminal(i == n - 1);
                     continue;
                 }
             }
@@ -613,10 +648,11 @@ int cabac_encode_slice(
                              cbp_chroma[i], qp[i], luma_ac + i * 16 * 16,
                              chroma_dc + i * 8, chroma_ac + i * 8 * 16);
             }
-            if (i < n - 1) S.cb.terminal(0);
+            // end_of_slice_flag: 1 on the last MB triggers EncodeFlush
+            S.cb.terminal(i == n - 1);
         }
     }
-    S.cb.flush();   // includes end_of_slice terminal 1 semantics
+    if (S.cb.overflow()) goto overflow;
     {
         int written = (int)(S.cb.p - out);
         std::free(S.mbs);

@@ -1,15 +1,17 @@
 """Host CABAC writer: ctypes bridge to the C++ engine (native/cabac.cpp).
 
-Reference analogues: common/cabac.c (engine), encoder/cabac.c:1088 (MB
-writer). The device computes decisions/residuals as tensors; this module
-ships them to the serial C++ bit engine (SURVEY §7.1 design stance).
-The shared library is built on demand with g++ and cached next to the
-source.
+The engine implements the normative H.264 clause 9.3.4 encoding process
+(spec figures 9-7..9-12); this module plays the role of the reference's
+encoder/cabac.c:1088 MB writer driver. The device computes
+decisions/residuals as tensors; this module ships them to the serial C++
+bit engine (SURVEY §7.1 design stance). The shared library is rebuilt
+whenever the source content changes (content-hash keyed cache).
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -19,7 +21,6 @@ from . import cabac_tables as T
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
-_SO_PATH = os.path.join(_NATIVE_DIR, "build", "libcabac.so")
 _SRC = os.path.join(_NATIVE_DIR, "cabac.cpp")
 
 _lib = None
@@ -29,19 +30,23 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if (not os.path.exists(_SO_PATH)
-            or os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC)):
-        os.makedirs(os.path.dirname(_SO_PATH), exist_ok=True)
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    so_path = os.path.join(_NATIVE_DIR, "build", f"libcabac-{digest}.so")
+    if not os.path.exists(so_path):
+        os.makedirs(os.path.dirname(so_path), exist_ok=True)
+        tmp = so_path + f".tmp{os.getpid()}"
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-o", _SO_PATH, _SRC],
+            ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, _SRC],
             check=True, capture_output=True)
-    lib = ctypes.CDLL(_SO_PATH)
+        os.replace(tmp, so_path)
+    lib = ctypes.CDLL(so_path)
     u8 = ctypes.POINTER(ctypes.c_uint8)
     i8 = ctypes.POINTER(ctypes.c_int8)
     i16 = ctypes.POINTER(ctypes.c_int16)
     lib.cabac_encode_slice.restype = ctypes.c_int
     lib.cabac_encode_slice.argtypes = [
-        u8, u8, u8,
+        u8, u8, u8, u8, u8,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         u8, u8, u8, u8, u8, u8, i8, u8, i16, i16, i16, i16, i16, i16,
         u8, ctypes.c_int]
@@ -49,20 +54,22 @@ def _load():
     return lib
 
 
-def init_states(slice_type_i: bool, qp: int, model: int = 0) -> np.ndarray:
-    """Packed initial context states (reference x264_cabac_init,
-    common/cabac.c:32-46): state = clip(((m*qp)>>4)+n, 1, 126), packed as
-    (min(state,127-state)<<1) | (state>>6)."""
+def init_states(slice_type_i: bool, qp: int, model: int = 0):
+    """Initial context variables per spec 9.3.1.1: preCtxState =
+    Clip3(1, 126, ((m * SliceQPY) >> 4) + n); pStateIdx/valMPS split at
+    64. Returns (pStateIdx[1024], valMPS[1024]) as uint8."""
     tab = T.CTX_INIT_I if slice_type_i else T.CTX_INIT_PB[model]
     m = tab[:, 0].astype(np.int32)
     n = tab[:, 1].astype(np.int32)
-    state = np.clip(((m * qp) >> 4) + n, 1, 126)
-    packed = (np.minimum(state, 127 - state) << 1) | (state >> 6)
-    return packed.astype(np.uint8)
+    pre = np.clip(((m * np.clip(qp, 0, 51)) >> 4) + n, 1, 126)
+    mps = (pre > 63).astype(np.uint8)
+    pstate = np.where(pre > 63, pre - 64, 63 - pre).astype(np.uint8)
+    return pstate, mps
 
 
-_LPS_FLAT = np.ascontiguousarray(T.RANGE_LPS.reshape(-1))
-_TRANS_FLAT = np.ascontiguousarray(T.TRANSITION.reshape(-1))
+_LPS_FLAT = np.ascontiguousarray(T.RANGE_TAB_LPS.reshape(-1))
+_TRANS_MPS = np.ascontiguousarray(T.TRANS_IDX_MPS)
+_TRANS_LPS = np.ascontiguousarray(T.TRANS_IDX_LPS)
 
 
 def _ptr(a, ctype):
@@ -83,7 +90,7 @@ def encode_slice_cabac(slice_type, mbw: int, mbh: int,
     # table; P and B share the PB tables, selected by cabac_init_idc)
     st = 2 if slice_type is True else 0 if slice_type is False \
         else int(slice_type)
-    states = init_states(st == 2, slice_qp, model)
+    pstate, mps = init_states(st == 2, slice_qp, model)
 
     def u8c(a):
         return np.ascontiguousarray(np.asarray(a, np.uint8).reshape(-1))
@@ -111,9 +118,11 @@ def encode_slice_cabac(slice_type, mbw: int, mbh: int,
     cap = max(65536, n * 1024)
     out = np.empty(cap, np.uint8)
     rc = lib.cabac_encode_slice(
-        _ptr(states, ctypes.c_uint8),
+        _ptr(pstate, ctypes.c_uint8),
+        _ptr(mps, ctypes.c_uint8),
         _ptr(_LPS_FLAT, ctypes.c_uint8),
-        _ptr(_TRANS_FLAT, ctypes.c_uint8),
+        _ptr(_TRANS_MPS, ctypes.c_uint8),
+        _ptr(_TRANS_LPS, ctypes.c_uint8),
         st, mbw, mbh, slice_qp,
         _ptr(skip, ctypes.c_uint8), _ptr(is_intra, ctypes.c_uint8),
         _ptr(i16_mode, ctypes.c_uint8), _ptr(chroma_mode, ctypes.c_uint8),
