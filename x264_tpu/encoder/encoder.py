@@ -253,10 +253,11 @@ class Encoder:
               and len(self._bqueue) < self.p.bframe
               and pic.i_type != TYPE_P):
             # B candidate: held until the next anchor arrives
-            # (reference lookahead ifbuf; b-adapt none cadence)
+            # (reference lookahead ifbuf; b-adapt none cadence).
+            # Falls through to the common pipe drain below so in-flight
+            # depth stays bounded at ~bframe + pipe_depth.
             self._bqueue.append({"planes": planes, "pic": pic,
                                  "idx": idx})
-            return [], None
         else:
             # P anchor (coding order: anchor first, then the B run)
             prev_anchor = self._last_anchor_tag

@@ -454,10 +454,11 @@ def sei_frame_packing(arrangement_type: int) -> bytes:
     """Frame packing arrangement SEI (spec D.1.25; reference set.c:718,
     --frame-packing). 3=side-by-side, 4=top-bottom, 5=temporal, ..."""
     bw = BitWriter()
+    quincunx = arrangement_type == 0     # checkerboard IS quincunx
     bw.write_ue(0)                       # arrangement id
     bw.write1(0)                         # cancel
     bw.write(7, arrangement_type)
-    bw.write1(0)                         # quincunx
+    bw.write1(quincunx)                  # quincunx_sampling_flag
     bw.write(6, 0)                       # content_interpretation
     bw.write1(0)                         # spatial_flipping
     bw.write1(0)                         # frame0_flipped
@@ -465,10 +466,12 @@ def sei_frame_packing(arrangement_type: int) -> bytes:
     bw.write1(arrangement_type == 5)     # current_frame_is_frame0
     bw.write1(0)                         # frame0_self_contained
     bw.write1(0)                         # frame1_self_contained
-    if arrangement_type not in (5,):
+    if not quincunx and arrangement_type != 5:
         for _ in range(4):
             bw.write(4, 0)               # grid positions
-    bw.write(8, 0)                       # arrangement_repetition_period
+    bw.write(8, 0)                       # arrangement_reserved_byte
+    # period 1 = persists; type 5 alternates current_frame_is_frame0
+    bw.write_ue(1 if arrangement_type != 5 else 0)   # repetition_period
     bw.write1(0)                         # extension flag
     _sei_align(bw)
     return sei_write(SEI_FRAME_PACKING, bw.getvalue())

@@ -86,6 +86,7 @@ class MP4Output:
         self._dts: list[int] = []
         self._pts: list[int] = []
         self._sync: list[int] = []       # 1-based sync sample numbers
+        self._dts_off = None             # shifts first dts to 0
         self._sps = self._pps = None
         self._w = self._h = 0
         self._timescale = 30
@@ -109,7 +110,13 @@ class MP4Output:
         idx = len(self._sizes)
         self._offsets.append(self._f.tell())
         self._sizes.append(len(data))
-        self._dts.append(idx if dts is None else dts)
+        # B-frame delay makes the encoder's first dts negative; shift the
+        # whole dts timeline to start at 0 (the reference muxers'
+        # dts-compress / edit-list handling), ctts keeps pts-dts offsets
+        dts = idx if dts is None else dts
+        if self._dts_off is None:
+            self._dts_off = -dts
+        self._dts.append(dts + self._dts_off)
         self._pts.append(idx if pts is None else pts)
         if is_keyframe(nals):
             self._sync.append(idx + 1)
@@ -192,10 +199,13 @@ class MP4Output:
                                  0x40000000),
                      b"\x00" * 24,
                      struct.pack(">I", 2))                # next track id
+        # after duration: reserved u32[2], layer i16, alternate_group i16,
+        # volume i16 (0 for video), reserved u16 — 16 bytes before the
+        # matrix (ISO 14496-12 8.3.2)
         tkhd = _full(b"tkhd", 0, 3,
                      struct.pack(">IIIII", 0, 0, 1, 0,
                                  dur * 1000 // max(ts, 1)),
-                     b"\x00" * 12,
+                     b"\x00" * 16,
                      struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
                                  0x40000000),
                      struct.pack(">II", self._w << 16, self._h << 16))
@@ -331,6 +341,7 @@ class FLVOutput:
         self._w = self._h = 0
         self._fps = (25, 1)
         self._nframes = 0
+        self._dts_off = None             # shifts first dts to 0
         self._f.write(b"FLV\x01\x01\x00\x00\x00\x09" + b"\x00" * 4)
 
     def set_param(self, p) -> None:
@@ -373,6 +384,11 @@ class FLVOutput:
             dts = self._nframes
         if pts is None:
             pts = dts
+        # shift the dts timeline to start at 0: FLV tag timestamps are
+        # unsigned, a negative first dts (B-frame delay) must not wrap
+        if self._dts_off is None:
+            self._dts_off = -dts
+        dts += self._dts_off
         num, den = self._fps
         dts_ms = dts * 1000 * den // num
         cts_ms = (pts - dts) * 1000 * den // num
