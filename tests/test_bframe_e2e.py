@@ -1,8 +1,10 @@
 """B-frame end-to-end conformance (reference analyse.c:1844 B modes,
 mvpred.c per-list MVP, spec 8.4.2.3.2 implicit weighted bipred).
 
-Streams are decoded with libavcodec (tools/avdec) and compared bit-exact
-against the encoder's reconstruction, reordered to display order."""
+Two independent oracles (doc/regression_test.txt two-decoder method):
+streams are decoded with libavcodec (tools/avdec, display order) AND the
+in-repo spec decoder (tools/refdec.py, coding order), each compared
+bit-exact against the encoder's reconstruction."""
 
 import os
 import subprocess
@@ -85,6 +87,15 @@ def _check_conformance(data, outs, tmp_path):
         for pi in range(3):
             assert np.array_equal(dec[pi], np.asarray(o.recon[pi])), \
                 f"display {disp} type {o.i_type} plane {pi}"
+    # second oracle: in-repo spec decoder, coding order
+    sys.path.insert(0, os.path.dirname(AVDEC))
+    import refdec
+    rframes = refdec.Decoder().decode(data)
+    assert len(rframes) == len(outs)
+    for i, (rf, o) in enumerate(zip(rframes, outs)):
+        for pi in range(3):
+            assert np.array_equal(rf[pi], np.asarray(o.recon[pi])), \
+                f"refdec frame {i} type {o.i_type} plane {pi}"
 
 
 def test_ibbp_conformant(tmp_path):

@@ -69,6 +69,18 @@ def _encode(frames, cabac, qp=26, aq=None, threads=1):
     return data, recons
 
 
+def _refdec_check(data, recons_coding_order):
+    """Second oracle: in-repo spec CABAC decoder, coding order."""
+    sys.path.insert(0, os.path.dirname(AVDEC))
+    import refdec
+    rframes = refdec.Decoder().decode(data)
+    assert len(rframes) == len(recons_coding_order)
+    for i, (rf, rec) in enumerate(zip(rframes, recons_coding_order)):
+        for pi in range(3):
+            assert np.array_equal(rf[pi], np.asarray(rec[pi])), \
+                f"refdec frame {i} plane {pi}"
+
+
 def _avdec(data, tmp_path):
     bs = tmp_path / "t.264"
     out = tmp_path / "t.yuv"
@@ -93,6 +105,7 @@ def _avdec(data, tmp_path):
 def test_cabac_ippp_conformant(tmp_path, qp, aq):
     frames = _clip(4)
     data, recons = _encode(frames, cabac=True, qp=qp, aq=aq)
+    _refdec_check(data, recons)
     dec = _avdec(data, tmp_path)
     assert len(dec) == len(recons)
     for i, (df, rf) in enumerate(zip(dec, recons)):
@@ -104,6 +117,7 @@ def test_cabac_ippp_conformant(tmp_path, qp, aq):
 def test_cabac_noise_conformant(tmp_path):
     frames = _clip(3, structured=False)
     data, recons = _encode(frames, cabac=True, qp=20)
+    _refdec_check(data, recons)
     dec = _avdec(data, tmp_path)
     assert len(dec) == len(recons)
     for i, (df, rf) in enumerate(zip(dec, recons)):
@@ -124,6 +138,7 @@ def test_cabac_smaller_than_cavlc(tmp_path):
 def test_cabac_pipelined_threads(tmp_path):
     frames = _clip(4)
     data, recons = _encode(frames, cabac=True, threads=0)
+    _refdec_check(data, recons)
     dec = _avdec(data, tmp_path)
     assert len(dec) == len(recons)
     for i, (df, rf) in enumerate(zip(dec, recons)):
@@ -160,6 +175,7 @@ def test_cabac_bframes_conformant(tmp_path):
     data = b""
     for n in enc.headers() + nals_all:
         data += b"\x00\x00\x00\x01" + n.payload
+    _refdec_check(data, [o.recon for o in outs])
     dec = _avdec(data, tmp_path)
     assert len(dec) == len(outs)
     by_pts = {o.pts: o for o in outs}

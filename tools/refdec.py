@@ -6,9 +6,13 @@ code and compare against the encoder's reconstruction, byte-exact.
 
 Written directly from ITU-T H.264 spec sections 7/8/9 in plain numpy. It
 deliberately shares no transform/prediction/entropy code with the encoder
-package (it re-implements everything scalar-style) so shared-bug blind spots
-are minimized. Coverage grows with the encoder: currently baseline-profile
-I slices (I16x16 / I4x4 / I_PCM) + P slices as they land, CAVLC.
+package (it re-implements everything scalar-style; only normative constant
+tables are shared) so shared-bug blind spots are minimized. Coverage grows
+with the encoder: I slices (I16x16 / I_PCM), P slices (P_Skip /
+P_L0_16x16 / I16-in-P), B slices (B_L0/L1/BI_16x16 with implicit
+weighted bipred), in both CAVLC and CABAC (spec 9.3.3.2 arithmetic
+decoder), with spec 8.7 deblocking including B mixed-prediction
+strengths.
 """
 
 from __future__ import annotations
@@ -370,6 +374,9 @@ class Decoder:
         self.sps = None
         self.pps = None
         self.frames = []          # decoded (display-cropped) frames
+        self._refs = []           # DPB: [{poc, planes:(y,u,v)}] decode order
+        self._prev_poc_lsb = 0    # POC derivation state (spec 8.2.1.1)
+        self._prev_poc_msb = 0
 
     # -- intra prediction (spec 8.3), scalar per MB --
     def pred16(self, mode, plane, mx, my):
@@ -548,36 +555,63 @@ class Decoder:
             elif ntype == 8:
                 self.pps = parse_pps(r)
             elif ntype in (1, 5):
-                self.decode_slice(r, idr=(ntype == 5))
+                self.decode_slice(r, idr=(ntype == 5),
+                                  nal_ref_idc=(nal[0] >> 5) & 3)
         return self.frames
 
-    def decode_slice(self, r: BitReader, idr: bool):
+    def decode_slice(self, r: BitReader, idr: bool, nal_ref_idc: int = 1):
         sps, pps = self.sps, self.pps
-        if pps.cabac:
-            raise NotImplementedError("CABAC decode")
         first_mb = r.ue()
         slice_type = r.ue() % 5
         r.ue()  # pps id
         r.u(sps.log2_max_frame_num)
         if idr:
             r.ue()  # idr_pic_id
+            self._prev_poc_lsb = self._prev_poc_msb = 0
+            self._refs = []
+        poc = 0
         if sps.poc_type == 0:
-            r.u(sps.log2_max_poc_lsb)
-        if slice_type not in (0, 2):
-            raise NotImplementedError("B slices (coming with encoder)")
+            poc_lsb = r.u(sps.log2_max_poc_lsb)
+            # PicOrderCntMsb derivation (spec 8.2.1.1)
+            max_lsb = 1 << sps.log2_max_poc_lsb
+            if (poc_lsb < self._prev_poc_lsb
+                    and self._prev_poc_lsb - poc_lsb >= max_lsb // 2):
+                msb = self._prev_poc_msb + max_lsb
+            elif (poc_lsb > self._prev_poc_lsb
+                  and poc_lsb - self._prev_poc_lsb > max_lsb // 2):
+                msb = self._prev_poc_msb - max_lsb
+            else:
+                msb = self._prev_poc_msb
+            poc = msb + poc_lsb
+            if nal_ref_idc:
+                self._prev_poc_lsb, self._prev_poc_msb = poc_lsb, msb
+        self._cur_poc = poc
+        self._is_ref = nal_ref_idc > 0
+        if slice_type not in (0, 1, 2):
+            raise NotImplementedError(f"slice_type {slice_type}")
         num_ref = pps.num_ref_idx_l0
-        if slice_type == 0:
+        if slice_type == 1:
+            r.u1()                          # direct_spatial_mv_pred
+        if slice_type in (0, 1):
             if r.u1():                      # num_ref_idx_override
                 num_ref = r.ue() + 1
-            if r.u1():                      # ref_pic_list_modification
+                if slice_type == 1:
+                    r.ue()                  # num_ref_idx_l1_active -1
+            if r.u1():                      # ref_pic_list_modification l0
                 raise NotImplementedError("ref list modification")
-            if pps.weighted_pred:
+            if slice_type == 1 and r.u1():  # ref_pic_list_modification l1
+                raise NotImplementedError("ref list modification l1")
+            if pps.weighted_pred and slice_type == 0:
                 raise NotImplementedError("pred weight table")
-        if idr:
-            r.u1()
-            r.u1()
-        elif r.u1():                        # adaptive_ref_pic_marking
-            raise NotImplementedError("MMCO")
+        if nal_ref_idc:
+            if idr:
+                r.u1()
+                r.u1()
+            elif r.u1():                    # adaptive_ref_pic_marking
+                raise NotImplementedError("MMCO")
+        cabac_model = 0
+        if pps.cabac and slice_type != 2:
+            cabac_model = r.ue()            # cabac_init_idc
         qp = pps.pic_init_qp + r.se()
         self._db = (0, 0, 0)   # (disable_idc, a_off, b_off)
         if pps.deblocking_control:
@@ -587,6 +621,13 @@ class Decoder:
                 a_off = r.se() * 2
                 b_off = r.se() * 2
             self._db = (disable_idc, a_off, b_off)
+        if first_mb != 0:
+            raise NotImplementedError("multi-slice")
+        if pps.cabac:
+            return self._decode_slice_cabac(r, slice_type, qp, cabac_model,
+                                            num_ref)
+        if slice_type == 1:
+            return self._decode_b_body_cavlc(r, qp)
         if slice_type == 0:
             return self._decode_p_body(r, qp, num_ref)
         # frame buffers with -1 edge pad emulated by index -1 (top row/left
@@ -635,10 +676,16 @@ class Decoder:
         self._finish_frame(y, u, v)
 
     def _finish_frame(self, y, u, v):
-        """Store reference + emit display-cropped frame."""
+        """Store reference (sliding window, 2 entries) + emit
+        display-cropped frame (coding order)."""
         sps = self.sps
         H, W = sps.mb_h * 16, sps.mb_w * 16
-        self._ref = (y.copy(), u.copy(), v.copy())
+        if getattr(self, "_is_ref", True):
+            self._ref = (y.copy(), u.copy(), v.copy())
+            self._refs.append({"poc": getattr(self, "_cur_poc", 0),
+                               "planes": self._ref})
+            while len(self._refs) > 2:
+                self._refs.pop(0)
         # crop: syntax units are SubWidthC/SubHeightC (=2 for 4:2:0)
         cl, cr, ct, cb = sps.crop
         top, bot, left, right = ct * 2, cb * 2, cl * 2, cr * 2
@@ -665,44 +712,17 @@ class Decoder:
         nnz_l = np.zeros((sps.mb_h * 4, sps.mb_w * 4), np.int32)
         nnz_c = np.zeros((2, sps.mb_h * 2, sps.mb_w * 2), np.int32)
         n = sps.mb_w * sps.mb_h
-        mvf = np.zeros((sps.mb_h, sps.mb_w, 2), np.int32)   # final MVs
+        mvf = np.zeros((sps.mb_h, sps.mb_w, 2), np.int64)   # final MVs
+        interf = np.zeros((sps.mb_h, sps.mb_w), bool)       # refIdx == 0
+        intra_map = np.zeros((sps.mb_h, sps.mb_w), bool)
         qp_map = np.zeros((sps.mb_h, sps.mb_w), np.int32)
-        coded_mask = np.zeros(n, bool)
         mbidx = 0
-        skip_left = 0
-        pending_run = False
 
         def mvp_for(mx, my):
-            """Median predictor, all-ref0 16x16 world (spec 8.4.1.3)."""
-            av_a = mx > 0
-            av_b = my > 0
-            av_c = my > 0 and mx < sps.mb_w - 1
-            av_d = my > 0 and mx > 0
-            mv_a = mvf[my, mx - 1] if av_a else np.zeros(2, np.int32)
-            mv_b = mvf[my - 1, mx] if av_b else np.zeros(2, np.int32)
-            if av_c:
-                mv_c = mvf[my - 1, mx + 1]
-            elif av_d:
-                mv_c = mvf[my - 1, mx - 1]
-                av_c = True
-            else:
-                mv_c = np.zeros(2, np.int32)
-            nav = int(av_a) + int(av_b) + int(av_c)
-            if not av_b and not av_c and av_a:
-                return mv_a.copy()
-            if nav == 1:
-                return (mv_a if av_a else mv_b if av_b else mv_c).copy()
-            return np.array([np.median([mv_a[0], mv_b[0], mv_c[0]]),
-                             np.median([mv_a[1], mv_b[1], mv_c[1]])],
-                            np.int32)
+            return self._mvp_match(mvf, interf, mx, my)
 
         def pskip_for(mx, my):
-            if mx == 0 or my == 0:
-                return np.zeros(2, np.int32)
-            if np.all(mvf[my, mx - 1] == 0) or np.all(mvf[my - 1, mx] == 0):
-                # (all neighbors are inter ref0 in the emitted subset)
-                return np.zeros(2, np.int32)
-            return mvp_for(mx, my)
+            return self._pskip_mv(mvf, interf, mx, my)
 
         def mc_into(mx, my, mv):
             pred = self._luma_mc(planes, mx * 16, my * 16,
@@ -719,6 +739,7 @@ class Decoder:
                 mx, my = mbidx % sps.mb_w, mbidx // sps.mb_w
                 mv = pskip_for(mx, my)
                 mvf[my, mx] = mv
+                interf[my, mx] = True
                 qp_map[my, mx] = qp
                 mc_into(mx, my, mv)
                 mbidx += 1
@@ -728,14 +749,36 @@ class Decoder:
                 break
             mx, my = mbidx % sps.mb_w, mbidx // sps.mb_w
             mb_type = r.ue()
+            if mb_type >= 5:
+                # I16-in-P (spec: P-slice intra mb_type = value - 5)
+                icode = mb_type - 5
+                if icode == 0:
+                    raise NotImplementedError("I_4x4 in P")
+                if icode == 25:
+                    raise NotImplementedError("I_PCM in P")
+                if not 1 <= icode <= 24:
+                    raise ValueError(f"bad intra mb_type {mb_type}")
+                pred_mode = (icode - 1) % 4
+                cbp_c = ((icode - 1) // 4) % 3
+                cbp_l = 15 * ((icode - 1) // 12)
+                chroma_mode = r.ue()
+                qp += r.se()
+                qp_map[my, mx] = qp
+                intra_map[my, mx] = True
+                self._decode_i16(r, y, u, v, nnz_l, nnz_c, mx, my,
+                                 pred_mode, chroma_mode, cbp_l, cbp_c,
+                                 qp, sps, pps)
+                mbidx += 1
+                continue
             if mb_type != 0:
                 raise NotImplementedError(
                     f"P mb_type {mb_type} at {mbidx}")
             if num_ref > 1:
                 raise NotImplementedError("multi-ref te(ref_idx)")
-            mvd = np.array([r.se(), r.se()], np.int32)
+            mvd = np.array([r.se(), r.se()], np.int64)
             mv = mvp_for(mx, my) + mvd
             mvf[my, mx] = mv
+            interf[my, mx] = True
             mc_into(mx, my, mv)
             cbp_code = r.ue()
             if cbp_code >= 48:
@@ -759,7 +802,7 @@ class Decoder:
         self.last_qp_map = qp_map.copy()
         if self._db[0] != 1:
             y, u, v = deblock_frame_ref(
-                y, u, v, qp_map, np.zeros((sps.mb_h, sps.mb_w), bool),
+                y, u, v, qp_map, intra_map,
                 nnz_l, mvf, self._db[1], self._db[2],
                 pps.chroma_qp_index_offset)
         self._finish_frame(y, u, v)
@@ -912,6 +955,813 @@ class Decoder:
             plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
                 np.clip(outc, 0, 255)
 
+    # ---------------- shared helpers for B / CABAC paths ----------------
+    def _mvp_match(self, mvf, usef, mx, my):
+        """Median MVP over neighbors that use the same reference (spec
+        8.4.1.3: refIdxN == refIdxLX); `usef` marks MBs whose list-X
+        refIdx matches (intra / other-list-only MBs are False)."""
+        mbw = usef.shape[1]
+        z = np.zeros(2, np.int64)
+        avail_a, avail_b = mx > 0, my > 0
+        mv_a = mvf[my, mx - 1] if avail_a else z
+        use_a = avail_a and bool(usef[my, mx - 1])
+        mv_b = mvf[my - 1, mx] if avail_b else z
+        use_b = avail_b and bool(usef[my - 1, mx])
+        if my > 0 and mx < mbw - 1:
+            mv_c, use_c, avail_c = (mvf[my - 1, mx + 1],
+                                    bool(usef[my - 1, mx + 1]), True)
+        elif my > 0 and mx > 0:
+            mv_c, use_c, avail_c = (mvf[my - 1, mx - 1],
+                                    bool(usef[my - 1, mx - 1]), True)
+        else:
+            mv_c, use_c, avail_c = z, False, False
+        if avail_a and not avail_b and not avail_c:
+            return mv_a.copy()
+        ca = mv_a if use_a else z
+        cbv = mv_b if use_b else z
+        cc = mv_c if use_c else z
+        nmatch = int(use_a) + int(use_b) + int(use_c)
+        if nmatch == 1:
+            return (ca if use_a else cbv if use_b else cc).copy()
+        return np.array([np.median([ca[0], cbv[0], cc[0]]),
+                         np.median([ca[1], cbv[1], cc[1]])], np.int64)
+
+    def _pskip_mv(self, mvf, usef, mx, my):
+        """P_Skip motion vector (spec 8.4.1.1)."""
+        if mx == 0 or my == 0:
+            return np.zeros(2, np.int64)
+        if (usef[my, mx - 1] and not np.any(mvf[my, mx - 1])) or \
+                (usef[my - 1, mx] and not np.any(mvf[my - 1, mx])):
+            return np.zeros(2, np.int64)
+        return self._mvp_match(mvf, usef, mx, my)
+
+    @staticmethod
+    def _implicit_w(poc_cur, poc_l0, poc_l1):
+        """Implicit bipred weights (spec 8.4.2.3.2)."""
+        tb = max(-128, min(127, poc_cur - poc_l0))
+        td = max(-128, min(127, poc_l1 - poc_l0))
+        if td == 0:
+            return 32, 32
+        tx = (16384 + abs(td >> 1)) // td
+        dsf = max(-1024, min(1023, (tb * tx + 32) >> 6))
+        w1 = dsf >> 2
+        if w1 < -64 or w1 > 128:
+            return 32, 32
+        return 64 - w1, w1
+
+    def _apply_resid_arrays(self, y, u, v, mx, my, qp, luma, cdc, cac):
+        """Add decoded inter residual coefficient arrays onto the MC
+        prediction already written into y/u/v. luma [16 raster, 16]
+        scan-order (full 16-coeff inter blocks); cdc [2,4]; cac [2,4,16]
+        with position 0 unused."""
+        pps = self.pps
+        for raster in range(16):
+            if not np.any(luma[raster]):
+                continue
+            by4, bx4 = raster // 4, raster % 4
+            d = dequant4(luma[raster], qp)
+            res = idct4(d)
+            py, px = my * 16 + by4 * 4, mx * 16 + bx4 * 4
+            y[py:py + 4, px:px + 4] = np.clip(
+                y[py:py + 4, px:px + 4] + res, 0, 255)
+        qpc = int(CHROMA_QP[np.clip(qp + pps.chroma_qp_index_offset,
+                                    0, 51)])
+        H2 = np.array([[1, 1], [1, -1]], np.int64)
+        mf16 = int(np.array([10, 11, 13, 14, 16, 18])[qpc % 6]) * 16
+        for ci, plane in ((0, u), (1, v)):
+            dcs = cdc[ci]
+            dc2 = np.array([[dcs[0], dcs[1]], [dcs[2], dcs[3]]], np.int64)
+            dcv = ((H2 @ dc2 @ H2) * mf16 << (qpc // 6)) >> 5
+            for blk in range(4):
+                bx2, by2 = blk % 2, blk // 2
+                cf = np.zeros(16, np.int64)
+                cf[1:] = cac[ci, blk, 1:]
+                d = dequant4(cf, qpc)
+                d[0, 0] = dcv[by2, bx2]
+                res = idct4(d)
+                py, px = my * 8 + by2 * 4, mx * 8 + bx2 * 4
+                plane[py:py + 4, px:px + 4] = np.clip(
+                    plane[py:py + 4, px:px + 4] + res, 0, 255)
+
+    def _recon_i16_arrays(self, y, u, v, mx, my, pred_mode, chroma_mode,
+                          qp, dc_scan, ac, cdc, cac):
+        """I16x16 reconstruction from decoded coefficient arrays.
+        dc_scan [16] scan-order luma DC; ac [16 raster, 16] with pos 0
+        unused; cdc [2,4]; cac [2,4,16] with pos 0 unused."""
+        pps = self.pps
+        dc_blk = np.zeros((4, 4), np.int64)
+        dc_blk.flat[ZIG4] = dc_scan
+        f = ihadamard4(dc_blk)
+        per = qp // 6
+        mf16 = int(np.array([10, 11, 13, 14, 16, 18])[qp % 6]) * 16
+        if per >= 6:
+            dcv = (f * mf16) << (per - 6)
+        else:
+            dcv = (f * mf16 + (1 << (5 - per))) >> (6 - per)
+        pred = self.pred16(pred_mode, y, mx, my)
+        out = np.zeros((16, 16), np.int64)
+        for raster in range(16):
+            by4, bx4 = raster // 4, raster % 4
+            d = dequant4(ac[raster], qp)
+            d[0, 0] = dcv[by4, bx4]
+            res = idct4(d)
+            out[by4 * 4:by4 * 4 + 4, bx4 * 4:bx4 * 4 + 4] = \
+                pred[by4 * 4:by4 * 4 + 4, bx4 * 4:bx4 * 4 + 4] + res
+        y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
+            np.clip(out, 0, 255)
+        qpc = int(CHROMA_QP[np.clip(qp + pps.chroma_qp_index_offset,
+                                    0, 51)])
+        H2 = np.array([[1, 1], [1, -1]], np.int64)
+        mfc = int(np.array([10, 11, 13, 14, 16, 18])[qpc % 6]) * 16
+        for ci, plane in ((0, u), (1, v)):
+            dcs = cdc[ci]
+            dc2 = np.array([[dcs[0], dcs[1]], [dcs[2], dcs[3]]], np.int64)
+            dcv2 = ((H2 @ dc2 @ H2) * mfc << (qpc // 6)) >> 5
+            predc = self.predc(chroma_mode, plane, mx, my)
+            outc = np.zeros((8, 8), np.int64)
+            for blk in range(4):
+                bx2, by2 = blk % 2, blk // 2
+                cf = np.zeros(16, np.int64)
+                cf[1:] = cac[ci, blk, 1:]
+                d = dequant4(cf, qpc)
+                d[0, 0] = dcv2[by2, bx2]
+                res = idct4(d)
+                outc[by2 * 4:by2 * 4 + 4, bx2 * 4:bx2 * 4 + 4] = \
+                    predc[by2 * 4:by2 * 4 + 4, bx2 * 4:bx2 * 4 + 4] + res
+            plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
+                np.clip(outc, 0, 255)
+
+    def _b_refs(self):
+        """(l0, l1) reference entries for the current B picture: l0 =
+        closest earlier POC, l1 = closest later POC (spec 8.2.4.2.3
+        initialization with one active ref per list)."""
+        cur = self._cur_poc
+        before = [rf for rf in self._refs if rf["poc"] < cur]
+        after = [rf for rf in self._refs if rf["poc"] > cur]
+        if not before or not after:
+            raise ValueError("B picture without both anchors in DPB")
+        l0 = max(before, key=lambda rf: rf["poc"])
+        l1 = min(after, key=lambda rf: rf["poc"])
+        return l0, l1
+
+    def _decode_b_body_cavlc(self, r: BitReader, qp: int):
+        """B slice MB layer, CAVLC: B_L0/L1/BI_16x16 (the encoder's
+        emitted subset; encode_bframe_entropy_dev is the writer)."""
+        sps, pps = self.sps, self.pps
+        l0, l1 = self._b_refs()
+        ry0, ru0, rv0 = l0["planes"]
+        ry1, ru1, rv1 = l1["planes"]
+        if pps.weighted_bipred_idc == 2:
+            w0, w1 = self._implicit_w(self._cur_poc, l0["poc"], l1["poc"])
+        else:
+            w0, w1 = 32, 32
+        PAD = 32
+        self._mc_pad = PAD
+        planes0 = self._interp_planes(np.pad(ry0, PAD, mode="edge"))
+        planes1 = self._interp_planes(np.pad(ry1, PAD, mode="edge"))
+        W, H = sps.mb_w * 16, sps.mb_h * 16
+        y = np.zeros((H, W), np.int64)
+        u = np.zeros((H // 2, W // 2), np.int64)
+        v = np.zeros((H // 2, W // 2), np.int64)
+        nnz_l = np.zeros((sps.mb_h * 4, sps.mb_w * 4), np.int32)
+        nnz_c = np.zeros((2, sps.mb_h * 2, sps.mb_w * 2), np.int32)
+        n = sps.mb_w * sps.mb_h
+        mvf0 = np.zeros((sps.mb_h, sps.mb_w, 2), np.int64)
+        mvf1 = np.zeros((sps.mb_h, sps.mb_w, 2), np.int64)
+        use0 = np.zeros((sps.mb_h, sps.mb_w), bool)
+        use1 = np.zeros((sps.mb_h, sps.mb_w), bool)
+        mode_map = np.zeros((sps.mb_h, sps.mb_w), np.int32)
+        qp_map = np.zeros((sps.mb_h, sps.mb_w), np.int32)
+
+        for mbidx in range(n):
+            mx, my = mbidx % sps.mb_w, mbidx // sps.mb_w
+            run = r.ue()                    # mb_skip_run
+            if run:
+                raise NotImplementedError("B_Skip")
+            mb_type = r.ue()
+            if mb_type == 0:
+                raise NotImplementedError("B_Direct_16x16")
+            if mb_type > 3:
+                raise NotImplementedError(f"B mb_type {mb_type}")
+            mode = mb_type - 1              # 0=L0 1=L1 2=BI
+            mv0 = mv1 = None
+            if mode != 1:
+                mvd0 = np.array([r.se(), r.se()], np.int64)
+                mv0 = self._mvp_match(mvf0, use0, mx, my) + mvd0
+            if mode != 0:
+                mvd1 = np.array([r.se(), r.se()], np.int64)
+                mv1 = self._mvp_match(mvf1, use1, mx, my) + mvd1
+            self._b_mc(y, u, v, planes0, planes1, ru0, rv0, ru1, rv1,
+                       mx, my, mode, mv0, mv1, w0, w1)
+            mode_map[my, mx] = mode
+            if mv0 is not None:
+                mvf0[my, mx] = mv0
+                use0[my, mx] = True
+            if mv1 is not None:
+                mvf1[my, mx] = mv1
+                use1[my, mx] = True
+            cbp_code = r.ue()
+            if cbp_code >= 48:
+                raise ValueError("bad cbp code")
+            cbp = int(_CBP_FROM_GOLOMB_INTER[cbp_code])
+            cbp_l, cbp_c = cbp & 15, cbp >> 4
+            if cbp_l and pps.transform_8x8 and r.u1():
+                raise NotImplementedError("8x8 transform decode")
+            if cbp:
+                qp += r.se()
+            qp_map[my, mx] = qp
+            self._decode_inter_resid(r, y, u, v, nnz_l, nnz_c, mx, my,
+                                     cbp_l, cbp_c, qp)
+        np.clip(y, 0, 255, out=y)
+        np.clip(u, 0, 255, out=u)
+        np.clip(v, 0, 255, out=v)
+        if self._db[0] != 1:
+            y, u, v = deblock_frame_ref(
+                y, u, v, qp_map, np.zeros((sps.mb_h, sps.mb_w), bool),
+                nnz_l, mvf0, self._db[1], self._db[2],
+                pps.chroma_qp_index_offset,
+                b_info=(mode_map, mvf0, mvf1))
+        self._finish_frame(y, u, v)
+
+    def _b_mc(self, y, u, v, planes0, planes1, ru0, rv0, ru1, rv1,
+              mx, my, mode, mv0, mv1, w0, w1):
+        """Write the B prediction for one 16x16 MB into y/u/v (spec
+        8.4.2.3: bipred = Clip((p0*w0 + p1*w1 + 32) >> 6))."""
+        def lmc(planes, mv):
+            return self._luma_mc(planes, mx * 16, my * 16,
+                                 int(mv[0]), int(mv[1]))
+
+        def cmc(plane, mv):
+            return self._chroma_mc(plane, mx * 8, my * 8,
+                                   int(mv[0]), int(mv[1]))
+        if mode == 0:
+            py, pu, pv = lmc(planes0, mv0), cmc(ru0, mv0), cmc(rv0, mv0)
+        elif mode == 1:
+            py, pu, pv = lmc(planes1, mv1), cmc(ru1, mv1), cmc(rv1, mv1)
+        else:
+            def bi(a, b):
+                return np.clip((a.astype(np.int64) * w0
+                                + b.astype(np.int64) * w1 + 32) >> 6,
+                               0, 255)
+            py = bi(lmc(planes0, mv0), lmc(planes1, mv1))
+            pu = bi(cmc(ru0, mv0), cmc(ru1, mv1))
+            pv = bi(cmc(rv0, mv0), cmc(rv1, mv1))
+        y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = py
+        u[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = pu
+        v[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = pv
+
+    # ------------------------------------------------ CABAC slice decode
+    def _decode_slice_cabac(self, r: BitReader, slice_type: int,
+                            slice_qp: int, model: int, num_ref: int):
+        """CABAC slice body for I / P / B with the encoder's emitted MB
+        modes (I16x16, P_Skip/P_L0_16x16/I16-in-P, B L0/L1/BI 16x16).
+        Syntax is the inverse of native/cabac.cpp's writer; arithmetic is
+        the spec 9.3.3.2 engine above."""
+        sps, pps = self.sps, self.pps
+        mbw, mbh = sps.mb_w, sps.mb_h
+        n = mbw * mbh
+        r.byte_align()                      # cabac_alignment_one_bit
+        data = np.packbits(r.bits[r.pos:]).tobytes()
+        cb = CabacReader(data, model, slice_type == 2, slice_qp)
+        W, H = mbw * 16, mbh * 16
+        y = np.zeros((H, W), np.int64)
+        u = np.zeros((H // 2, W // 2), np.int64)
+        v = np.zeros((H // 2, W // 2), np.int64)
+        nnz_l = np.zeros((mbh * 4, mbw * 4), np.int32)
+        nnz_c = np.zeros((2, mbh * 2, mbw * 2), np.int32)
+        qp_map = np.zeros((mbh, mbw), np.int32)
+        # neighbor caches (MBInfo mirror of the encoder's writer)
+        c_coded = np.zeros((mbh, mbw), bool)
+        c_skip = np.zeros((mbh, mbw), bool)
+        c_not_i4x4 = np.zeros((mbh, mbw), bool)
+        c_cpm = np.zeros((mbh, mbw), np.int32)
+        c_cbp_l = np.zeros((mbh, mbw), np.int32)
+        c_cbp_c = np.zeros((mbh, mbw), np.int32)
+        c_dcnnz = np.zeros((mbh, mbw, 3), np.int32)
+        c_mvd = np.zeros((mbh, mbw, 2, 2), np.int64)
+        intra_map = np.zeros((mbh, mbw), bool)
+        mvf0 = np.zeros((mbh, mbw, 2), np.int64)
+        mvf1 = np.zeros((mbh, mbw, 2), np.int64)
+        use0 = np.zeros((mbh, mbw), bool)
+        use1 = np.zeros((mbh, mbw), bool)
+        mode_map = np.zeros((mbh, mbw), np.int32)
+        last_qp = slice_qp
+        state = {"last_dqp": 0}
+
+        # reference setup
+        planes0 = planes1 = ru0 = rv0 = ru1 = rv1 = None
+        w0 = w1 = 32
+        PAD = 32
+        self._mc_pad = PAD
+        if slice_type == 0:
+            ry0, ru0, rv0 = self._ref
+            planes0 = self._interp_planes(np.pad(ry0, PAD, mode="edge"))
+        elif slice_type == 1:
+            l0, l1 = self._b_refs()
+            ry0, ru0, rv0 = l0["planes"]
+            ry1, ru1, rv1 = l1["planes"]
+            planes0 = self._interp_planes(np.pad(ry0, PAD, mode="edge"))
+            planes1 = self._interp_planes(np.pad(ry1, PAD, mode="edge"))
+            if pps.weighted_bipred_idc == 2:
+                w0, w1 = self._implicit_w(self._cur_poc, l0["poc"],
+                                          l1["poc"])
+
+        def nzl(gx, gy, intra_cur):
+            if gx < 0 or gy < 0:
+                return intra_cur
+            return 1 if nnz_l[gy, gx] > 0 else 0
+
+        def nzc(pl, gx, gy, intra_cur):
+            if gx < 0 or gy < 0:
+                return intra_cur
+            return 1 if nnz_c[pl, gy, gx] > 0 else 0
+
+        def read_cbf_res(cat, nx, gx, gy, nza, nzb):
+            """decision(cbf) then residual; returns (coeffs, nnz)."""
+            ctx = _C_CBF_BASE[cat] + 2 * (1 if nzb else 0) \
+                + (1 if nza else 0)
+            if cb.decision(ctx):
+                coeffs = _cabac_residual(cb, cat, nx)
+                return coeffs, int(np.count_nonzero(coeffs))
+            return np.zeros(nx, np.int64), 0
+
+        def read_mvd_pair(mx, my, lst):
+            out = np.zeros(2, np.int64)
+            for comp in range(2):
+                amvd = (c_mvd[my, mx - 1, lst, comp] if mx > 0 else 0) \
+                    + (c_mvd[my - 1, mx, lst, comp] if my > 0 else 0)
+                ctx = (1 if amvd > 2 else 0) + (1 if amvd > 32 else 0)
+                vv = _cabac_mvd(cb, 47 if comp else 40, ctx)
+                out[comp] = vv
+                c_mvd[my, mx, lst, comp] = min(abs(int(vv)), 66)
+            return out
+
+        def read_dqp(has_residual):
+            if has_residual:
+                dqp = _cabac_qp_delta(cb, state["last_dqp"])
+                state["last_dqp"] = dqp
+                return dqp
+            state["last_dqp"] = 0
+            return 0
+
+        def read_intra_payload(mx, my, cbp_l, cbp_c, qp):
+            """chroma mode + dqp + I16 residual (cat 0/1/3/4)."""
+            ctx = 64
+            if mx > 0 and c_coded[my, mx - 1] and c_cpm[my, mx - 1] != 0:
+                ctx += 1
+            if my > 0 and c_coded[my - 1, mx] and c_cpm[my - 1, mx] != 0:
+                ctx += 1
+            chroma_mode = 0
+            if cb.decision(ctx):
+                chroma_mode = 1 + cb.decision(64 + 3)
+                if chroma_mode == 2:
+                    chroma_mode += cb.decision(64 + 3)
+            dqp = _cabac_qp_delta(cb, state["last_dqp"])
+            state["last_dqp"] = dqp
+            qp = (qp + dqp) % 52
+            # luma DC (cat 0)
+            nza = (c_dcnnz[my, mx - 1, 0] if c_coded[my, mx - 1] else 0) \
+                if mx > 0 else 1
+            nzb = (c_dcnnz[my - 1, mx, 0] if c_coded[my - 1, mx] else 0) \
+                if my > 0 else 1
+            dc_scan, dc_nnz = read_cbf_res(0, 16, 0, 0, nza, nzb)
+            c_dcnnz[my, mx, 0] = dc_nnz
+            # luma AC (cat 1) if cbp_l, z-scan
+            ac = np.zeros((16, 16), np.int64)
+            if cbp_l:
+                for bz in range(16):
+                    bx4, by4 = int(ZBLK_X[bz]), int(ZBLK_Y[bz])
+                    raster = by4 * 4 + bx4
+                    gx, gy = mx * 4 + bx4, my * 4 + by4
+                    coeffs, tot = read_cbf_res(
+                        1, 15, gx, gy, nzl(gx - 1, gy, 1),
+                        nzl(gx, gy - 1, 1))
+                    ac[raster, 1:] = coeffs
+                    nnz_l[gy, gx] = tot
+            else:
+                nnz_l[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+            # chroma DC (cat 3) if cbp_c
+            cdc = np.zeros((2, 4), np.int64)
+            for pl in range(2):
+                if not cbp_c:
+                    c_dcnnz[my, mx, 1 + pl] = 0
+                    continue
+                nza = (c_dcnnz[my, mx - 1, 1 + pl]
+                       if c_coded[my, mx - 1] else 1) if mx > 0 else 1
+                nzb = (c_dcnnz[my - 1, mx, 1 + pl]
+                       if c_coded[my - 1, mx] else 1) if my > 0 else 1
+                cdc[pl], dnz = read_cbf_res(3, 4, 0, 0, nza, nzb)
+                c_dcnnz[my, mx, 1 + pl] = dnz
+            # chroma AC (cat 4) if cbp_c == 2
+            cac = np.zeros((2, 4, 16), np.int64)
+            for pl in range(2):
+                for blk in range(4):
+                    gx, gy = mx * 2 + (blk & 1), my * 2 + (blk >> 1)
+                    if cbp_c != 2:
+                        nnz_c[pl, gy, gx] = 0
+                        continue
+                    coeffs, tot = read_cbf_res(
+                        4, 15, gx, gy, nzc(pl, gx - 1, gy, 1),
+                        nzc(pl, gx, gy - 1, 1))
+                    cac[pl, blk, 1:] = coeffs
+                    nnz_c[pl, gy, gx] = tot
+            return chroma_mode, qp, dc_scan, ac, cdc, cac
+
+        def read_inter_payload(mx, my):
+            """cbp + dqp + inter residual (cat 2/3/4)."""
+            cl = (c_cbp_l[my, mx - 1] | (c_cbp_c[my, mx - 1] << 4)) \
+                if mx > 0 and c_coded[my, mx - 1] else -1
+            ct = (c_cbp_l[my - 1, mx] | (c_cbp_c[my - 1, mx] << 4)) \
+                if my > 0 and c_coded[my - 1, mx] else -1
+            b0 = cb.decision(76 - ((cl >> 1) & 1) - ((ct >> 1) & 2))
+            b1 = cb.decision(76 - b0 - ((ct >> 2) & 2))
+            b2 = cb.decision(76 - ((cl >> 3) & 1) - 2 * b0)
+            b3 = cb.decision(76 - b2 - 2 * b1)
+            cbp_l = b0 | (b1 << 1) | (b2 << 2) | (b3 << 3)
+            ca = 0 if cl == -1 else cl & 0x30
+            cbb = 0 if ct == -1 else ct & 0x30
+            ctx = (1 if ca else 0) + 2 * (1 if cbb else 0)
+            cbp_c = 0
+            if cb.decision(77 + ctx):
+                ctx = 4 + (1 if ca == 0x20 else 0) \
+                    + 2 * (1 if cbb == 0x20 else 0)
+                cbp_c = 1 + cb.decision(77 + ctx)
+            dqp = read_dqp(cbp_l or cbp_c)
+            qp = (qp_state["last_qp"] + dqp) % 52
+            qp_state["last_qp"] = qp
+            luma = np.zeros((16, 16), np.int64)
+            for bz in range(16):
+                bx4, by4 = int(ZBLK_X[bz]), int(ZBLK_Y[bz])
+                raster = by4 * 4 + bx4
+                quad = (by4 >> 1) * 2 + (bx4 >> 1)
+                gx, gy = mx * 4 + bx4, my * 4 + by4
+                if cbp_l & (1 << quad):
+                    coeffs, tot = read_cbf_res(
+                        2, 16, gx, gy, nzl(gx - 1, gy, 0),
+                        nzl(gx, gy - 1, 0))
+                    luma[raster] = coeffs
+                    nnz_l[gy, gx] = tot
+                else:
+                    nnz_l[gy, gx] = 0
+            cdc = np.zeros((2, 4), np.int64)
+            for pl in range(2):
+                if not cbp_c:
+                    c_dcnnz[my, mx, 1 + pl] = 0
+                    continue
+                nza = (c_dcnnz[my, mx - 1, 1 + pl]
+                       if c_coded[my, mx - 1] else 0) if mx > 0 else 0
+                nzb = (c_dcnnz[my - 1, mx, 1 + pl]
+                       if c_coded[my - 1, mx] else 0) if my > 0 else 0
+                cdc[pl], dnz = read_cbf_res(3, 4, 0, 0, nza, nzb)
+                c_dcnnz[my, mx, 1 + pl] = dnz
+            cac = np.zeros((2, 4, 16), np.int64)
+            for pl in range(2):
+                for blk in range(4):
+                    gx, gy = mx * 2 + (blk & 1), my * 2 + (blk >> 1)
+                    if cbp_c != 2:
+                        nnz_c[pl, gy, gx] = 0
+                        continue
+                    coeffs, tot = read_cbf_res(
+                        4, 15, gx, gy, nzc(pl, gx - 1, gy, 0),
+                        nzc(pl, gx, gy - 1, 0))
+                    cac[pl, blk, 1:] = coeffs
+                    nnz_c[pl, gy, gx] = tot
+            return cbp_l, cbp_c, qp, luma, cdc, cac
+
+        qp_state = {"last_qp": slice_qp}
+
+        for mbidx in range(n):
+            mx, my = mbidx % mbw, mbidx // mbw
+            if slice_type != 2:
+                ctx = 24 if slice_type == 1 else 11
+                if mx > 0 and c_coded[my, mx - 1] and not c_skip[my, mx - 1]:
+                    ctx += 1
+                if my > 0 and c_coded[my - 1, mx] and not c_skip[my - 1, mx]:
+                    ctx += 1
+                if cb.decision(ctx):        # mb_skip_flag
+                    if slice_type == 1:
+                        raise NotImplementedError("B_Skip")
+                    mv = self._pskip_mv(mvf0, use0, mx, my)
+                    mvf0[my, mx] = mv
+                    use0[my, mx] = True
+                    pred = self._luma_mc(planes0, mx * 16, my * 16,
+                                         int(mv[0]), int(mv[1]))
+                    y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = pred
+                    u[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
+                        self._chroma_mc(ru0, mx * 8, my * 8,
+                                        int(mv[0]), int(mv[1]))
+                    v[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
+                        self._chroma_mc(rv0, mx * 8, my * 8,
+                                        int(mv[0]), int(mv[1]))
+                    c_coded[my, mx] = True
+                    c_skip[my, mx] = True
+                    c_not_i4x4[my, mx] = True
+                    c_cpm[my, mx] = 0
+                    c_cbp_l[my, mx] = 0
+                    c_cbp_c[my, mx] = 0
+                    c_dcnnz[my, mx] = 0
+                    c_mvd[my, mx] = 0
+                    nnz_l[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+                    nnz_c[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
+                    state["last_dqp"] = 0
+                    qp_map[my, mx] = qp_state["last_qp"]
+                    if cb.terminal() != (1 if mbidx == n - 1 else 0):
+                        raise ValueError("end_of_slice desync")
+                    continue
+
+            if slice_type == 2:
+                # I slice mb_type prefix
+                ctx = 3
+                if mx > 0 and c_coded[my, mx - 1] and c_not_i4x4[my, mx - 1]:
+                    ctx += 1
+                if my > 0 and c_coded[my - 1, mx] and c_not_i4x4[my - 1, mx]:
+                    ctx += 1
+                if cb.decision(ctx) == 0:
+                    raise NotImplementedError("I_4x4 CABAC")
+                if cb.terminal():
+                    raise NotImplementedError("I_PCM CABAC")
+                cbp_l = 15 * cb.decision(3 + 3)
+                cbp_c = 0
+                if cb.decision(3 + 4):
+                    cbp_c = 1 + cb.decision(3 + 5)
+                i16_mode = 2 * cb.decision(3 + 6) + cb.decision(3 + 7)
+                chroma_mode, qp, dc_scan, ac, cdc, cac = \
+                    read_intra_payload(mx, my, cbp_l, cbp_c,
+                                       qp_state["last_qp"])
+                qp_state["last_qp"] = qp
+                self._recon_i16_arrays(y, u, v, mx, my, i16_mode,
+                                       chroma_mode, qp, dc_scan, ac,
+                                       cdc, cac)
+                intra_map[my, mx] = True
+                c_cpm[my, mx] = chroma_mode
+                c_cbp_l[my, mx] = cbp_l
+                c_cbp_c[my, mx] = cbp_c
+            elif slice_type == 0:
+                if cb.decision(14):         # intra in P
+                    if cb.decision(17) == 0:
+                        raise NotImplementedError("I_4x4 in P")
+                    if cb.terminal():
+                        raise NotImplementedError("I_PCM in P")
+                    cbp_l = 15 * cb.decision(17 + 1)
+                    cbp_c = 0
+                    if cb.decision(17 + 2):
+                        cbp_c = 1 + cb.decision(17 + 2)
+                    i16_mode = 2 * cb.decision(17 + 3) \
+                        + cb.decision(17 + 3)
+                    chroma_mode, qp, dc_scan, ac, cdc, cac = \
+                        read_intra_payload(mx, my, cbp_l, cbp_c,
+                                           qp_state["last_qp"])
+                    qp_state["last_qp"] = qp
+                    self._recon_i16_arrays(y, u, v, mx, my, i16_mode,
+                                           chroma_mode, qp, dc_scan, ac,
+                                           cdc, cac)
+                    intra_map[my, mx] = True
+                    c_cpm[my, mx] = chroma_mode
+                    c_cbp_l[my, mx] = cbp_l
+                    c_cbp_c[my, mx] = cbp_c
+                else:
+                    if cb.decision(15):
+                        raise NotImplementedError("P 8x8 CABAC")
+                    if cb.decision(16):
+                        raise NotImplementedError("P 16x8/8x16 CABAC")
+                    mvd = read_mvd_pair(mx, my, 0)
+                    mv = self._mvp_match(mvf0, use0, mx, my) + mvd
+                    mvf0[my, mx] = mv
+                    use0[my, mx] = True
+                    pred = self._luma_mc(planes0, mx * 16, my * 16,
+                                         int(mv[0]), int(mv[1]))
+                    y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = pred
+                    u[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
+                        self._chroma_mc(ru0, mx * 8, my * 8,
+                                        int(mv[0]), int(mv[1]))
+                    v[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
+                        self._chroma_mc(rv0, mx * 8, my * 8,
+                                        int(mv[0]), int(mv[1]))
+                    cbp_l, cbp_c, qp, luma, cdc, cac = \
+                        read_inter_payload(mx, my)
+                    self._apply_resid_arrays(y, u, v, mx, my, qp, luma,
+                                             cdc, cac)
+                    c_cpm[my, mx] = 0
+                    c_cbp_l[my, mx] = cbp_l
+                    c_cbp_c[my, mx] = cbp_c
+            else:                           # B slice
+                ctx = 27
+                if mx > 0 and c_coded[my, mx - 1] and not c_skip[my, mx - 1]:
+                    ctx += 1
+                if my > 0 and c_coded[my - 1, mx] and not c_skip[my - 1, mx]:
+                    ctx += 1
+                if cb.decision(ctx) == 0:
+                    raise NotImplementedError("B_Direct CABAC")
+                if cb.decision(27 + 3) == 0:
+                    bmode = cb.decision(27 + 5)      # 0=L0, 1=L1
+                else:
+                    if cb.decision(27 + 4):
+                        raise NotImplementedError("B large mb_type")
+                    bits = [cb.decision(27 + 5) for _ in range(3)]
+                    if any(bits):
+                        raise NotImplementedError("B sub mb_type")
+                    bmode = 2                        # BI
+                mv0 = mv1 = None
+                if bmode != 1:
+                    mvd0 = read_mvd_pair(mx, my, 0)
+                    mv0 = self._mvp_match(mvf0, use0, mx, my) + mvd0
+                if bmode != 0:
+                    mvd1 = read_mvd_pair(mx, my, 1)
+                    mv1 = self._mvp_match(mvf1, use1, mx, my) + mvd1
+                self._b_mc(y, u, v, planes0, planes1, ru0, rv0, ru1, rv1,
+                           mx, my, bmode, mv0, mv1, w0, w1)
+                mode_map[my, mx] = bmode
+                if mv0 is not None:
+                    mvf0[my, mx] = mv0
+                    use0[my, mx] = True
+                if mv1 is not None:
+                    mvf1[my, mx] = mv1
+                    use1[my, mx] = True
+                cbp_l, cbp_c, qp, luma, cdc, cac = read_inter_payload(
+                    mx, my)
+                self._apply_resid_arrays(y, u, v, mx, my, qp, luma,
+                                         cdc, cac)
+                c_cpm[my, mx] = 0
+                c_cbp_l[my, mx] = cbp_l
+                c_cbp_c[my, mx] = cbp_c
+            c_coded[my, mx] = True
+            c_skip[my, mx] = False
+            c_not_i4x4[my, mx] = True
+            qp_map[my, mx] = qp_state["last_qp"]
+            if cb.terminal() != (1 if mbidx == n - 1 else 0):
+                raise ValueError("end_of_slice desync")
+
+        np.clip(y, 0, 255, out=y)
+        np.clip(u, 0, 255, out=u)
+        np.clip(v, 0, 255, out=v)
+        self.last_mvf = mvf0.copy()
+        self.last_qp_map = qp_map.copy()
+        if self._db[0] != 1:
+            b_info = (mode_map, mvf0, mvf1) if slice_type == 1 else None
+            y, u, v = deblock_frame_ref(
+                y, u, v, qp_map, intra_map, nnz_l, mvf0,
+                self._db[1], self._db[2], pps.chroma_qp_index_offset,
+                b_info=b_info)
+        self._finish_frame(y, u, v)
+
+
+# ------------------------------------------------------- CABAC (spec 9.3.3)
+from x264_tpu.entropy import cabac_tables as CT  # noqa: E402  spec tables
+
+
+class CabacReader:
+    """Arithmetic decoding engine, spec 9.3.3.2 (DecodeDecision /
+    DecodeBypass / DecodeTerminate with the 9.3.3.2.2 renormalization).
+    Independent of the encoder's C++ engine; shares only the normative
+    constant tables."""
+
+    def __init__(self, data: bytes, model: int, slice_is_i: bool, qp: int):
+        self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
+        self.pos = 0
+        self.range = 510
+        self.offset = self._read(9)
+        tab = CT.CTX_INIT_I if slice_is_i else CT.CTX_INIT_PB[model]
+        m = tab[:, 0].astype(np.int64)
+        nn = tab[:, 1].astype(np.int64)
+        pre = np.clip(((m * int(np.clip(qp, 0, 51))) >> 4) + nn, 1, 126)
+        self.mps = (pre > 63).astype(np.int32)
+        self.pstate = np.where(pre > 63, pre - 64, 63 - pre) \
+            .astype(np.int32)
+
+    def _read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            b = int(self.bits[self.pos]) if self.pos < len(self.bits) else 0
+            self.pos += 1
+            v = (v << 1) | b
+        return v
+
+    def decision(self, ctx: int) -> int:
+        ps = int(self.pstate[ctx])
+        rlps = int(CT.RANGE_TAB_LPS[ps][(self.range >> 6) & 3])
+        self.range -= rlps
+        if self.offset >= self.range:
+            b = 1 - int(self.mps[ctx])
+            self.offset -= self.range
+            self.range = rlps
+            if ps == 0:
+                self.mps[ctx] ^= 1
+            self.pstate[ctx] = int(CT.TRANS_IDX_LPS[ps])
+        else:
+            b = int(self.mps[ctx])
+            self.pstate[ctx] = int(CT.TRANS_IDX_MPS[ps])
+        while self.range < 256:
+            self.range <<= 1
+            self.offset = ((self.offset << 1) | self._read(1)) & 0x3FFFF
+        return b
+
+    def bypass(self) -> int:
+        self.offset = (self.offset << 1) | self._read(1)
+        if self.offset >= self.range:
+            self.offset -= self.range
+            return 1
+        return 0
+
+    def terminal(self) -> int:
+        self.range -= 2
+        if self.offset >= self.range:
+            return 1
+        while self.range < 256:
+            self.range <<= 1
+            self.offset = ((self.offset << 1) | self._read(1)) & 0x3FFFF
+        return 0
+
+    def ue_bypass(self, k: int) -> int:
+        """k-th order Exp-Golomb suffix in bypass mode (UEGk)."""
+        base = 0
+        while self.bypass():
+            base += 1 << k
+            k += 1
+            if k > 30:
+                raise ValueError("CABAC desync in UEGk")
+        suffix = 0
+        for _ in range(k):
+            suffix = (suffix << 1) | self.bypass()
+        return base + suffix
+
+
+# residual context layout (spec table 9-40 numbering as used by the
+# encoder's writer; see native/cabac.cpp)
+_C_SIG_OFF = [105, 120, 134, 149, 152]
+_C_LAST_OFF = [166, 181, 195, 210, 213]
+_C_LVL_OFF = [227, 237, 247, 257, 266]
+_C_CBF_BASE = [85, 89, 93, 97, 101]
+_C_COUNT_M1 = [15, 14, 15, 3, 14]
+_C_LVL1_CTX = [1, 2, 3, 4, 0, 0, 0, 0]
+_C_LVLGT1_CTX = [5, 5, 5, 5, 6, 7, 8, 9]
+_C_LVL_TRANS = [[1, 2, 3, 3, 4, 5, 6, 7], [4, 4, 4, 4, 5, 6, 7, 7]]
+_C_MVD_CTXES = [3, 4, 5, 6, 6, 6, 6, 6]
+
+
+def _cabac_residual(cb: CabacReader, cat: int, n: int) -> np.ndarray:
+    """Decode one residual block's significance map + levels (the inverse
+    of native/cabac.cpp block_residual). Returns n coeffs in scan order.
+    Caller has already decoded cbf=1."""
+    count_m1 = _C_COUNT_M1[cat]
+    sig, lst = _C_SIG_OFF[cat], _C_LAST_OFF[cat]
+    coeffs = np.zeros(n, np.int64)
+    positions = []
+    i = 0
+    while True:
+        if i == count_m1:
+            positions.append(i)
+            break
+        if cb.decision(sig + i):
+            positions.append(i)
+            if cb.decision(lst + i):
+                break
+        i += 1
+    node = 0
+    lvl = _C_LVL_OFF[cat]
+    for pos in reversed(positions):
+        if cb.decision(_C_LVL1_CTX[node] + lvl):
+            ctx2 = _C_LVLGT1_CTX[node] + lvl
+            a = 2
+            while a < 15 and cb.decision(ctx2):
+                a += 1
+            if a == 15:
+                a += cb.ue_bypass(0)
+            node = _C_LVL_TRANS[1][node]
+        else:
+            a = 1
+            node = _C_LVL_TRANS[0][node]
+        coeffs[pos] = -a if cb.bypass() else a
+    return coeffs
+
+
+def _cabac_mvd(cb: CabacReader, base: int, ctx: int) -> int:
+    """Decode one mvd component (inverse of write_mvd_list)."""
+    if cb.decision(base + ctx) == 0:
+        return 0
+    a = 1
+    while a < 9 and cb.decision(base + _C_MVD_CTXES[a - 1]):
+        a += 1
+    if a == 9:
+        a = 9 + cb.ue_bypass(3)
+    return -a if cb.bypass() else a
+
+
+def _cabac_qp_delta(cb: CabacReader, last_dqp: int) -> int:
+    """Decode mb_qp_delta (inverse of write_qp_delta). Returns the mapped
+    delta; caller applies (qp + dqp + 52) % 52."""
+    ctx = 60 + (1 if last_dqp != 0 else 0)
+    val = 0
+    first = True
+    while cb.decision(ctx):
+        val += 1
+        ctx = 60 + (2 if first else 3)
+        first = False
+        if val > 104:
+            raise ValueError("CABAC dqp desync")
+    if val == 0:
+        return 0
+    return (val + 1) // 2 if val % 2 else -(val // 2)
+
 
 # ------------------------------------------------------------ deblocking
 _DB_ALPHA = np.array(
@@ -994,8 +1844,12 @@ def _db_chroma_line(pix, idx, stride, alpha, beta, tc0, bs):
 
 
 def deblock_frame_ref(y, u, v, qp_map, intra_map, nnz_l, mvf,
-                      a_off=0, b_off=0, chroma_qp_offset=0):
-    """Spec 8.7 deblocking, scalar, MB raster order, V then H per MB."""
+                      a_off=0, b_off=0, chroma_qp_offset=0, b_info=None):
+    """Spec 8.7 deblocking, scalar, MB raster order, V then H per MB.
+
+    b_info=(mode_map, mvf0, mvf1) switches edge strengths to the B-slice
+    mixed-prediction rules (spec 8.7.2.1): bs=1 when the two sides use
+    different reference sets, or any used list's |mv delta| >= 4."""
     mbh, mbw = qp_map.shape
     H, W = y.shape
     yf = y.astype(np.int64).ravel()
@@ -1013,6 +1867,20 @@ def deblock_frame_ref(y, u, v, qp_map, intra_map, nnz_l, mvf,
             return 4 if e == 0 else 3
         if nnz_l[by, bx] > 0 or nnz_l[pby, pbx] > 0:
             return 2
+        if b_info is not None:
+            mode_map, mv0f, mv1f = b_info
+            mq, mp = mode_map[mby, mbx], mode_map[pby // 4, pbx // 4]
+            if mq != mp:
+                return 1
+            if mq != 1:     # list0 used
+                d = mv0f[mby, mbx] - mv0f[pby // 4, pbx // 4]
+                if abs(int(d[0])) >= 4 or abs(int(d[1])) >= 4:
+                    return 1
+            if mq != 0:     # list1 used
+                d = mv1f[mby, mbx] - mv1f[pby // 4, pbx // 4]
+                if abs(int(d[0])) >= 4 or abs(int(d[1])) >= 4:
+                    return 1
+            return 0
         mvq = mvf[mby, mbx]
         mvp = mvf[pby // 4, pbx // 4]
         if abs(int(mvq[0]) - int(mvp[0])) >= 4 or \
