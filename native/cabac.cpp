@@ -219,6 +219,7 @@ struct MBInfo {           // per-MB state for neighbor contexts
     uint8_t intra = 0;
     uint8_t i16 = 0;          // is I16x16 (luma DC present)
     uint8_t skip = 0;
+    uint8_t direct = 0;       // B_Direct (excluded from B mb_type ctx)
     uint8_t not_i4x4 = 1;     // mb_type != I_4x4 (for I mb_type ctx)
     uint8_t cpm = 0;          // chroma pred mode
     uint8_t cbp_l = 0, cbp_c = 0;
@@ -524,13 +525,25 @@ void write_b16x16(Slice &S, int x, int y, int bmode, const int16_t *mvd0,
                   const int16_t *mvd1, int cbp_l, int cbp_c, int qp,
                   const int16_t *lraw, const int16_t *cdc,
                   const int16_t *cac) {
-    // bmode: 0=L0, 1=L1, 2=BI (reference cabac_mb_header_b with
-    // partition D_16x16; bit patterns from i_mb_bits column 3)
+    // bmode: 0=L0, 1=L1, 2=BI, 3=DIRECT (reference cabac_mb_header_b
+    // with partition D_16x16; ctx excludes B_SKIP/B_DIRECT neighbors,
+    // encoder/cabac.c:502)
     Cabac &cb = S.cb;
     MBInfo &me = S.mb(x, y);
     int ctx = 0;
-    if (x > 0 && S.mb(x - 1, y).coded && !S.mb(x - 1, y).skip) ctx++;
-    if (y > 0 && S.mb(x, y - 1).coded && !S.mb(x, y - 1).skip) ctx++;
+    if (x > 0 && S.mb(x - 1, y).coded && !S.mb(x - 1, y).skip
+        && !S.mb(x - 1, y).direct)
+        ctx++;
+    if (y > 0 && S.mb(x, y - 1).coded && !S.mb(x, y - 1).skip
+        && !S.mb(x, y - 1).direct)
+        ctx++;
+    if (bmode == 3) {                    // B_Direct_16x16
+        cb.decision(27 + ctx, 0);
+        me.direct = 1;
+        write_cbp_dqp_residual(S, x, y, me, cbp_l, cbp_c, qp, lraw, cdc,
+                               cac);
+        return;
+    }
     cb.decision(27 + ctx, 1);            // not B_Direct
     if (bmode == 0) {                    // B_L0_16x16: '100'
         cb.decision(27 + 3, 0);

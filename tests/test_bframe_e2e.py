@@ -38,12 +38,14 @@ def _clip(n, noise=8):
     return frames
 
 
-def _encode(frames, bframes=2, qp=26, threads=1, deblock=True, aq=0):
+def _encode(frames, bframes=2, qp=26, threads=1, deblock=True, aq=0,
+            adaptive=0):
     p = param_default_preset("veryfast")
     p.width, p.height = W, H
     p.cabac = False
     p.threads = threads
     p.bframe = bframes
+    p.bframe_adaptive = adaptive   # 0: fixed cadence (type asserts)
     p.scenecut_threshold = 0
     p.deblocking_filter = deblock
     p.rc.rc_method = 0
@@ -132,3 +134,10 @@ def test_b_dts_monotonic(tmp_path):
     assert dts == sorted(dts), dts
     assert all(o.dts <= o.pts for o in outs), [(o.pts, o.dts)
                                                for o in outs]
+
+
+def test_b_adaptive_conformant(tmp_path):
+    """Fast adaptive B placement (slicetype.c:1580): types follow content;
+    whatever the greedy picks must stay conformant on both oracles."""
+    data, outs = _encode(_clip(8), bframes=3, adaptive=1)
+    _check_conformance(data, outs, tmp_path)

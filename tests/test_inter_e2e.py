@@ -59,11 +59,17 @@ def encode_ippp(frames, w, h, qp=26, keyint=250):
     stream = annexb_bytes(enc.headers())
     recons = []
     types = []
-    for i, f in enumerate(frames):
-        nals, out = enc.encode(Picture(f, pts=i))
+
+    def take(nals, out):
+        nonlocal stream
         stream += annexb_bytes(nals)
-        recons.append(out.recon)
-        types.append(out.i_type)
+        if out is not None:
+            recons.append(out.recon)
+            types.append(out.i_type)
+    for i, f in enumerate(frames):
+        take(*enc.encode(Picture(f, pts=i)))
+    while enc.delayed_frames():
+        take(*enc.encode(None))
     return stream, recons, types
 
 
@@ -152,6 +158,11 @@ def test_ippp_deblock_conformance(tmp_path):
     for i, f in enumerate(frames):
         nals, out = enc.encode(Picture(f, pts=i))
         stream += annexb_bytes(nals)
+        if out is not None:
+            recons.append(out.recon)
+    while enc.delayed_frames():
+        nals, out = enc.encode(None)
+        stream += annexb_bytes(nals)
         recons.append(out.recon)
     decoded = refdec.Decoder().decode(stream)
     for i in range(3):
@@ -171,3 +182,62 @@ def test_ippp_deblock_conformance(tmp_path):
             fy = np.frombuffer(raw[i * fsz:i * fsz + w * h],
                                np.uint8).reshape(h, w)
             np.testing.assert_array_equal(fy, recons[i][0])
+
+
+@pytest.mark.parametrize("cabac", [False, True])
+def test_intra_in_p_conformant(tmp_path, cabac):
+    """P frames evaluate an I16x16 candidate (analyse.c:2939): occluded /
+    fresh content in a P frame must flip MBs to intra and stay conformant
+    against both oracles (exact mixed-neighbor wavefront recon)."""
+    w, h = 96, 64
+    rng = np.random.default_rng(7)
+    frames = moving_frames(3, w, h, seed=4)
+    # frame 1/2: a region of brand-new content motion search can't find
+    for i in (1, 2):
+        frames[i][0][16:48, 32:80] = rng.integers(0, 256, (32, 48))
+        frames[i][1][8:24, 16:40] = rng.integers(0, 256, (16, 24))
+        frames[i][2][8:24, 16:40] = rng.integers(0, 256, (16, 24))
+    p = param_default_preset("medium")
+    p.width, p.height = w, h
+    p.cabac = cabac
+    p.bframe = 0
+    p.deblocking_filter = True
+    p.keyint_max = 250
+    p.scenecut_threshold = 0       # force P even on the cut-like frame
+    p.rc.rc_method = 0
+    p.rc.qp_constant = 26
+    p.full_recon = True
+    p.threads = 1
+    enc = Encoder(p)
+    stream = annexb_bytes(enc.headers())
+    recons = []
+    for i, f in enumerate(frames):
+        nals, out = enc.encode(Picture(f, pts=i))
+        stream += annexb_bytes(nals)
+        if out is not None:
+            recons.append(out.recon)
+    while enc.delayed_frames():
+        nals, out = enc.encode(None)
+        stream += annexb_bytes(nals)
+        recons.append(out.recon)
+    dec = refdec.Decoder()
+    decoded = dec.decode(stream)
+    assert dec.last_intra_map.any(), "no MB chose intra on fresh content"
+    assert not dec.last_intra_map.all(), "every MB intra: decision broken"
+    for i in range(3):
+        for c in range(3):
+            np.testing.assert_array_equal(decoded[i][c], recons[i][c],
+                                          err_msg=f"frame {i} plane {c}")
+    if _ensure_avdec():
+        f264 = tmp_path / "ip.264"
+        f264.write_bytes(stream)
+        out_yuv = tmp_path / "ip.yuv"
+        subprocess.run([AVDEC, str(f264), str(out_yuv)], check=True,
+                       capture_output=True)
+        raw = out_yuv.read_bytes()
+        fsz = w * h * 3 // 2
+        for i in range(3):
+            fy = np.frombuffer(raw[i * fsz:i * fsz + w * h],
+                               np.uint8).reshape(h, w)
+            np.testing.assert_array_equal(fy, recons[i][0],
+                                          err_msg=f"avdec frame {i}")

@@ -40,10 +40,16 @@ def _encode(frames, w, h, **rc):
     enc = Encoder(p)
     total = 0
     qps = []
-    for i, f in enumerate(frames):
-        nals, out = enc.encode(Picture(f, pts=i))
+
+    def take(nals, out):
+        nonlocal total
         total += sum(len(n.payload) for n in nals)
-        qps.append(out.qp)
+        if out is not None:
+            qps.append(out.qp)
+    for i, f in enumerate(frames):
+        take(*enc.encode(Picture(f, pts=i)))
+    while enc.delayed_frames():
+        take(*enc.encode(None))
     return total * 8 * 25 / len(frames) / 1000, qps
 
 
@@ -108,6 +114,11 @@ def test_aq_conformance():
     for i, f in enumerate(frames):
         nals, out = enc.encode(Picture(f, pts=i))
         stream += annexb_bytes(nals)
+        if out is not None:
+            recs.append(out.recon)
+    while enc.delayed_frames():
+        nals, out = enc.encode(None)
+        stream += annexb_bytes(nals)
         recs.append(out.recon)
     dec = refdec.Decoder().decode(stream)
     for i in range(3):
@@ -134,11 +145,16 @@ def test_vbv_respects_buffer():
     buffer_rate = 100 * 1000.0 / 25
     fill = buffer_size * 0.9
     min_fill = fill
-    for i, f in enumerate(frames):
-        nals, out = enc.encode(Picture(f, pts=i))
+
+    def drink(nals):
+        nonlocal fill, min_fill
         bits = sum(len(n.payload) * 8 for n in nals)
         fill = min(fill + buffer_rate - bits, buffer_size)
         min_fill = min(min_fill, fill)
+    for i, f in enumerate(frames):
+        drink(enc.encode(Picture(f, pts=i))[0])
+    while enc.delayed_frames():
+        drink(enc.encode(None)[0])
     # the frame-level VBV must keep a healthy margin (no underflow)
     assert min_fill > -buffer_rate, min_fill
 
@@ -166,6 +182,9 @@ def test_two_pass_hits_target(tmp_path):
         total = 0
         for i, f in enumerate(frames):
             nals, out = enc.encode(Picture(f, pts=i))
+            total += sum(len(n.payload) for n in nals)
+        while enc.delayed_frames():
+            nals, out = enc.encode(None)
             total += sum(len(n.payload) for n in nals)
         enc.close()
         return total * 8 * 25 / len(frames) / 1000

@@ -668,6 +668,9 @@ class Decoder:
             qp_map[my, mx] = qp
             self._decode_i16(r, y, u, v, nnz_l, nnz_c, mx, my, pred_mode,
                              chroma_mode, cbp_l, cbp_c, qp, sps, pps)
+        self._pending_fields = {
+            "mvf": np.zeros((sps.mb_h, sps.mb_w, 2), np.int64),
+            "interf": np.zeros((sps.mb_h, sps.mb_w), bool)}
         if self._db[0] != 1:
             y, u, v = deblock_frame_ref(
                 y, u, v, qp_map, np.ones((sps.mb_h, sps.mb_w), bool),
@@ -682,8 +685,12 @@ class Decoder:
         H, W = sps.mb_h * 16, sps.mb_w * 16
         if getattr(self, "_is_ref", True):
             self._ref = (y.copy(), u.copy(), v.copy())
-            self._refs.append({"poc": getattr(self, "_cur_poc", 0),
-                               "planes": self._ref})
+            entry = {"poc": getattr(self, "_cur_poc", 0),
+                     "planes": self._ref}
+            # colocated fields for B spatial direct (mvpred.c:290)
+            entry.update(getattr(self, "_pending_fields", None) or {})
+            self._pending_fields = None
+            self._refs.append(entry)
             while len(self._refs) > 2:
                 self._refs.pop(0)
         # crop: syntax units are SubWidthC/SubHeightC (=2 for 4:2:0)
@@ -800,6 +807,8 @@ class Decoder:
         np.clip(v, 0, 255, out=v)
         self.last_mvf = mvf.copy()          # debug introspection
         self.last_qp_map = qp_map.copy()
+        self.last_intra_map = intra_map.copy()
+        self._pending_fields = {"mvf": mvf.copy(), "interf": interf.copy()}
         if self._db[0] != 1:
             y, u, v = deblock_frame_ref(
                 y, u, v, qp_map, intra_map,
@@ -995,6 +1004,48 @@ class Decoder:
             return np.zeros(2, np.int64)
         return self._mvp_match(mvf, usef, mx, my)
 
+    def _derive_direct_mb(self, mvf0, use0, mvf1, use1, mx, my,
+                          col_inter, col_mv):
+        """Spatial direct derivation for one MB (mvpred.c:290; 16x16,
+        1 ref per list, progressive). Fields store mv 0 where the list
+        is unused (the cache convention). Returns (u0, u1, m0, m1)."""
+        mbw = use0.shape[1]
+        z = np.zeros(2, np.int64)
+        outs = []
+        for use, mvf in ((use0, mvf0), (use1, mvf1)):
+            avail_a, avail_b = mx > 0, my > 0
+            mv_a = mvf[my, mx - 1] if avail_a else z
+            r_a = avail_a and bool(use[my, mx - 1])
+            mv_b = mvf[my - 1, mx] if avail_b else z
+            r_b = avail_b and bool(use[my - 1, mx])
+            if my > 0 and mx < mbw - 1:
+                mv_c, r_c = mvf[my - 1, mx + 1], bool(use[my - 1, mx + 1])
+            elif mx > 0 and my > 0:
+                mv_c, r_c = mvf[my - 1, mx - 1], bool(use[my - 1, mx - 1])
+            else:
+                mv_c, r_c = z, False
+            count = int(r_a) + int(r_b) + int(r_c)
+            if count == 0:
+                outs.append((False, z))
+            elif count > 1:
+                outs.append((True, np.array(
+                    [np.median([mv_a[0], mv_b[0], mv_c[0]]),
+                     np.median([mv_a[1], mv_b[1], mv_c[1]])], np.int64)))
+            else:
+                m = mv_a if r_a else mv_b if r_b else mv_c
+                outs.append((True, np.asarray(m, np.int64).copy()))
+        (u0, m0), (u1, m1) = outs
+        if not u0 and not u1:
+            return True, True, z, z
+        if (col_inter[my, mx] and abs(int(col_mv[my, mx, 0])) <= 1
+                and abs(int(col_mv[my, mx, 1])) <= 1
+                and (np.any(m0) or np.any(m1))):
+            if u0:
+                m0 = z
+            if u1:
+                m1 = z
+        return u0, u1, m0, m1
+
     @staticmethod
     def _implicit_w(poc_cur, poc_l0, poc_l1):
         """Implicit bipred weights (spec 8.4.2.3.2)."""
@@ -1130,36 +1181,61 @@ class Decoder:
         mvf1 = np.zeros((sps.mb_h, sps.mb_w, 2), np.int64)
         use0 = np.zeros((sps.mb_h, sps.mb_w), bool)
         use1 = np.zeros((sps.mb_h, sps.mb_w), bool)
-        mode_map = np.zeros((sps.mb_h, sps.mb_w), np.int32)
         qp_map = np.zeros((sps.mb_h, sps.mb_w), np.int32)
+        col_inter = l1.get("interf")
+        col_mv = l1.get("mvf")
+        if col_inter is None or col_mv is None:
+            col_inter = np.zeros((sps.mb_h, sps.mb_w), bool)
+            col_mv = np.zeros((sps.mb_h, sps.mb_w, 2), np.int64)
 
-        for mbidx in range(n):
-            mx, my = mbidx % sps.mb_w, mbidx // sps.mb_w
+        def do_direct(mx, my, has_resid):
+            u0, u1, m0, m1 = self._derive_direct_mb(
+                mvf0, use0, mvf1, use1, mx, my, col_inter, col_mv)
+            dmode = 2 if (u0 and u1) else (0 if u0 else 1)
+            self._b_mc(y, u, v, planes0, planes1, ru0, rv0, ru1, rv1,
+                       mx, my, dmode, m0, m1, w0, w1)
+            use0[my, mx], use1[my, mx] = u0, u1
+            mvf0[my, mx] = m0 if u0 else 0
+            mvf1[my, mx] = m1 if u1 else 0
+            if not has_resid:
+                nnz_l[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+                nnz_c[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
+                qp_map[my, mx] = qp
+
+        mbidx = 0
+        while mbidx < n:
             run = r.ue()                    # mb_skip_run
-            if run:
-                raise NotImplementedError("B_Skip")
+            for _ in range(run):            # B_Skip: direct + no residual
+                mx, my = mbidx % sps.mb_w, mbidx // sps.mb_w
+                do_direct(mx, my, has_resid=False)
+                mbidx += 1
+                if mbidx >= n:
+                    break
+            if mbidx >= n:
+                break
+            mx, my = mbidx % sps.mb_w, mbidx // sps.mb_w
             mb_type = r.ue()
-            if mb_type == 0:
-                raise NotImplementedError("B_Direct_16x16")
             if mb_type > 3:
                 raise NotImplementedError(f"B mb_type {mb_type}")
-            mode = mb_type - 1              # 0=L0 1=L1 2=BI
-            mv0 = mv1 = None
-            if mode != 1:
-                mvd0 = np.array([r.se(), r.se()], np.int64)
-                mv0 = self._mvp_match(mvf0, use0, mx, my) + mvd0
-            if mode != 0:
-                mvd1 = np.array([r.se(), r.se()], np.int64)
-                mv1 = self._mvp_match(mvf1, use1, mx, my) + mvd1
-            self._b_mc(y, u, v, planes0, planes1, ru0, rv0, ru1, rv1,
-                       mx, my, mode, mv0, mv1, w0, w1)
-            mode_map[my, mx] = mode
-            if mv0 is not None:
-                mvf0[my, mx] = mv0
-                use0[my, mx] = True
-            if mv1 is not None:
-                mvf1[my, mx] = mv1
-                use1[my, mx] = True
+            if mb_type == 0:                # B_Direct_16x16
+                do_direct(mx, my, has_resid=True)
+            else:
+                mode = mb_type - 1          # 0=L0 1=L1 2=BI
+                mv0 = mv1 = None
+                if mode != 1:
+                    mvd0 = np.array([r.se(), r.se()], np.int64)
+                    mv0 = self._mvp_match(mvf0, use0, mx, my) + mvd0
+                if mode != 0:
+                    mvd1 = np.array([r.se(), r.se()], np.int64)
+                    mv1 = self._mvp_match(mvf1, use1, mx, my) + mvd1
+                self._b_mc(y, u, v, planes0, planes1, ru0, rv0, ru1, rv1,
+                           mx, my, mode, mv0, mv1, w0, w1)
+                if mv0 is not None:
+                    mvf0[my, mx] = mv0
+                    use0[my, mx] = True
+                if mv1 is not None:
+                    mvf1[my, mx] = mv1
+                    use1[my, mx] = True
             cbp_code = r.ue()
             if cbp_code >= 48:
                 raise ValueError("bad cbp code")
@@ -1172,6 +1248,7 @@ class Decoder:
             qp_map[my, mx] = qp
             self._decode_inter_resid(r, y, u, v, nnz_l, nnz_c, mx, my,
                                      cbp_l, cbp_c, qp)
+            mbidx += 1
         np.clip(y, 0, 255, out=y)
         np.clip(u, 0, 255, out=u)
         np.clip(v, 0, 255, out=v)
@@ -1180,7 +1257,7 @@ class Decoder:
                 y, u, v, qp_map, np.zeros((sps.mb_h, sps.mb_w), bool),
                 nnz_l, mvf0, self._db[1], self._db[2],
                 pps.chroma_qp_index_offset,
-                b_info=(mode_map, mvf0, mvf1))
+                b_info=(use0, use1, mvf0, mvf1))
         self._finish_frame(y, u, v)
 
     def _b_mc(self, y, u, v, planes0, planes1, ru0, rv0, ru1, rv1,
@@ -1233,6 +1310,7 @@ class Decoder:
         # neighbor caches (MBInfo mirror of the encoder's writer)
         c_coded = np.zeros((mbh, mbw), bool)
         c_skip = np.zeros((mbh, mbw), bool)
+        c_direct = np.zeros((mbh, mbw), bool)
         c_not_i4x4 = np.zeros((mbh, mbw), bool)
         c_cpm = np.zeros((mbh, mbw), np.int32)
         c_cbp_l = np.zeros((mbh, mbw), np.int32)
@@ -1265,6 +1343,11 @@ class Decoder:
             if pps.weighted_bipred_idc == 2:
                 w0, w1 = self._implicit_w(self._cur_poc, l0["poc"],
                                           l1["poc"])
+            col_inter = l1.get("interf")
+            col_mv = l1.get("mvf")
+            if col_inter is None or col_mv is None:
+                col_inter = np.zeros((mbh, mbw), bool)
+                col_mv = np.zeros((mbh, mbw, 2), np.int64)
 
         def nzl(gx, gy, intra_cur):
             if gx < 0 or gy < 0:
@@ -1440,7 +1523,34 @@ class Decoder:
                     ctx += 1
                 if cb.decision(ctx):        # mb_skip_flag
                     if slice_type == 1:
-                        raise NotImplementedError("B_Skip")
+                        # B_Skip: spatial direct prediction, no residual
+                        u0, u1, m0, m1 = self._derive_direct_mb(
+                            mvf0, use0, mvf1, use1, mx, my,
+                            col_inter, col_mv)
+                        dmode = 2 if (u0 and u1) else (0 if u0 else 1)
+                        self._b_mc(y, u, v, planes0, planes1, ru0, rv0,
+                                   ru1, rv1, mx, my, dmode, m0, m1,
+                                   w0, w1)
+                        use0[my, mx], use1[my, mx] = u0, u1
+                        mvf0[my, mx] = m0 if u0 else 0
+                        mvf1[my, mx] = m1 if u1 else 0
+                        c_coded[my, mx] = True
+                        c_skip[my, mx] = True
+                        c_direct[my, mx] = True
+                        c_not_i4x4[my, mx] = True
+                        c_cpm[my, mx] = 0
+                        c_cbp_l[my, mx] = 0
+                        c_cbp_c[my, mx] = 0
+                        c_dcnnz[my, mx] = 0
+                        c_mvd[my, mx] = 0
+                        nnz_l[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+                        nnz_c[:, my * 2:my * 2 + 2,
+                              mx * 2:mx * 2 + 2] = 0
+                        state["last_dqp"] = 0
+                        qp_map[my, mx] = qp_state["last_qp"]
+                        if cb.terminal() != (1 if mbidx == n - 1 else 0):
+                            raise ValueError("end_of_slice desync")
+                        continue
                     mv = self._pskip_mv(mvf0, use0, mx, my)
                     mvf0[my, mx] = mv
                     use0[my, mx] = True
@@ -1546,12 +1656,40 @@ class Decoder:
                     c_cbp_c[my, mx] = cbp_c
             else:                           # B slice
                 ctx = 27
-                if mx > 0 and c_coded[my, mx - 1] and not c_skip[my, mx - 1]:
+                if (mx > 0 and c_coded[my, mx - 1]
+                        and not c_skip[my, mx - 1]
+                        and not c_direct[my, mx - 1]):
                     ctx += 1
-                if my > 0 and c_coded[my - 1, mx] and not c_skip[my - 1, mx]:
+                if (my > 0 and c_coded[my - 1, mx]
+                        and not c_skip[my - 1, mx]
+                        and not c_direct[my - 1, mx]):
                     ctx += 1
                 if cb.decision(ctx) == 0:
-                    raise NotImplementedError("B_Direct CABAC")
+                    # B_Direct_16x16 with residual
+                    u0, u1, m0, m1 = self._derive_direct_mb(
+                        mvf0, use0, mvf1, use1, mx, my,
+                        col_inter, col_mv)
+                    dmode = 2 if (u0 and u1) else (0 if u0 else 1)
+                    self._b_mc(y, u, v, planes0, planes1, ru0, rv0,
+                               ru1, rv1, mx, my, dmode, m0, m1, w0, w1)
+                    use0[my, mx], use1[my, mx] = u0, u1
+                    mvf0[my, mx] = m0 if u0 else 0
+                    mvf1[my, mx] = m1 if u1 else 0
+                    c_direct[my, mx] = True
+                    cbp_l, cbp_c, qp, luma, cdc, cac = \
+                        read_inter_payload(mx, my)
+                    self._apply_resid_arrays(y, u, v, mx, my, qp, luma,
+                                             cdc, cac)
+                    c_cpm[my, mx] = 0
+                    c_cbp_l[my, mx] = cbp_l
+                    c_cbp_c[my, mx] = cbp_c
+                    c_coded[my, mx] = True
+                    c_skip[my, mx] = False
+                    c_not_i4x4[my, mx] = True
+                    qp_map[my, mx] = qp_state["last_qp"]
+                    if cb.terminal() != (1 if mbidx == n - 1 else 0):
+                        raise ValueError("end_of_slice desync")
+                    continue
                 if cb.decision(27 + 3) == 0:
                     bmode = cb.decision(27 + 5)      # 0=L0, 1=L1
                 else:
@@ -1596,8 +1734,12 @@ class Decoder:
         np.clip(v, 0, 255, out=v)
         self.last_mvf = mvf0.copy()
         self.last_qp_map = qp_map.copy()
+        self.last_intra_map = intra_map.copy()
+        if slice_type != 1:
+            self._pending_fields = {"mvf": mvf0.copy(),
+                                    "interf": use0.copy()}
         if self._db[0] != 1:
-            b_info = (mode_map, mvf0, mvf1) if slice_type == 1 else None
+            b_info = (use0, use1, mvf0, mvf1) if slice_type == 1 else None
             y, u, v = deblock_frame_ref(
                 y, u, v, qp_map, intra_map, nnz_l, mvf0,
                 self._db[1], self._db[2], pps.chroma_qp_index_offset,
@@ -1868,16 +2010,17 @@ def deblock_frame_ref(y, u, v, qp_map, intra_map, nnz_l, mvf,
         if nnz_l[by, bx] > 0 or nnz_l[pby, pbx] > 0:
             return 2
         if b_info is not None:
-            mode_map, mv0f, mv1f = b_info
-            mq, mp = mode_map[mby, mbx], mode_map[pby // 4, pbx // 4]
-            if mq != mp:
+            u0f, u1f, mv0f, mv1f = b_info
+            px, py = pbx // 4, pby // 4
+            if (u0f[mby, mbx] != u0f[py, px]
+                    or u1f[mby, mbx] != u1f[py, px]):
                 return 1
-            if mq != 1:     # list0 used
-                d = mv0f[mby, mbx] - mv0f[pby // 4, pbx // 4]
+            if u0f[mby, mbx]:
+                d = mv0f[mby, mbx] - mv0f[py, px]
                 if abs(int(d[0])) >= 4 or abs(int(d[1])) >= 4:
                     return 1
-            if mq != 0:     # list1 used
-                d = mv1f[mby, mbx] - mv1f[pby // 4, pbx // 4]
+            if u1f[mby, mbx]:
+                d = mv1f[mby, mbx] - mv1f[py, px]
                 if abs(int(d[0])) >= 4 or abs(int(d[1])) >= 4:
                     return 1
             return 0

@@ -2,15 +2,18 @@
 
 Reference analogues: mb_analyse_inter_b16x16 / b_direct handling
 (analyse.c:1844-2545), B MVP (common/mvpred.c:30 with per-list reference
-matching), B entropy (cavlc.c:487 B branches). TPU re-expression: both
-reference directions run the same batched ESA + fused subpel pipeline as
-P frames; the per-MB mode (L0 / L1 / BI) is an argmin over three cost
-planes; the exact per-list MVP field is then computed in one shift-based
-pass over the decided mode/mv fields (no wavefront — MVP has no recon
-dependency).
+matching), spatial direct (mvpred.c:290), B entropy (cavlc.c:487 B
+branches). TPU re-expression: both reference directions run the same
+batched ESA + fused subpel pipeline as P frames; the per-MB mode
+(L0 / L1 / BI) is an argmin over three cost planes; B_Direct_16x16 is
+derived spatially from the decided fields and adopted through a bounded
+fixed-point loop (encoder/bdirect.py) so the final coded fields are
+self-consistent with the decoder's own derivation; B_Skip falls out as
+direct + zero residual. The exact per-list MVP field is then computed in
+one shift-based pass over the final mode/mv fields.
 
-Current scope: B_L0_16x16 / B_L1_16x16 / B_BI_16x16, CAVLC, non-reference
-B (no pyramid), 1 ref per list. Direct/B-skip and CABAC-B land next.
+Scope: B_L0/L1/BI/Direct_16x16 + B_Skip, CAVLC+CABAC, non-reference B
+(no pyramid), 1 ref per list.
 """
 
 from __future__ import annotations
@@ -24,12 +27,13 @@ import numpy as np
 from ..entropy import nal as nal_mod
 from ..ops import dct, mc, quant
 from ..ops.tables import ZIGZAG4_FRAME, chroma_qp
+from .bdirect import derive_direct, direct_pred_luma
 from .intra import _chroma_blocks, _chroma_merge, _luma_blocks, \
     _luma_merge, _mb_tiles, cap_bytes_per_mb
 from .inter import (_decimate_score, _satd16, chroma_mc_warp, motion_search,
                     subpel_refine_mc)
 
-MODE_L0, MODE_L1, MODE_BI = 0, 1, 2
+MODE_L0, MODE_L1, MODE_BI, MODE_DIRECT = 0, 1, 2, 3
 
 
 def implicit_weights(poc_cur: int, poc_l0: int, poc_l1: int):
@@ -111,15 +115,17 @@ def mv_predictors_b(mv_field, use_mask):
 
 @partial(jax.jit, static_argnames=("mbw", "mbh", "cap_words", "me_range",
                                    "deblock", "a_off", "b_off", "cqpo",
-                                   "decimate", "entropy"))
+                                   "decimate", "entropy", "use_direct"))
 def encode_bframe_device(y, u, v, r0_y, r0_hpel, r0_cuv, r1_y, r1_hpel,
                          r1_cuv, qp_mb, qpc_mb, slice_qp, lam, w0, w1,
+                         col_inter, col_mv,
                          *, mbw, mbh, cap_words, me_range, deblock=False,
                          a_off=0, b_off=0, cqpo=0, decimate=True,
-                         entropy=True):
+                         entropy=True, use_direct=True):
     """Fused B-frame device pass. Returns (words, total_bits, recon,
     stats). (w0, w1) are the implicit bipred weights (traced scalars so
-    POC-distance changes do not recompile)."""
+    POC-distance changes do not recompile). col_inter/col_mv are the L1
+    anchor's colocated inter mask + MV field for spatial direct."""
     from ..entropy.cavlc_jax import encode_bframe_entropy_dev
     H, W = y.shape
     n = mbw * mbh
@@ -127,7 +133,7 @@ def encode_bframe_device(y, u, v, r0_y, r0_hpel, r0_cuv, r1_y, r1_hpel,
     def bipred(p0, p1):
         return jnp.clip((p0 * w0 + p1 * w1 + 32) >> 6, 0, 255)
 
-    preds, mvs, costs = [], [], []
+    preds, mvs = [], []
     for ry, rh in ((r0_y, r0_hpel), (r1_y, r1_hpel)):
         mv_c = motion_search(ry, rh, y, lam, me_range)
         mvq, pred, _ = subpel_refine_mc(rh, y, mv_c, lam, me_range)
@@ -139,19 +145,76 @@ def encode_bframe_device(y, u, v, r0_y, r0_hpel, r0_cuv, r1_y, r1_hpel,
     c1 = _satd16(preds[1], tiles)
     cbi = _satd16(pred_bi, tiles) + lam * 3   # small bits bias for 2 MVs
     mode = jnp.argmin(jnp.stack([c0, c1, cbi]), axis=0).astype(jnp.int32)
-    satd_cost = jnp.sum(jnp.minimum(jnp.minimum(c0, c1), cbi))
+    best_exp = jnp.minimum(jnp.minimum(c0, c1), cbi)
     pred_y = jnp.where((mode == MODE_L0)[:, None, None], preds[0],
                        jnp.where((mode == MODE_L1)[:, None, None],
                                  preds[1], pred_bi))
 
-    # per-list MVP over the decided fields (no recon dependency)
+    # explicit per-list fields (cache convention: mv 0 where unused)
     mode_f = mode.reshape(mbh, mbw)
-    use0 = (mode_f != MODE_L1)
-    use1 = (mode_f != MODE_L0)
-    mv0_f = mvs[0].reshape(mbh, mbw, 2)
-    mv1_f = mvs[1].reshape(mbh, mbw, 2)
-    mvp0 = mv_predictors_b(jnp.where(use0[..., None], mv0_f, 0), use0)
-    mvp1 = mv_predictors_b(jnp.where(use1[..., None], mv1_f, 0), use1)
+    use0_e = mode_f != MODE_L1
+    use1_e = mode_f != MODE_L0
+    mv0_e = jnp.where(use0_e[..., None], mvs[0].reshape(mbh, mbw, 2), 0)
+    mv1_e = jnp.where(use1_e[..., None], mvs[1].reshape(mbh, mbw, 2), 0)
+
+    if use_direct:
+        # ---- spatial direct (bdirect.py): derive from the explicit
+        # fields, adopt where cheaper, then shrink to a fixed point so
+        # the decoder's derivation from the coded fields reproduces the
+        # exact MVs used here ----
+        du0, du1, dm0, dm1 = derive_direct(use0_e, use1_e, mv0_e, mv1_e,
+                                           col_inter, col_mv)
+        bound = 4 * (me_range - 1)
+        valid = (jnp.max(jnp.abs(dm0), axis=-1) <= bound) \
+            & (jnp.max(jnp.abs(dm1), axis=-1) <= bound)
+        dm0f = dm0.reshape(n, 2)
+        dm1f = dm1.reshape(n, 2)
+        pd0 = direct_pred_luma(r0_hpel, dm0f, mbh, mbw, me_range)
+        pd1 = direct_pred_luma(r1_hpel, dm1f, mbh, mbw, me_range)
+        du0f = du0.reshape(n)
+        du1f = du1.reshape(n)
+        pred_dir = jnp.where((du0f & du1f)[:, None, None],
+                             bipred(pd0, pd1),
+                             jnp.where(du0f[:, None, None], pd0, pd1))
+        cost_dir = _satd16(pred_dir, tiles)
+        is_dir = valid & (cost_dir <= best_exp).reshape(mbh, mbw)
+
+        def fields_of(isd):
+            i3 = isd[..., None]
+            return (jnp.where(isd, du0, use0_e),
+                    jnp.where(isd, du1, use1_e),
+                    jnp.where(i3, dm0, mv0_e),
+                    jnp.where(i3, dm1, mv1_e))
+
+        def cond(carry):
+            _, changed = carry
+            return changed
+
+        def body(carry):
+            isd, _ = carry
+            f0, f1, m0, m1 = fields_of(isd)
+            nd0, nd1, nm0, nm1 = derive_direct(f0, f1, m0, m1,
+                                               col_inter, col_mv)
+            match = ((nd0 == du0) & (nd1 == du1)
+                     & jnp.all(nm0 == dm0, axis=-1)
+                     & jnp.all(nm1 == dm1, axis=-1))
+            new = isd & match
+            return (new, jnp.any(new != isd))
+
+        is_dir, _ = jax.lax.while_loop(cond, body,
+                                       (is_dir, jnp.asarray(True)))
+        use0_f, use1_f, mv0_f, mv1_f = fields_of(is_dir)
+        is_dir_flat = is_dir.reshape(n)
+        mode = jnp.where(is_dir_flat, MODE_DIRECT, mode)
+        mode_f = mode.reshape(mbh, mbw)
+        pred_y = jnp.where(is_dir_flat[:, None, None], pred_dir, pred_y)
+    else:
+        use0_f, use1_f, mv0_f, mv1_f = use0_e, use1_e, mv0_e, mv1_e
+        is_dir_flat = jnp.zeros((n,), bool)
+
+    # per-list MVP over the decided fields (no recon dependency)
+    mvp0 = mv_predictors_b(mv0_f, use0_f)
+    mvp1 = mv_predictors_b(mv1_f, use1_f)
     mvd0 = (mv0_f - mvp0).reshape(n, 2)
     mvd1 = (mv1_f - mvp1).reshape(n, 2)
 
@@ -170,6 +233,19 @@ def encode_bframe_device(y, u, v, r0_y, r0_hpel, r0_cuv, r1_y, r1_hpel,
     pred_c_all = jnp.where((mode == MODE_L0)[:, None, None, None], pc0,
                            jnp.where((mode == MODE_L1)[:, None, None,
                                                        None], pc1, pcbi))
+    if use_direct:
+        pcd0 = chroma_mc_warp(r0_cuv, mv0_f.reshape(n, 2), mbh, mbw,
+                              me_range)
+        pcd1 = chroma_mc_warp(r1_cuv, mv1_f.reshape(n, 2), mbh, mbw,
+                              me_range)
+        du0f = use0_f.reshape(n)
+        du1f = use1_f.reshape(n)
+        pred_c_dir = jnp.where((du0f & du1f)[:, None, None, None],
+                               bipred(pcd0, pcd1),
+                               jnp.where(du0f[:, None, None, None],
+                                         pcd0, pcd1))
+        pred_c_all = jnp.where(is_dir_flat[:, None, None, None],
+                               pred_c_dir, pred_c_all)
     out_c = []
     for ci, src_pl in enumerate((u, v)):
         pred_c = pred_c_all[:, ci]
@@ -222,6 +298,12 @@ def encode_bframe_device(y, u, v, r0_y, r0_hpel, r0_cuv, r1_y, r1_hpel,
     any_cdc = (jnp.sum(udc.reshape(n, 4) != 0, axis=1)
                + jnp.sum(vdc.reshape(n, 4) != 0, axis=1)) > 0
     cbp_chroma = jnp.where(any_cac, 2, jnp.where(any_cdc, 1, 0))
+    # B_Skip: direct prediction with no residual (analyse.c early skip)
+    skip = is_dir_flat & (cbp_luma == 0) & (cbp_chroma == 0)
+    if use_direct:
+        satd_cost = jnp.sum(jnp.where(is_dir_flat, cost_dir, best_exp))
+    else:
+        satd_cost = jnp.sum(best_exp)
 
     def merge_plane(mb_tensor, s, hh, ww):
         return mb_tensor.reshape(hh // s, ww // s, s, s) \
@@ -238,10 +320,10 @@ def encode_bframe_device(y, u, v, r0_y, r0_hpel, r0_cuv, r1_y, r1_hpel,
         words, total_bits, eff_qp = encode_bframe_entropy_dev(
             mode, mvd0, mvd1, cbp_luma, cbp_chroma, qp, slice_qp,
             lv.reshape(n, 16, 4, 4), cdc_blk, cac_blk,
-            mbw=mbw, mbh=mbh, cap_words=cap_words)
+            mbw=mbw, mbh=mbh, cap_words=cap_words, skip=skip)
     else:
         # decoder-carried QP (same rule as the CAVLC entropy stage)
-        has_resid = (cbp_luma > 0) | (cbp_chroma > 0)
+        has_resid = ((cbp_luma > 0) | (cbp_chroma > 0)) & ~skip
         idxs = jnp.arange(n, dtype=jnp.int32)
         last_r = jax.lax.cummax(jnp.where(has_resid, idxs, -1))
         prev_r = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
@@ -251,7 +333,7 @@ def encode_bframe_device(y, u, v, r0_y, r0_hpel, r0_cuv, r1_y, r1_hpel,
         eff_qp = jnp.where(has_resid, qp, prev_qp)
         zig = jnp.asarray(ZIGZAG4_FRAME)
         decisions = {
-            "mode": mode, "mvd0": mvd0, "mvd1": mvd1,
+            "mode": mode, "skip": skip, "mvd0": mvd0, "mvd1": mvd1,
             "cbp_luma": cbp_luma, "cbp_chroma": cbp_chroma, "qp": qp,
             "luma_z": lv.reshape(n, 16, 16)[:, :, zig],
             "cdc": cdc_blk.reshape(n, 2, 4),
@@ -263,12 +345,13 @@ def encode_bframe_device(y, u, v, r0_y, r0_hpel, r0_cuv, r1_y, r1_hpel,
         nnz4 = nnz_l.reshape(mbh, mbw, 4, 4).transpose(0, 2, 1, 3) \
             .reshape(mbh * 4, mbw * 4).astype(jnp.int32)
         bs_v, bs_h = compute_strengths_b(
-            nnz4, mode_f, mv0_f, mv1_f, mbw=mbw, mbh=mbh)
+            nnz4, use0_f, use1_f, mv0_f, mv1_f, mbw=mbw, mbh=mbh)
         recon_y, recon_u, recon_v = deblock_frame(
             recon_y, recon_u, recon_v, bs_v, bs_h,
             eff_qp.reshape(mbh, mbw), mbw=mbw, mbh=mbh,
             a_off=a_off, b_off=b_off, chroma_qp_offset=cqpo)
-    stats = {"satd": satd_cost}
+    stats = {"satd": satd_cost, "skip": jnp.sum(skip),
+             "direct": jnp.sum(is_dir_flat)}
     return words, total_bits, (recon_y, recon_u, recon_v), stats
 
 
@@ -283,7 +366,7 @@ def cabac_finalize_bframe(enc, decisions, qp_mb, slice_qp, sh):
     luma = d["luma_z"].astype(np.int16)[:, LUMA4x4_RASTER]
     payload = encode_slice_cabac(
         1, mbw, mbh, slice_qp,
-        np.zeros(n, np.uint8), np.zeros(n, np.uint8),
+        d["skip"].astype(np.uint8), np.zeros(n, np.uint8),
         np.zeros(n, np.uint8), np.zeros(n, np.uint8),
         d["cbp_luma"], d["cbp_chroma"], np.asarray(qp_mb).reshape(-1),
         d["mvd0"].astype(np.int16),
@@ -299,6 +382,7 @@ def dispatch_bframe(enc, planes, qp, ref_fwd_tag, ref_bwd_tag):
     """Device dispatch of one non-reference B frame.
     Returns (finalize_fn, retry_fn, recon_dev=None, ref_tag)."""
     from .encoder import TYPE_B
+    from .frame_encode import build_qp_maps
     from .intra import PayloadOverflow, finalize_slice  # noqa: F401
     mbw, mbh = enc.mb_w, enc.mb_h
     ref0 = next(r for r in enc._dpb if r["tag"] == ref_fwd_tag)
@@ -311,34 +395,31 @@ def dispatch_bframe(enc, planes, qp, ref_fwd_tag, ref_bwd_tag):
         w0, w1 = 32, 32
     w0 = jnp.asarray(w0, jnp.int32)
     w1 = jnp.asarray(w1, jnp.int32)
+    use_direct = enc.p.analyse.direct_mv_pred != 0
+    col_inter = ref1.get("inter_mask")
+    col_mv = ref1.get("mvf")
+    if col_inter is None or col_mv is None:
+        col_inter = jnp.zeros((mbh, mbw), bool)
+        col_mv = jnp.zeros((mbh, mbw, 2), jnp.int32)
     sh = enc._slice_header(TYPE_B, qp)
     materialize = (enc.p.analyse.psnr or enc.p.analyse.ssim
                    or enc.p.dump_yuv or enc.p.full_recon)
 
     def attempt(qp_try):
-        if enc.p.rc.aq_mode:
-            from ..ops.aq import qp_maps
-            qp_mb, qpc_mb = qp_maps(y, u, v, qp_try, enc.p.rc.aq_strength,
-                                    enc.p.rc.qp_min, enc.p.rc.qp_max,
-                                    enc.p.analyse.chroma_qp_offset)
-        else:
-            qp_mb = jnp.full((mbh, mbw), qp_try, jnp.int32)
-            qpc_mb = jnp.asarray(
-                chroma_qp(np.full((mbh, mbw), qp_try),
-                          enc.p.analyse.chroma_qp_offset), jnp.int32)
+        qp_mb, qpc_mb = build_qp_maps(enc, y, u, v, qp_try)
         lam = max(1, int(round(2.0 ** ((qp_try - 12) / 6.0))))
         cap_words = (mbw * mbh * cap_bytes_per_mb(qp_try)) // 4
         words, total_bits, recon, stats = encode_bframe_device(
             y, u, v, ref0["y_pad"], ref0["hpel"], ref0["cuv_pad"],
             ref1["y_pad"], ref1["hpel"], ref1["cuv_pad"],
-            qp_mb, qpc_mb, qp_try, lam, w0, w1,
+            qp_mb, qpc_mb, qp_try, lam, w0, w1, col_inter, col_mv,
             mbw=mbw, mbh=mbh, cap_words=cap_words, me_range=me_range,
             decimate=enc.p.analyse.dct_decimate,
             deblock=enc.p.deblocking_filter,
             a_off=enc.p.deblocking_filter_alphac0 * 2,
             b_off=enc.p.deblocking_filter_beta * 2,
             cqpo=enc.p.analyse.chroma_qp_offset,
-            entropy=not enc.p.cabac)
+            entropy=not enc.p.cabac, use_direct=use_direct)
 
         def finalize():
             sh.qp = qp_try

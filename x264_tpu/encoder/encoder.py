@@ -71,7 +71,8 @@ def frame_redispatch(enc, job):
                                           job["ref_tag"], job["ref_bwd"])
         return frame_encode.dispatch_frame(enc, job["planes"],
                                            job["ftype"], job["qp"],
-                                           ref_tag=job["ref_tag"])
+                                           ref_tag=job["ref_tag"],
+                                           tree_off=job.get("tree_off"))
     finally:
         enc.frame_num, enc.poc = saved
 
@@ -109,6 +110,12 @@ def validate_parameters(p: P.Params) -> P.Params:
         p.intra_refresh = False
     p.rc.lookahead = max(0, min(p.rc.lookahead, P.LOOKAHEAD_MAX))
     p.rc.lookahead = min(p.rc.lookahead, p.keyint_max)
+    # MB-tree drives per-MB offsets from the lookahead; until the ABR/VBV
+    # bit predictors are taught the offset-induced complexity shift
+    # (reference rate_estimate_qscale folds it in), keep it to CRF where
+    # the rate target is implicit
+    if p.rc.rc_method != P.RC_CRF:
+        p.rc.mb_tree = False
     if p.bframe == 0:
         p.bframe_pyramid = P.B_PYRAMID_NONE
         p.bframe_adaptive = P.B_ADAPT_NONE
@@ -148,8 +155,6 @@ class Encoder:
         self._max_refs = 2 if self.p.bframe > 0 else 1
         self._pipe: list = []       # in-flight frame jobs (frame-threads)
         self._pipe_depth = 1 if self.p.threads != 1 else 0
-        self._bqueue: list = []     # pending B candidates (display order)
-        self._last_anchor_tag = None
         self._idr_display_base = 0
         self._coding_out = 0        # frames dispatched (coding order)
         self._closed = False
@@ -199,80 +204,49 @@ class Encoder:
         return nals
 
     def delayed_frames(self) -> int:
-        return len(self._pipe) + len(self._bqueue)
+        return len(self._pipe) + len(self._lookahead)
 
     # ------------------------------------------------------------- encode
     def encode(self, pic: Optional[Picture]) -> tuple[list, Optional[PicOut]]:
         """Encode one picture; returns (nals, pic_out).
 
-        With threads>1 (or auto) the encoder runs a host pipeline one frame
-        deep — the reference's frame-threads analogue (encoder.c:3337):
-        frame k's host entropy/syncs overlap frame k+1's device compute, so
-        output is delayed by one frame (drain with encode(None))."""
+        Frames enter the lookahead window; once the window is deep
+        enough the slicetype decision emits whole minigops in coding
+        order (reference x264_slicetype_decide, slicetype.c:1745).
+        With threads>1 (or auto) the encoder additionally runs a host
+        pipeline one frame deep — the frame-threads analogue
+        (encoder.c:3337). Total delay = lookahead depth + pipe depth;
+        drain with encode(None)."""
         if self._closed:
             raise EncoderError("encoder closed")
-        if pic is None:
-            # stream flush: pending B-candidates have no future anchor ->
-            # encode them as P in display order (reference flush path)
-            while self._bqueue:
-                q = self._bqueue.pop(0)
-                self._enqueue_frame(q["planes"], TYPE_P, q["pic"],
-                                    q["idx"])
+        flush = pic is None
+        if pic is not None:
+            planes = self._pad_to_mb(pic.planes)
+            self._lookahead.push(planes, pic, self.frames_in)
+            self.frames_in += 1
+        while True:
+            decided = self._lookahead.decide(self.last_keyframe, flush)
+            if not decided:
+                break
+            for entry, ftype, ref_fwd, ref_bwd in decided:
+                if ftype == TYPE_B:
+                    self._enqueue_frame(entry["planes"], TYPE_B,
+                                        entry["pic"], entry["idx"],
+                                        ref_fwd=ref_fwd, ref_bwd=ref_bwd)
+                else:
+                    self._enqueue_frame(entry["planes"], ftype,
+                                        entry["pic"], entry["idx"],
+                                        tree_off=entry.get("tree_off"))
+        if flush:
             if self._pipe:
                 return self._finalize_job(self._pipe.pop(0))
             return [], None
-        planes = self._pad_to_mb(pic.planes)
-
-        # --- slicetype decision: keyint fences + lowres scene-cut
-        # (reference x264_slicetype_decide, slicetype.c:1745) ---
-        idx = self.frames_in
-        self.frames_in += 1
-        keyint_min = (self.p.keyint_min if self.p.keyint_min > 0
-                      else max(1, self.p.keyint_max // 10))
-        # feed the lowres pipeline every frame so the scene-cut reference
-        # is always the previous source frame
-        cut = (self._lookahead.scene_cut(planes[0])
-               if self.p.scenecut_threshold > 0 else False)
-        b_active = self.p.bframe > 0
-        force_idr = (
-            pic.i_type in (TYPE_IDR, TYPE_KEYFRAME, TYPE_I)
-            or (pic.i_type == TYPE_AUTO
-                and (idx - self.last_keyframe >= self.p.keyint_max
-                     or idx == 0
-                     or (not self._dpb and not self._bqueue)
-                     or (cut and idx - self.last_keyframe >= keyint_min))))
-
-        if force_idr:
-            # queued B-candidates lose their future anchor: encode as P
-            while self._bqueue:
-                q = self._bqueue.pop(0)
-                self._enqueue_frame(q["planes"], TYPE_P, q["pic"],
-                                    q["idx"])
-            self._enqueue_frame(planes, TYPE_IDR, pic, idx)
-        elif (b_active and pic.i_type in (TYPE_AUTO, TYPE_B, TYPE_BREF)
-              and len(self._bqueue) < self.p.bframe
-              and pic.i_type != TYPE_P):
-            # B candidate: held until the next anchor arrives
-            # (reference lookahead ifbuf; b-adapt none cadence).
-            # Falls through to the common pipe drain below so in-flight
-            # depth stays bounded at ~bframe + pipe_depth.
-            self._bqueue.append({"planes": planes, "pic": pic,
-                                 "idx": idx})
-        else:
-            # P anchor (coding order: anchor first, then the B run)
-            prev_anchor = self._last_anchor_tag
-            self._enqueue_frame(planes, TYPE_P, pic, idx)
-            while self._bqueue:
-                q = self._bqueue.pop(0)
-                self._enqueue_frame(q["planes"], TYPE_B, q["pic"],
-                                    q["idx"], ref_fwd=prev_anchor,
-                                    ref_bwd=idx)
         if len(self._pipe) <= self._pipe_depth:
             return [], None
         return self._finalize_job(self._pipe.pop(0))
 
     def _enqueue_frame(self, planes, ftype, pic, idx, ref_fwd=None,
-                       ref_bwd=None) -> None:
+                       ref_bwd=None, tree_off=None) -> None:
         """Dispatch one frame in coding order and append its job
         (reference slices_write dispatch, encoder.c:3885)."""
         is_idr = ftype == TYPE_IDR
@@ -281,7 +255,6 @@ class Encoder:
             self.frame_num = 0
             self._idr_display_base = idx
             self._dpb.clear()
-            self._last_anchor_tag = None
         self.poc = 2 * (idx - self._idr_display_base)
 
         qp = self._decide_qp(ftype, pic)
@@ -292,14 +265,13 @@ class Encoder:
                 self, planes, qp, ref_fwd, ref_bwd)
         else:
             finalize, retry, recon_dev, ref_fwd = self._dispatch_frame(
-                planes, ftype, qp, pic)
+                planes, ftype, qp, pic, tree_off)
             # reference pictures advance frame_num (spec 7.4.3)
             self.frame_num = (self.frame_num + 1) % (
                 1 << self.sps.log2_max_frame_num)
         tag = idx
         if recon_dev is not None:
             self._dpb_push(recon_dev, tag)
-            self._last_anchor_tag = tag
         if is_idr:
             self.idr_pic_id = (self.idr_pic_id + 1) % 65536
 
@@ -309,7 +281,8 @@ class Encoder:
         job = {"finalize": finalize, "retry": retry, "pts": pic.pts,
                "dts": dts, "ftype": ftype, "is_idr": is_idr, "qp": qp,
                "planes": planes, "tag": tag, "pre_state": pre_state,
-               "ref_tag": ref_fwd, "ref_bwd": ref_bwd}
+               "ref_tag": ref_fwd, "ref_bwd": ref_bwd,
+               "tree_off": tree_off}
         self._pipe.append(job)
 
     def _finalize_job(self, job) -> tuple[list, PicOut]:
@@ -418,10 +391,11 @@ class Encoder:
         return self.rc.start(ftype, pic.forced_qp)
 
     # -------------------------------------------------------- frame encode
-    def _dispatch_frame(self, planes, ftype, qp, pic):
+    def _dispatch_frame(self, planes, ftype, qp, pic, tree_off=None):
         """Returns (finalize_fn, retry_fn, recon_dev, ref_tag)."""
         from . import frame_encode
-        return frame_encode.dispatch_frame(self, planes, ftype, qp)
+        return frame_encode.dispatch_frame(self, planes, ftype, qp,
+                                           tree_off=tree_off)
 
     def _overflow_reencode(self, job):
         """Device CAVLC buffer overflow: re-encode the frame at higher QP
@@ -472,6 +446,10 @@ class Encoder:
             "poc": poc,
             "tag": tag,
         }
+        # colocated MV/ref fields for B spatial direct (set by the
+        # dispatch that produced this reconstruction)
+        ref.update(getattr(self, "_pending_ref_fields", None) or {})
+        self._pending_ref_fields = None
         if at is None:
             self._dpb.append(ref)
         else:

@@ -12,11 +12,12 @@ from ..entropy import nal as nal_mod
 from ..entropy.slice_hdr import slice_header_write
 
 
-def dispatch_frame(enc, planes, ftype, qp, ref_tag=None):
+def dispatch_frame(enc, planes, ftype, qp, ref_tag=None, tree_off=None):
     """Returns (finalize_fn, retry_fn(qp)->(finalize, recon), recon_dev,
     ref_tag) — ref_tag is the DPB tag this frame references (None for
     intra), used to re-dispatch against the same reference after an
-    overflow re-encode repaired the DPB."""
+    overflow re-encode repaired the DPB. tree_off: optional per-MB
+    MB-tree qp offsets from the lookahead (ratecontrol.c:541 analogue)."""
     from .encoder import TYPE_IDR, TYPE_I, TYPE_P
     if enc.p.force_pcm:
         if ftype not in (TYPE_IDR, TYPE_I):
@@ -25,11 +26,42 @@ def dispatch_frame(enc, planes, ftype, qp, ref_tag=None):
         return (lambda: (nals, recon)), None, recon, None
     if ftype in (TYPE_IDR, TYPE_I):
         from . import intra
-        return intra.dispatch_iframe(enc, planes, ftype, qp)
+        return intra.dispatch_iframe(enc, planes, ftype, qp,
+                                     tree_off=tree_off)
     if ftype == TYPE_P:
         from . import inter
-        return inter.dispatch_pframe(enc, planes, ftype, qp, ref_tag)
-    raise NotImplementedError("B-frames land with the lookahead milestone")
+        return inter.dispatch_pframe(enc, planes, ftype, qp, ref_tag,
+                                     tree_off=tree_off)
+    raise NotImplementedError("B frames dispatch via bframe.py")
+
+
+def build_qp_maps(enc, y, u, v, qp_try, tree_off=None):
+    """Per-MB (qp, qp_chroma) maps: AQ offsets (+ MB-tree offsets when
+    the lookahead provides them), the reference's
+    x264_adaptive_quant_frame + macroblock_tree_finish composition."""
+    import jax.numpy as jnp
+
+    from ..ops.tables import chroma_qp
+    mbh, mbw = enc.mb_h, enc.mb_w
+    if enc.p.rc.aq_mode or tree_off is not None:
+        from ..ops.aq import aq_offsets
+        from ..ops.tables import CHROMA_QP_TABLE
+        adj = (aq_offsets(y, u, v, enc.p.rc.aq_strength)
+               if enc.p.rc.aq_mode else jnp.zeros((mbh, mbw),
+                                                  jnp.float32))
+        if tree_off is not None:
+            adj = adj + jnp.asarray(tree_off, jnp.float32)
+        qp_mb = jnp.clip(jnp.round(qp_try + adj).astype(jnp.int32),
+                         enc.p.rc.qp_min, enc.p.rc.qp_max)
+        qp_mb = jnp.clip(qp_mb, 0, 51)
+        qpc_mb = jnp.asarray(CHROMA_QP_TABLE)[
+            jnp.clip(qp_mb + enc.p.analyse.chroma_qp_offset, 0, 51)]
+        return qp_mb, qpc_mb.astype(jnp.int32)
+    qp_mb = jnp.full((mbh, mbw), qp_try, jnp.int32)
+    qpc_mb = jnp.asarray(
+        chroma_qp(np.full((mbh, mbw), qp_try),
+                  enc.p.analyse.chroma_qp_offset), jnp.int32)
+    return qp_mb, qpc_mb
 
 
 def encode_frame_pcm(enc, planes, ftype, qp):

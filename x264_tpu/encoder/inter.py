@@ -151,7 +151,8 @@ def subpel_refine_mc(hpel, y_src, mv_c, lam, me_range: int,
     (reference refine_subpel me.c:865; this evaluates the full +-radius
     qpel grid, a superset of the half-then-quarter ladder).
 
-    Returns (mvq [n,2] qpel, pred [n,16,16] int32, satd_total)."""
+    Returns (mvq [n,2] qpel, pred [n,16,16] int32, cost [n] — per-MB
+    best SATD+mv-bits cost, for the intra-vs-inter decision)."""
     from ..ops.warp import mb_windows_auto
     H, W = y_src.shape
     mbh, mbw = H // 16, W // 16
@@ -193,7 +194,7 @@ def subpel_refine_mc(hpel, y_src, mv_c, lam, me_range: int,
         best_cost = jnp.where(better, cost, best_cost)
         best_q = jnp.where(better[:, None], mvq, best_q)
         best_pred = jnp.where(better[:, None, None], predq, best_pred)
-    return best_q, best_pred, jnp.sum(best_cost)
+    return best_q, best_pred, best_cost
 
 
 def chroma_mc_warp(cpads, mvq, mbh: int, mbw: int, me_range: int,
@@ -219,13 +220,17 @@ def chroma_mc_warp(cpads, mvq, mbh: int, mbw: int, me_range: int,
             + (8 - dx) * dy * C + dx * dy * D + 32) >> 6
 
 
-def mv_predictors(mv_field):
+def mv_predictors(mv_field, inter_mask=None):
     """Median MV predictor + P-Skip predictor per MB (spec 8.4.1.1/8.4.1.3).
 
-    mv_field [mbh, mbw, 2] — final MVs, all ref0 P16x16.
+    mv_field [mbh, mbw, 2] — final MVs of inter (ref0 P16x16) MBs.
+    inter_mask [mbh, mbw] bool — False marks intra MBs (refIdx -1): they
+    contribute zero MVs, don't count as reference matches, and don't
+    trigger the P-Skip zero-MV rule. None = all inter.
     Returns (mvp [mbh,mbw,2], pskip_mv [mbh,mbw,2])."""
     mbh, mbw = mv_field.shape[:2]
-    z = jnp.zeros((1, mv_field.shape[1], 2), mv_field.dtype)
+    if inter_mask is None:
+        inter_mask = jnp.ones((mbh, mbw), bool)
 
     def shift(field, dx, dy):
         f = field
@@ -239,10 +244,16 @@ def mv_predictors(mv_field):
                                 axis=1)
         return f
 
-    mv_a = shift(mv_field, 1, 0)       # left
-    mv_b = shift(mv_field, 0, 1)       # top
-    mv_c = shift(mv_field, -1, 1)      # top-right
-    mv_d = shift(mv_field, 1, 1)       # top-left
+    mv_m = jnp.where(inter_mask[..., None], mv_field, 0)
+    mv_a = shift(mv_m, 1, 0)           # left
+    mv_b = shift(mv_m, 0, 1)           # top
+    mv_c = shift(mv_m, -1, 1)          # top-right
+    mv_d = shift(mv_m, 1, 1)           # top-left
+    im3 = inter_mask[..., None]
+    use_a0 = shift(im3, 1, 0)[..., 0]
+    use_b0 = shift(im3, 0, 1)[..., 0]
+    use_c0 = shift(im3, -1, 1)[..., 0]
+    use_d0 = shift(im3, 1, 1)[..., 0]
     col = jnp.arange(mbw)[None, :, None]
     row = jnp.arange(mbh)[:, None, None]
     avail_a = col > 0
@@ -251,23 +262,27 @@ def mv_predictors(mv_field):
     avail_d = (row > 0) & (col > 0)
     # C unavailable -> substitute D (spec 8.4.1.3.2)
     mv_c = jnp.where(avail_c, mv_c, jnp.where(avail_d, mv_d, 0))
+    use_c0 = jnp.where(avail_c[..., 0], use_c0, avail_d[..., 0] & use_d0)
     avail_c2 = avail_c | avail_d
-    # all-inter-ref0 world: refIdx matches availability
-    a = jnp.where(avail_a, mv_a, 0)
-    b = jnp.where(avail_b, mv_b, 0)
-    c = jnp.where(avail_c2, mv_c, 0)
+    use_a = avail_a[..., 0] & use_a0
+    use_b = avail_b[..., 0] & use_b0
+    use_c = avail_c2[..., 0] & use_c0
+    # contributions: matching (inter ref0) neighbors keep their MV
+    a = jnp.where(use_a[..., None], mv_a, 0)
+    b = jnp.where(use_b[..., None], mv_b, 0)
+    c = jnp.where(use_c[..., None], mv_c, 0)
     med = jnp.clip(a, jnp.minimum(b, c), jnp.maximum(b, c))  # median of 3
-    # exactly-one-match rule: with single ref, match == availability
-    n_match = (avail_a.astype(jnp.int32) + avail_b.astype(jnp.int32)
-               + avail_c2.astype(jnp.int32))
-    only = jnp.where(avail_a, a, jnp.where(avail_b, b, c))
+    n_match = (use_a.astype(jnp.int32) + use_b.astype(jnp.int32)
+               + use_c.astype(jnp.int32))[..., None]
+    only = jnp.where(use_a[..., None], a,
+                     jnp.where(use_b[..., None], b, c))
     mvp = jnp.where(n_match == 1, only, med)
-    # B and C unavailable & A available -> mvA (spec note)
+    # B and C unavailable & A available -> A's contribution (spec note)
     mvp = jnp.where((~avail_b) & (~avail_c2) & avail_a, a, mvp)
     # P-skip predictor (spec 8.4.1.1): zero if an edge MB or a zero-MV
-    # ref0 neighbor, else the median predictor
-    azero = jnp.all(mv_a == 0, axis=-1, keepdims=True)
-    bzero = jnp.all(mv_b == 0, axis=-1, keepdims=True)
+    # inter-ref0 neighbor, else the median predictor
+    azero = use_a[..., None] & jnp.all(mv_a == 0, axis=-1, keepdims=True)
+    bzero = use_b[..., None] & jnp.all(mv_b == 0, axis=-1, keepdims=True)
     pskip = jnp.where((~avail_a) | (~avail_b), 0,
                       jnp.where(azero | bzero, 0, mvp))
     return mvp, pskip
@@ -275,26 +290,49 @@ def mv_predictors(mv_field):
 
 @partial(jax.jit, static_argnames=("mbw", "mbh", "cap_words", "me_range",
                                    "deblock", "a_off", "b_off", "cqpo",
-                                   "decimate", "entropy"))
+                                   "decimate", "entropy", "intra_in_p"))
 def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
                          qp_mb, qpc_mb, slice_qp, lam,
                          *, mbw, mbh, cap_words, me_range, deblock=False,
                          a_off=0, b_off=0, cqpo=0, decimate=True,
-                         entropy=True):
-    """Fused P-frame device pass: ME -> MVP/skip -> MC -> transform ->
-    entropy -> packed payload. Returns (words, total_bits, recon, stats).
+                         entropy=True, intra_in_p=True):
+    """Fused P-frame device pass: ME -> intra-vs-inter decision ->
+    MVP/skip -> MC -> transform (+ mixed wavefront commit when any MB
+    goes intra) -> entropy -> packed payload. Returns (words, total_bits,
+    recon, stats).
+
+    The intra candidate mirrors the reference's always-evaluated
+    I16x16-in-P (analyse.c:2939): mode costs from source neighbors (the
+    same two-phase approximation as I frames), exact reconstruction with
+    true mixed neighbors via the skewed wavefront (intra.commit path),
+    taken only when any MB actually chose intra (lax.cond).
 
     With entropy=False (CABAC path) the device CAVLC stage is skipped and
     the decision/level tensors are returned for the host C++ CABAC writer:
     (decisions_dict, recon, stats)."""
     from ..entropy.cavlc_jax import encode_pframe_entropy_dev
+    from .intra import _commit_scan, decide_modes_full
     H, W = y.shape
     n = mbw * mbh
     mv_c = motion_search(ref_y_pad, ref_hpel, y, lam, me_range)
-    mvq, pred_y, satd_cost = subpel_refine_mc(ref_hpel, y, mv_c, lam,
-                                              me_range)
+    mvq, pred_y, inter_cost = subpel_refine_mc(ref_hpel, y, mv_c, lam,
+                                               me_range)
+    satd_cost = jnp.sum(inter_cost)
     mv_field = mvq.reshape(mbh, mbw, 2)
-    mvp, pskip = mv_predictors(mv_field)
+
+    # --- intra candidate (mode decision from source neighbors) ---
+    if intra_in_p:
+        i16_mode, chroma_mode, _, i16_cost = decide_modes_full(y, u, v)
+        # mb_type ue(6..29) + chroma mode vs inter's ue(0): ~12 bit bias
+        intra_cost = i16_cost.reshape(-1) + lam * 12
+        is_intra = (intra_cost < inter_cost).reshape(mbh, mbw)
+    else:
+        i16_mode = jnp.zeros((mbh, mbw), jnp.int32)
+        chroma_mode = jnp.zeros((mbh, mbw), jnp.int32)
+        is_intra = jnp.zeros((mbh, mbw), bool)
+    is_intra_f = is_intra.reshape(-1)
+
+    mvp, pskip = mv_predictors(mv_field, ~is_intra)
     mvd = (mv_field - mvp).reshape(n, 2)
 
     # --- transform (batched; pred_y came fused out of the subpel stage) ---
@@ -349,7 +387,52 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
     dq = quant.dequant4x4(lv, qp[:, None])
     recon_y_mb = jnp.clip(pred_y + _luma_merge(dct.idct4x4(dq)), 0, 255)
 
-    # --- skip decision ---
+    # --- assemble inter recon planes ---
+    def merge_plane(mb_tensor, s, hh, ww):
+        return mb_tensor.reshape(hh // s, ww // s, s, s) \
+            .swapaxes(1, 2).reshape(hh, ww)
+    recon_y = merge_plane(recon_y_mb, 16, H, W).astype(jnp.uint8)
+    recon_u = merge_plane(urec, 8, H // 2, W // 2).astype(jnp.uint8)
+    recon_v = merge_plane(vrec, 8, H // 2, W // 2).astype(jnp.uint8)
+
+    # --- mixed wavefront commit: intra MBs reconstructed against true
+    # decoded neighbors; runs only when some MB chose intra ---
+    if intra_in_p:
+        def commit_branch(_):
+            from .intra import _commit_scan as scan_fn
+            coeffs, rec = scan_fn(y, u, v, i16_mode, chroma_mode,
+                                  qp_mb, qpc_mb, mbw, mbh,
+                                  is_intra=is_intra,
+                                  inter_planes=(recon_y, recon_u,
+                                                recon_v))
+            return coeffs, rec
+
+        def skip_branch(_):
+            coeffs = {
+                "dc": jnp.zeros((n, 4, 4), jnp.int32),
+                "ac": jnp.zeros((n, 16, 4, 4), jnp.int32),
+                "udc": jnp.zeros((n, 2, 2), jnp.int32),
+                "uac": jnp.zeros((n, 4, 4, 4), jnp.int32),
+                "vdc": jnp.zeros((n, 2, 2), jnp.int32),
+                "vac": jnp.zeros((n, 4, 4, 4), jnp.int32),
+            }
+            return coeffs, (recon_y, recon_u, recon_v)
+
+        icoeffs, (recon_y, recon_u, recon_v) = jax.lax.cond(
+            jnp.any(is_intra), commit_branch, skip_branch, None)
+        im1 = is_intra_f
+        im3 = im1[:, None, None]
+        im4 = im1[:, None, None, None]
+        lv = jnp.where(im4, icoeffs["ac"].astype(lv.dtype), lv)
+        dc_blk = icoeffs["dc"]
+        udc = jnp.where(im3, icoeffs["udc"].astype(udc.dtype), udc)
+        vdc = jnp.where(im3, icoeffs["vdc"].astype(vdc.dtype), vdc)
+        uac = jnp.where(im4, icoeffs["uac"].astype(uac.dtype), uac)
+        vac = jnp.where(im4, icoeffs["vac"].astype(vac.dtype), vac)
+    else:
+        dc_blk = jnp.zeros((n, 4, 4), jnp.int32)
+
+    # --- cbp / skip decision on the merged coefficients ---
     nnz_l = jnp.sum(lv.reshape(n, 16, 16) != 0, axis=2)
     cbp_bits = []
     for qd in range(4):
@@ -359,8 +442,10 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
         qnnz = sum(nnz_l[:, i] for i in idx)
         cbp_bits.append((qnnz > 0).astype(jnp.int32) << qd)
     cbp_luma = sum(cbp_bits)
-    nnz_cac = jnp.sum(uac.reshape(n, 4, 16) != 0, axis=2) \
-        + jnp.sum(vac.reshape(n, 4, 16) != 0, axis=2)
+    # I16 MBs code cbp_luma as all-or-nothing 0/15
+    cbp_luma = jnp.where(is_intra_f,
+                         jnp.where(jnp.sum(nnz_l, axis=1) > 0, 15, 0),
+                         cbp_luma)
     any_cac = (jnp.sum(jnp.sum(uac.reshape(n, 4, 16) != 0, axis=2), axis=1)
                + jnp.sum(jnp.sum(vac.reshape(n, 4, 16) != 0, axis=2),
                          axis=1)) > 0
@@ -369,16 +454,7 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
     cbp_chroma = jnp.where(any_cac, 2, jnp.where(any_cdc, 1, 0))
     mv_is_pskip = jnp.all(mv_field.reshape(n, 2)
                           == pskip.reshape(n, 2), axis=1)
-    skip = (cbp_luma == 0) & (cbp_chroma == 0) & mv_is_pskip
-
-    # skipped MBs have zero residual by construction (cbp==0), recon = pred
-    # --- assemble recon planes ---
-    def merge_plane(mb_tensor, s, hh, ww):
-        return mb_tensor.reshape(hh // s, ww // s, s, s) \
-            .swapaxes(1, 2).reshape(hh, ww)
-    recon_y = merge_plane(recon_y_mb, 16, H, W).astype(jnp.uint8)
-    recon_u = merge_plane(urec, 8, H // 2, W // 2).astype(jnp.uint8)
-    recon_v = merge_plane(vrec, 8, H // 2, W // 2).astype(jnp.uint8)
+    skip = (cbp_luma == 0) & (cbp_chroma == 0) & mv_is_pskip & ~is_intra_f
 
     cdc_blk = jnp.stack([udc.reshape(n, 2, 2), vdc.reshape(n, 2, 2)],
                         axis=1)
@@ -388,11 +464,14 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
         words, total_bits, eff_qp = encode_pframe_entropy_dev(
             skip, mvd, cbp_luma, cbp_chroma, qp, slice_qp,
             lv.reshape(n, 16, 4, 4), cdc_blk, cac_blk,
-            mbw=mbw, mbh=mbh, cap_words=cap_words)
+            mbw=mbw, mbh=mbh, cap_words=cap_words,
+            is_intra=is_intra_f, i16_mode=i16_mode.reshape(-1),
+            chroma_mode=chroma_mode.reshape(-1), luma_dc=dc_blk)
     else:
-        # decoder-carried QP (same rule as the CAVLC entropy stage):
-        # only MBs with coded residual update QP_prev
-        has_resid = ((cbp_luma > 0) | (cbp_chroma > 0)) & ~skip
+        # decoder-carried QP: MBs that parse mb_qp_delta update QP_prev —
+        # inter MBs with cbp>0, and every I16 MB (dqp always coded)
+        has_resid = (((cbp_luma > 0) | (cbp_chroma > 0)) & ~skip) \
+            | is_intra_f
         idxs = jnp.arange(n, dtype=jnp.int32)
         last_r = jax.lax.cummax(jnp.where(has_resid, idxs, -1))
         prev_r = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
@@ -407,6 +486,10 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
             "luma_z": lv.reshape(n, 16, 16)[:, :, zig],
             "cdc": cdc_blk.reshape(n, 2, 4),
             "cac_z": cac_blk.reshape(n, 2, 4, 16)[:, :, :, zig],
+            "is_intra": is_intra_f,
+            "i16_mode": i16_mode.reshape(-1),
+            "chroma_mode": chroma_mode.reshape(-1),
+            "luma_dc_z": dc_blk.reshape(n, 16)[:, zig],
         }
         words, total_bits = decisions, None
     if deblock:
@@ -414,13 +497,17 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
         nnz4 = nnz_l.reshape(mbh, mbw, 4, 4).transpose(0, 2, 1, 3) \
             .reshape(mbh * 4, mbw * 4).astype(jnp.int32)
         bs_v, bs_h = compute_strengths(
-            jnp.zeros((mbh, mbw), bool), nnz4, mv_field,
+            is_intra, nnz4, mv_field,
             mbw=mbw, mbh=mbh)
         recon_y, recon_u, recon_v = deblock_frame(
             recon_y, recon_u, recon_v, bs_v, bs_h,
             eff_qp.reshape(mbh, mbw), mbw=mbw, mbh=mbh,
             a_off=a_off, b_off=b_off, chroma_qp_offset=cqpo)
-    stats = {"skip": jnp.sum(skip), "satd": satd_cost}
+    stats = {"skip": jnp.sum(skip), "satd": satd_cost,
+             "intra": jnp.sum(is_intra_f),
+             # colocated fields for B spatial direct (mvpred.c:290):
+             # the L1 anchor's per-MB MV + inter(ref0) mask
+             "mvf": mv_field, "inter_mask": ~is_intra}
     return words, total_bits, (recon_y, recon_u, recon_v), stats
 
 
@@ -436,11 +523,11 @@ def cabac_finalize_pframe(enc, decisions, qp_mb, slice_qp, sh):
     luma = d["luma_z"].astype(np.int16)[:, LUMA4x4_RASTER]  # z-scan order
     payload = encode_slice_cabac(
         False, mbw, mbh, slice_qp,
-        d["skip"].astype(np.uint8), np.zeros(n, np.uint8),
-        np.zeros(n, np.uint8), np.zeros(n, np.uint8),
+        d["skip"].astype(np.uint8), d["is_intra"].astype(np.uint8),
+        d["i16_mode"].astype(np.uint8), d["chroma_mode"].astype(np.uint8),
         d["cbp_luma"], d["cbp_chroma"], np.asarray(qp_mb).reshape(-1),
         d["mvd"].astype(np.int16),
-        np.zeros((n, 16), np.int16), luma,
+        d["luma_dc_z"].astype(np.int16), luma,
         d["cdc"].astype(np.int16), d["cac_z"].reshape(n, 8, 16),
         model=0)
     sh.cabac_init_idc = 0
@@ -448,7 +535,7 @@ def cabac_finalize_pframe(enc, decisions, qp_mb, slice_qp, sh):
                                 nal_mod.NAL_PRIORITY_HIGH)
 
 
-def dispatch_pframe(enc, planes, ftype, qp, ref_tag=None):
+def dispatch_pframe(enc, planes, ftype, qp, ref_tag=None, tree_off=None):
     """Device dispatch of one P frame.
     Returns (finalize_fn, retry_fn, recon_dev, ref_tag)."""
     from .intra import finalize_slice
@@ -470,16 +557,8 @@ def dispatch_pframe(enc, planes, ftype, qp, ref_tag=None):
                    or enc.p.dump_yuv or enc.p.full_recon)
 
     def attempt(qp_try):
-        if enc.p.rc.aq_mode:
-            from ..ops.aq import qp_maps
-            qp_mb, qpc_mb = qp_maps(y, u, v, qp_try, enc.p.rc.aq_strength,
-                                    enc.p.rc.qp_min, enc.p.rc.qp_max,
-                                    enc.p.analyse.chroma_qp_offset)
-        else:
-            qp_mb = jnp.full((mbh, mbw), qp_try, jnp.int32)
-            qpc_mb = jnp.asarray(
-                chroma_qp(np.full((mbh, mbw), qp_try),
-                          enc.p.analyse.chroma_qp_offset), jnp.int32)
+        from .frame_encode import build_qp_maps
+        qp_mb, qpc_mb = build_qp_maps(enc, y, u, v, qp_try, tree_off)
         # SAD/SATD-domain lambda (reference x264_lambda_tab scale)
         lam = max(1, int(round(2.0 ** ((qp_try - 12) / 6.0))))
         cap_bpm = cap_bytes_per_mb(qp_try)
@@ -494,6 +573,8 @@ def dispatch_pframe(enc, planes, ftype, qp, ref_tag=None):
             b_off=enc.p.deblocking_filter_beta * 2,
             cqpo=enc.p.analyse.chroma_qp_offset,
             entropy=not enc.p.cabac)
+        enc._pending_ref_fields = {"mvf": stats["mvf"],
+                                   "inter_mask": stats["inter_mask"]}
 
         def finalize():
             sh.qp = qp_try

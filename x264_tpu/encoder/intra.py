@@ -39,10 +39,12 @@ def _mb_tiles(plane, s):
 
 # ---------------------------------------------------------------- decision
 @jax.jit
-def decide_modes(y, u, v):
+def decide_modes_full(y, u, v):
     """Batched I16x16 + chroma mode decision from source neighbors.
 
-    Returns (i16_mode [mbh, mbw], chroma_mode [mbh, mbw])."""
+    Returns (i16_mode [mbh, mbw], chroma_mode [mbh, mbw], satd_total,
+    luma_cost [mbh, mbw] — per-MB best-mode luma SATD, used by the P/B
+    intra-vs-inter decision, analyse.c:2939)."""
     mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
 
     def neighbors(plane, s):
@@ -75,6 +77,12 @@ def decide_modes(y, u, v):
     chroma_mode = jnp.argmin(ccosts, axis=-1).astype(jnp.int32)
     satd_cost = (jnp.sum(jnp.min(costs, axis=-1))
                  + jnp.sum(jnp.min(ccosts, axis=-1)))
+    return i16_mode, chroma_mode, satd_cost, jnp.min(costs, axis=-1)
+
+
+def decide_modes(y, u, v):
+    """Compat wrapper: (i16_mode, chroma_mode, satd_total)."""
+    i16_mode, chroma_mode, satd_cost, _ = decide_modes_full(y, u, v)
     return i16_mode, chroma_mode, satd_cost
 
 
@@ -161,12 +169,15 @@ def _onehot_mode(preds, mode, n_modes):
     return jnp.sum(jnp.where(sel[:, :, None, None], preds, 0), axis=1)
 
 
-@partial(jax.jit, static_argnames=("mbw", "mbh"))
-def commit_i16x16(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
-                  *, mbw, mbh):
+def _commit_scan(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
+                 mbw, mbh, is_intra=None, inter_planes=None):
     """Wavefront commit in SKEWED layout (ops/skew.py): exact recon with
     true decoded neighbors, every diagonal step static-shaped dynamic-slice
     work — no gathers or scatters (they cost ~10ns/element on TPU).
+
+    Mixed-frame mode (is_intra + inter_planes given, the intra-in-P path,
+    analyse.c:2939): non-intra MBs take their tiles from the precomputed
+    inter reconstruction; intra MBs predict from the true mixed recon.
 
     Returns (coeff dict of raster [N, ...] tensors, recon planes)."""
     from ..ops import skew
@@ -184,6 +195,13 @@ def commit_i16x16(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
     cm_sk = skew.skew_mb(chroma_mode, P)
     qp_sk = skew.skew_mb(qp_mb, P)
     qpc_sk = skew.skew_mb(qpc_mb, P)
+    mixed = is_intra is not None
+    if mixed:
+        ia_sk = skew.skew_mb(is_intra.astype(jnp.int32), P)
+        yi_sk = skew.skew_plane(inter_planes[0].astype(jnp.int16), 16, P)
+        ci_sk = jnp.stack(
+            [skew.skew_plane(inter_planes[1].astype(jnp.int16), 8, P),
+             skew.skew_plane(inter_planes[2].astype(jnp.int16), 8, P)])
     lanes = jnp.arange(mbh, dtype=jnp.int32)
 
     def step(carry, d):
@@ -205,6 +223,14 @@ def commit_i16x16(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
         cmode = jax.lax.dynamic_slice(cm_sk, (0, d + P), (mbh, 1))[:, 0]
         qp = jax.lax.dynamic_slice(qp_sk, (0, d + P), (mbh, 1))[:, 0]
         qpc = jax.lax.dynamic_slice(qpc_sk, (0, d + P), (mbh, 1))[:, 0]
+        if mixed:
+            ilane = jax.lax.dynamic_slice(
+                ia_sk, (0, d + P), (mbh, 1))[:, 0] > 0
+            yi = jax.lax.dynamic_slice(
+                yi_sk, (0, (d + P) * 16), (H, 16)).reshape(mbh, 16, 16)
+            ci = jax.lax.dynamic_slice(
+                ci_sk, (0, 0, (d + P) * 8),
+                (2, Hc, 8)).reshape(2, mbh, 8, 8)
 
         # ---- luma neighbors (strip d-1 = win cols 16:32, d-2 = 0:16) ----
         mid = win[:, :, 16:32]
@@ -218,6 +244,11 @@ def commit_i16x16(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
         preds = predict.predict_16x16_all(left, top, tl, al, at)
         pred = _onehot_mode(preds, mode, 4)
         dc_lv, ac_lv, recon = _encode_luma_i16(src, pred, qp)
+        if mixed:
+            recon = jnp.where(ilane[:, None, None], recon,
+                              yi.astype(recon.dtype))
+            dc_lv = jnp.where(ilane[:, None, None], dc_lv, 0)
+            ac_lv = jnp.where(ilane[:, None, None, None], ac_lv, 0)
         ys = jax.lax.dynamic_update_slice(
             ys, recon.astype(ys.dtype).reshape(H, 16), (0, (d + P) * 16))
 
@@ -238,6 +269,14 @@ def commit_i16x16(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
         pred_v = _onehot_mode(pv_all, cmode, 4)
         udc, uac, urec = _encode_chroma_i8(csrc[0], pred_u, qpc)
         vdc, vac, vrec = _encode_chroma_i8(csrc[1], pred_v, qpc)
+        if mixed:
+            il3 = ilane[:, None, None]
+            urec = jnp.where(il3, urec, ci[0].astype(urec.dtype))
+            vrec = jnp.where(il3, vrec, ci[1].astype(vrec.dtype))
+            udc = jnp.where(il3, udc, 0)
+            vdc = jnp.where(il3, vdc, 0)
+            uac = jnp.where(ilane[:, None, None, None], uac, 0)
+            vac = jnp.where(ilane[:, None, None, None], vac, 0)
         crec = jnp.stack([urec, vrec]).astype(cs.dtype).reshape(2, Hc, 8)
         cs = jax.lax.dynamic_update_slice(cs, crec, (0, 0, (d + P) * 8))
 
@@ -252,6 +291,14 @@ def commit_i16x16(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
              skew.unskew_plane(cs_rec[1], 8, mbw, P).astype(jnp.uint8))
     coeffs = {k: skew.unskew_scan_outputs(v, mbw) for k, v in outs.items()}
     return coeffs, recon
+
+
+@partial(jax.jit, static_argnames=("mbw", "mbh"))
+def commit_i16x16(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
+                  *, mbw, mbh):
+    """All-intra wavefront commit (I frames). See _commit_scan."""
+    return _commit_scan(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
+                        mbw, mbh)
 
 
 @partial(jax.jit, static_argnames=("mbw", "mbh", "cap_words", "deblock",
@@ -349,7 +396,7 @@ def cabac_finalize_iframe(enc, mode_m, mode_c, dc_z, ac_z, cdc, cac,
     return finalize_slice_cabac(enc, payload, sh, nal_type, ref_idc)
 
 
-def dispatch_iframe_cabac(enc, planes, ftype, qp):
+def dispatch_iframe_cabac(enc, planes, ftype, qp, tree_off=None):
     """CABAC I-frame dispatch: device analysis/commit, host entropy."""
     mbw, mbh = enc.mb_w, enc.mb_h
     y, u, v = [jnp.asarray(p) for p in planes]
@@ -361,16 +408,8 @@ def dispatch_iframe_cabac(enc, planes, ftype, qp):
                    or enc.p.dump_yuv or enc.p.full_recon)
 
     def attempt(qp_try):
-        if enc.p.rc.aq_mode:
-            from ..ops.aq import qp_maps
-            qp_mb, qpc_mb = qp_maps(y, u, v, qp_try, enc.p.rc.aq_strength,
-                                    enc.p.rc.qp_min, enc.p.rc.qp_max,
-                                    enc.p.analyse.chroma_qp_offset)
-        else:
-            qp_mb = jnp.full((mbh, mbw), qp_try, jnp.int32)
-            qpc_mb = jnp.asarray(
-                chroma_qp(np.full((mbh, mbw), qp_try),
-                          enc.p.analyse.chroma_qp_offset), dtype=jnp.int32)
+        from .frame_encode import build_qp_maps
+        qp_mb, qpc_mb = build_qp_maps(enc, y, u, v, qp_try, tree_off)
         (mode_m, mode_c, dc_z, ac_z, cdc, cac, recon,
          satd_cost) = analyze_iframe_device(
             y, u, v, qp_mb, qpc_mb, mbw=mbw, mbh=mbh,
@@ -378,6 +417,9 @@ def dispatch_iframe_cabac(enc, planes, ftype, qp):
             a_off=enc.p.deblocking_filter_alphac0 * 2,
             b_off=enc.p.deblocking_filter_beta * 2,
             cqpo=enc.p.analyse.chroma_qp_offset)
+        enc._pending_ref_fields = {
+            "mvf": np.zeros((mbh, mbw, 2), np.int32),
+            "inter_mask": np.zeros((mbh, mbw), bool)}
 
         def finalize():
             sh.qp = qp_try
@@ -448,11 +490,11 @@ def finalize_slice(enc, words, total_bits, cap_words, sh, nal_type,
     return [nal_mod.nal_encode(nal_type, ref_idc, bw.getvalue())]
 
 
-def dispatch_iframe(enc, planes, ftype, qp):
+def dispatch_iframe(enc, planes, ftype, qp, tree_off=None):
     """Device dispatch of a full I-frame (decide -> commit -> CAVLC).
     Returns (finalize_fn, retry_fn, recon_device)."""
     if enc.p.cabac:
-        return dispatch_iframe_cabac(enc, planes, ftype, qp)
+        return dispatch_iframe_cabac(enc, planes, ftype, qp, tree_off)
     mbw, mbh = enc.mb_w, enc.mb_h
     y, u, v = [jnp.asarray(p) for p in planes]
     sh = enc._slice_header(ftype, qp)
@@ -463,16 +505,8 @@ def dispatch_iframe(enc, planes, ftype, qp):
                    or enc.p.dump_yuv or enc.p.full_recon)
 
     def attempt(qp_try):
-        if enc.p.rc.aq_mode:
-            from ..ops.aq import qp_maps
-            qp_mb, qpc_mb = qp_maps(y, u, v, qp_try, enc.p.rc.aq_strength,
-                                    enc.p.rc.qp_min, enc.p.rc.qp_max,
-                                    enc.p.analyse.chroma_qp_offset)
-        else:
-            qp_mb = jnp.full((mbh, mbw), qp_try, jnp.int32)
-            qpc_mb = jnp.asarray(
-                chroma_qp(np.full((mbh, mbw), qp_try),
-                          enc.p.analyse.chroma_qp_offset), dtype=jnp.int32)
+        from .frame_encode import build_qp_maps
+        qp_mb, qpc_mb = build_qp_maps(enc, y, u, v, qp_try, tree_off)
         cap_bpm = cap_bytes_per_mb(qp_try)
         cap_words = (mbw * mbh * cap_bpm) // 4
         words, total_bits, recon, satd_cost = encode_iframe_device(
@@ -482,6 +516,9 @@ def dispatch_iframe(enc, planes, ftype, qp):
             a_off=enc.p.deblocking_filter_alphac0 * 2,
             b_off=enc.p.deblocking_filter_beta * 2,
             cqpo=enc.p.analyse.chroma_qp_offset)
+        enc._pending_ref_fields = {
+            "mvf": np.zeros((mbh, mbw, 2), np.int32),
+            "inter_mask": np.zeros((mbh, mbw), bool)}
 
         def finalize():
             sh.qp = qp_try

@@ -386,11 +386,16 @@ def encode_i16x16_frame_dev(i16_mode, chroma_mode, qp_flat, slice_qp,
 @partial(jax.jit, static_argnames=("mbw", "mbh", "cap_words"))
 def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
                               slice_qp, luma_lv, cdc_blk, cac_blk,
-                              *, mbw: int, mbh: int, cap_words: int):
-    """P-slice MB layer on device (P_L0_16x16 + P_Skip, 1 ref).
+                              *, mbw: int, mbh: int, cap_words: int,
+                              is_intra=None, i16_mode=None,
+                              chroma_mode=None, luma_dc=None):
+    """P-slice MB layer on device (P_L0_16x16 + P_Skip + I16-in-P, 1 ref).
 
     skip [N] bool; mvd [N,2]; cbp_* [N]; luma_lv [N,16,4,4] (full 16-coeff
-    inter blocks, raster); cdc_blk [N,2,2,2]; cac_blk [N,2,4,4,4].
+    inter blocks / pos0-zeroed intra AC blocks, raster); cdc_blk
+    [N,2,2,2]; cac_blk [N,2,4,4,4]. Intra-in-P (spec mb_type 5..30 in P,
+    analyse.c:2939): is_intra [N] bool + i16_mode/chroma_mode [N] +
+    luma_dc [N,4,4] hadamard-domain DC levels.
     Returns (words, total_bits, eff_qp) — eff_qp is the decoder-carried
     per-MB QP (uncoded MBs inherit), needed by the deblock strength qp."""
     n = mbw * mbh
@@ -398,6 +403,11 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
     luma_z = luma_lv.reshape(n, 16, 16)[:, :, zig]
     cdc = cdc_blk.reshape(n, 2, 4)
     cac_z = cac_blk.reshape(n, 2, 4, 16)[:, :, :, zig]
+    if is_intra is None:
+        is_intra = jnp.zeros((n,), bool)
+        i16_mode = jnp.zeros((n,), jnp.int32)
+        chroma_mode = jnp.zeros((n,), jnp.int32)
+        luma_dc = jnp.zeros((n, 4, 4), jnp.int32)
 
     # ---- skip runs ----
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -409,12 +419,27 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
     trailing = n - 1 - last_coded[-1]      # skips after the last coded MB
 
     # ---- residual blocks ----
+    # mixed-frame luma nnz grid: inter rows count 16 coeffs, intra rows
+    # count the 15 AC (pos 0 is zeroed) — the spec TotalCoeff semantics
     nnz_l = jnp.sum(luma_z != 0, axis=2).astype(jnp.int32)
     nc_l = _nc_grid_dev(nnz_l, mbh, mbw, 4)
     l_codes, l_lens, _, l_ov = residual_blocks_dev(
         luma_z.reshape(n * 16, 16), nc_l.reshape(-1))
     l_codes = l_codes.reshape(n, 16, BLOCK_SLOTS)
     l_lens = l_lens.reshape(n, 16, BLOCK_SLOTS)
+    # intra variants: 15-coeff AC blocks + the 16-coeff DC block
+    dc_z = luma_dc.reshape(n, 16)[:, zig]
+    dc_codes, dc_lens, _, dc_ov = residual_blocks_dev(dc_z, nc_l[:, 0])
+    l15_codes, l15_lens, _, l15_ov = residual_blocks_dev(
+        luma_z[:, :, 1:].reshape(n * 16, 15), nc_l.reshape(-1))
+    l15_codes = l15_codes.reshape(n, 16, BLOCK_SLOTS)
+    l15_lens = l15_lens.reshape(n, 16, BLOCK_SLOTS)
+    ii3 = is_intra[:, None, None]
+    l_codes = jnp.where(ii3, l15_codes, l_codes)
+    l_lens = jnp.where(ii3, l15_lens, l_lens)
+    l_ov = jnp.where(is_intra[:, None],
+                     l15_ov.reshape(n, 16), l_ov.reshape(n, 16))
+    dc_lens = jnp.where(is_intra[:, None], dc_lens, 0)
     cdc_codes, cdc_lens, _, cdc_ov = residual_blocks_dev(
         cdc.reshape(n * 2, 4), jnp.zeros(n * 2, jnp.int32), chroma_dc=True)
     cdc_codes = cdc_codes.reshape(n, 2, BLOCK_SLOTS)
@@ -428,44 +453,56 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
     cac_codes = cac_codes.reshape(n, 8, BLOCK_SLOTS)
     cac_lens = cac_lens.reshape(n, 8, BLOCK_SLOTS)
 
-    # ---- header elements: run, mb_type(0), mvd_x, mvd_y, cbp, qp_delta ----
+    # ---- header elements: run, mb_type, mvd_x|chroma_mode, mvd_y|dqp,
+    # cbp, qp_delta (intra MBs use the first three slots only) ----
     h_codes = jnp.zeros((n, 6), jnp.uint32)
     h_lens = jnp.zeros((n, 6), jnp.int32)
     c, l = ue_dev(run)                          # noqa: E741
     h_codes = h_codes.at[:, 0].set(c)
     h_lens = h_lens.at[:, 0].set(l)
-    h_codes = h_codes.at[:, 1].set(1)           # mb_type ue(0) = '1'
-    h_lens = h_lens.at[:, 1].set(1)
-    c, l = se_dev(mvd[:, 0])                    # noqa: E741
-    h_codes = h_codes.at[:, 2].set(c)
-    h_lens = h_lens.at[:, 2].set(l)
-    c, l = se_dev(mvd[:, 1])                    # noqa: E741
-    h_codes = h_codes.at[:, 3].set(c)
-    h_lens = h_lens.at[:, 3].set(l)
-    c, l = ue_dev(lut(V.CBP_TO_GOLOMB_INTER,              # noqa: E741
-                      cbp_chroma * 16 + cbp_luma))
-    h_codes = h_codes.at[:, 4].set(c)
-    h_lens = h_lens.at[:, 4].set(l)
-    has_resid = ((cbp_luma > 0) | (cbp_chroma > 0)) & coded
-    # carried-QP chain: only MBs with residual update the decoder's QP
+    # carried-QP chain: inter MBs with residual + every I16 MB (dqp
+    # always coded for I16) update the decoder's QP
+    has_resid = (((cbp_luma > 0) | (cbp_chroma > 0)) & coded) \
+        | (is_intra & coded)
     idxs = jnp.arange(n, dtype=jnp.int32)
     last_r = jax.lax.cummax(jnp.where(has_resid, idxs, -1))
     prev_r = jnp.concatenate([jnp.full((1,), -1, jnp.int32), last_r[:-1]])
     prev_qp = jnp.where(prev_r >= 0, qp_flat[jnp.maximum(prev_r, 0)],
                         slice_qp)
-    c, l = se_dev(jnp.where(has_resid, qp_flat - prev_qp, 0))  # noqa: E741
-    h_codes = h_codes.at[:, 5].set(c)
-    h_lens = h_lens.at[:, 5].set(jnp.where(has_resid, l, 0))
+    dqp = qp_flat - prev_qp
     eff_qp = jnp.where(has_resid, qp_flat, prev_qp)
+    # mb_type: inter ue(0)='1'; intra ue(5 + I16 code) (spec table 7-13)
+    i16_code = 6 + i16_mode + 4 * cbp_chroma \
+        + 12 * (cbp_luma > 0).astype(jnp.int32)
+    c_i, l_i = ue_dev(i16_code)
+    c, l = ue_dev(jnp.zeros((n,), jnp.int32))   # noqa: E741
+    h_codes = h_codes.at[:, 1].set(jnp.where(is_intra, c_i, 1))
+    h_lens = h_lens.at[:, 1].set(jnp.where(is_intra, l_i, 1))
+    c_cm, l_cm = ue_dev(chroma_mode)
+    c, l = se_dev(mvd[:, 0])                    # noqa: E741
+    h_codes = h_codes.at[:, 2].set(jnp.where(is_intra, c_cm, c))
+    h_lens = h_lens.at[:, 2].set(jnp.where(is_intra, l_cm, l))
+    c_dq, l_dq = se_dev(jnp.where(has_resid, dqp, 0))
+    c, l = se_dev(mvd[:, 1])                    # noqa: E741
+    h_codes = h_codes.at[:, 3].set(jnp.where(is_intra, c_dq, c))
+    h_lens = h_lens.at[:, 3].set(jnp.where(is_intra, l_dq, l))
+    c, l = ue_dev(lut(V.CBP_TO_GOLOMB_INTER,              # noqa: E741
+                      cbp_chroma * 16 + cbp_luma))
+    h_codes = h_codes.at[:, 4].set(c)
+    h_lens = h_lens.at[:, 4].set(jnp.where(is_intra, 0, l))
+    h_codes = h_codes.at[:, 5].set(c_dq)
+    h_lens = h_lens.at[:, 5].set(
+        jnp.where(is_intra, 0, jnp.where(has_resid, l_dq, 0)))
 
     # ---- gating ----
     coded3 = coded[:, None, None]
     h_lens = jnp.where(coded[:, None], h_lens, 0)
-    # luma blocks: only when quadrant bit set
+    # luma blocks: inter -> quadrant bit; intra -> cbp_luma 15 (all)
     blk_r = jnp.arange(16)
     quad = (blk_r // 4 // 2) * 2 + (blk_r % 4) // 2        # raster -> 8x8 id
     qbit = (cbp_luma[:, None] >> quad[None, :]) & 1
     l_lens = jnp.where((qbit > 0)[:, :, None] & coded3, l_lens, 0)
+    dc_lens = jnp.where(coded[:, None], dc_lens, 0)
     cdc_lens = jnp.where((cbp_chroma > 0)[:, None, None] & coded3,
                          cdc_lens, 0)
     cac_lens = jnp.where((cbp_chroma == 2)[:, None, None] & coded3,
@@ -475,10 +512,10 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
     l_lens = l_lens[:, order]
 
     codes = jnp.concatenate([
-        h_codes, l_codes.reshape(n, -1),
+        h_codes, dc_codes, l_codes.reshape(n, -1),
         cdc_codes.reshape(n, -1), cac_codes.reshape(n, -1)], axis=1)
     lens = jnp.concatenate([
-        h_lens, l_lens.reshape(n, -1),
+        h_lens, dc_lens, l_lens.reshape(n, -1),
         cdc_lens.reshape(n, -1), cac_lens.reshape(n, -1)], axis=1)
     # trailing skip run element: one extra group row in the stream
     tc, tl = ue_dev(jnp.maximum(trailing, 0))
@@ -490,6 +527,7 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
     lens = jnp.concatenate([lens, trow_l], axis=0)
     # level overflow only matters for blocks that are actually written
     lvl_over = (jnp.any(l_ov.reshape(n, 16) & (l_lens.sum(2) > 0))
+                | jnp.any(dc_ov.reshape(n) & (dc_lens.sum(1) > 0))
                 | jnp.any(cdc_ov.reshape(n, 2) & (cdc_lens.sum(2) > 0))
                 | jnp.any(cac_ov.reshape(n, 8) & (cac_lens.sum(2) > 0)))
     words, total_bits = pack_mb_stream(codes, lens, cap_words // n,
@@ -500,13 +538,17 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
 @partial(jax.jit, static_argnames=("mbw", "mbh", "cap_words"))
 def encode_bframe_entropy_dev(mode, mvd0, mvd1, cbp_luma, cbp_chroma,
                               qp_flat, slice_qp, luma_lv, cdc_blk, cac_blk,
-                              *, mbw: int, mbh: int, cap_words: int):
-    """B-slice MB layer on device (B_L0/L1/BI_16x16, no B_Skip/direct yet,
+                              *, mbw: int, mbh: int, cap_words: int,
+                              skip=None):
+    """B-slice MB layer on device (B_Skip + B_L0/L1/BI/Direct_16x16,
     1 ref per list; reference cavlc.c:487 B branches).
 
-    mode [N] 0=L0 1=L1 2=BI; mvd0/mvd1 [N,2]; the rest as in the P
-    writer. Returns (words, total_bits, eff_qp)."""
+    mode [N] 0=L0 1=L1 2=BI 3=Direct; mvd0/mvd1 [N,2]; skip [N] bool
+    (B_Skip: direct + no residual, coded via mb_skip_run); the rest as
+    in the P writer. Returns (words, total_bits, eff_qp)."""
     n = mbw * mbh
+    if skip is None:
+        skip = jnp.zeros((n,), bool)
     zig = jnp.asarray(ZIGZAG4_FRAME)
     luma_z = luma_lv.reshape(n, 16, 16)[:, :, zig]
     cdc = cdc_blk.reshape(n, 2, 4)
@@ -532,16 +574,27 @@ def encode_bframe_entropy_dev(mode, mvd0, mvd1, cbp_luma, cbp_chroma,
     cac_codes = cac_codes.reshape(n, 8, BLOCK_SLOTS)
     cac_lens = cac_lens.reshape(n, 8, BLOCK_SLOTS)
 
-    # ---- header: run(0), mb_type(mode+1), mvd l0, mvd l1, cbp, dqp ----
+    # ---- skip runs (B_Skip, reference cavlc.c mb_skip_run) ----
+    idx = jnp.arange(n, dtype=jnp.int32)
+    coded = ~skip
+    last_coded = jax.lax.cummax(jnp.where(coded, idx, -1))
+    prev_coded = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), last_coded[:-1]])
+    run = jnp.where(coded, idx - prev_coded - 1, 0)
+    trailing = n - 1 - last_coded[-1]
+
+    # ---- header: run, mb_type, mvd l0, mvd l1, cbp, dqp ----
     h_codes = jnp.zeros((n, 8), jnp.uint32)
     h_lens = jnp.zeros((n, 8), jnp.int32)
-    h_codes = h_codes.at[:, 0].set(1)                 # mb_skip_run ue(0)
-    h_lens = h_lens.at[:, 0].set(1)
-    c, l = ue_dev(mode + 1)                           # noqa: E741
+    c, l = ue_dev(run)                                # noqa: E741
+    h_codes = h_codes.at[:, 0].set(c)
+    h_lens = h_lens.at[:, 0].set(l)
+    # mb_type: B_Direct_16x16 = ue(0), explicit = ue(mode+1)
+    c, l = ue_dev(jnp.where(mode == 3, 0, mode + 1))  # noqa: E741
     h_codes = h_codes.at[:, 1].set(c)
     h_lens = h_lens.at[:, 1].set(l)
-    use0 = mode != 1
-    use1 = mode != 0
+    use0 = (mode == 0) | (mode == 2)
+    use1 = (mode == 1) | (mode == 2)
     for slot, (mvd, use, comp) in enumerate(
             [(mvd0, use0, 0), (mvd0, use0, 1),
              (mvd1, use1, 0), (mvd1, use1, 1)]):
@@ -552,7 +605,7 @@ def encode_bframe_entropy_dev(mode, mvd0, mvd1, cbp_luma, cbp_chroma,
                       cbp_chroma * 16 + cbp_luma))
     h_codes = h_codes.at[:, 6].set(c)
     h_lens = h_lens.at[:, 6].set(l)
-    has_resid = (cbp_luma > 0) | (cbp_chroma > 0)
+    has_resid = ((cbp_luma > 0) | (cbp_chroma > 0)) & coded
     idxs = jnp.arange(n, dtype=jnp.int32)
     last_r = jax.lax.cummax(jnp.where(has_resid, idxs, -1))
     prev_r = jnp.concatenate([jnp.full((1,), -1, jnp.int32), last_r[:-1]])
@@ -564,12 +617,16 @@ def encode_bframe_entropy_dev(mode, mvd0, mvd1, cbp_luma, cbp_chroma,
     eff_qp = jnp.where(has_resid, qp_flat, prev_qp)
 
     # ---- gating ----
+    coded3 = coded[:, None, None]
+    h_lens = jnp.where(coded[:, None], h_lens, 0)
     blk_r = jnp.arange(16)
     quad = (blk_r // 4 // 2) * 2 + (blk_r % 4) // 2
     qbit = (cbp_luma[:, None] >> quad[None, :]) & 1
-    l_lens = jnp.where((qbit > 0)[:, :, None], l_lens, 0)
-    cdc_lens = jnp.where((cbp_chroma > 0)[:, None, None], cdc_lens, 0)
-    cac_lens = jnp.where((cbp_chroma == 2)[:, None, None], cac_lens, 0)
+    l_lens = jnp.where((qbit > 0)[:, :, None] & coded3, l_lens, 0)
+    cdc_lens = jnp.where((cbp_chroma > 0)[:, None, None] & coded3,
+                         cdc_lens, 0)
+    cac_lens = jnp.where((cbp_chroma == 2)[:, None, None] & coded3,
+                         cac_lens, 0)
     order = jnp.asarray(LUMA4x4_RASTER)
     l_codes = l_codes[:, order]
     l_lens = l_lens[:, order]
@@ -580,6 +637,14 @@ def encode_bframe_entropy_dev(mode, mvd0, mvd1, cbp_luma, cbp_chroma,
     lens = jnp.concatenate([
         h_lens, l_lens.reshape(n, -1),
         cdc_lens.reshape(n, -1), cac_lens.reshape(n, -1)], axis=1)
+    # trailing skip run element: one extra group row in the stream
+    tc, tl = ue_dev(jnp.maximum(trailing, 0))
+    tl = jnp.where(trailing > 0, tl, 0)
+    S = codes.shape[1]
+    trow_c = jnp.zeros((1, S), jnp.uint32).at[0, 0].set(tc)
+    trow_l = jnp.zeros((1, S), jnp.int32).at[0, 0].set(tl)
+    codes = jnp.concatenate([codes, trow_c], axis=0)
+    lens = jnp.concatenate([lens, trow_l], axis=0)
     lvl_over = (jnp.any(l_ov.reshape(n, 16) & (l_lens.sum(2) > 0))
                 | jnp.any(cdc_ov.reshape(n, 2) & (cdc_lens.sum(2) > 0))
                 | jnp.any(cac_ov.reshape(n, 8) & (cac_lens.sum(2) > 0)))

@@ -172,21 +172,24 @@ def compute_strengths(intra_mb, nnz4, mv_mb, *, mbw, mbh):
     return bs_v, bs_h
 
 
-def compute_strengths_b(nnz4, mode_mb, mv0_mb, mv1_mb, *, mbw, mbh):
-    """Boundary strengths for a B frame with 16x16 L0/L1/BI partitions
-    (spec 8.7.2.1 mixed-prediction rules; reference deblock_strength_c,
+def compute_strengths_b(nnz4, use0_mb, use1_mb, mv0_mb, mv1_mb,
+                        *, mbw, mbh):
+    """Boundary strengths for a B frame with 16x16 partitions (spec
+    8.7.2.1 mixed-prediction rules; reference deblock_strength_c,
     deblock.c:277).
 
-    mode_mb [mbh,mbw]: 0=L0 1=L1 2=BI. bs = 2 on nnz edges; else 1 when
-    the blocks use different reference sets (mode mismatch) or, with the
-    same set, when any used list's |mv delta| >= 4; else 0. (Our two refs
-    are distinct pictures, so no cross-list swap case arises.)"""
+    use0/use1 [mbh,mbw]: per-list reference usage (covers explicit
+    L0/L1/BI and direct MBs alike). bs = 2 on nnz edges; else 1 when
+    the blocks use different reference sets or, with the same set, when
+    any used list's |mv delta| >= 4; else 0. (Our two refs are distinct
+    pictures, so no cross-list swap case arises.)"""
     ih, iw = mbh * 4, mbw * 4
 
     def rep4(a):
         return jnp.repeat(jnp.repeat(a, 4, axis=0), 4, axis=1)
 
-    mode4 = rep4(mode_mb)
+    use04 = rep4(use0_mb)
+    use14 = rep4(use1_mb)
     mv04 = rep4(mv0_mb)
     mv14 = rep4(mv1_mb)
 
@@ -199,16 +202,15 @@ def compute_strengths_b(nnz4, mode_mb, mv0_mb, mv1_mb, *, mbw, mbh):
             return jnp.pad(a, pad)[:-1]
 
         nnz_p = shift(nnz4)
-        mode_p = shift(mode4)
+        u0_p = shift(use04)
+        u1_p = shift(use14)
         mv0_p = shift(mv04)
         mv1_p = shift(mv14)
         nz = (nnz4 > 0) | (nnz_p > 0)
-        diff_set = mode4 != mode_p
-        use0 = mode4 != 1
-        use1 = mode4 != 0
+        diff_set = (use04 != u0_p) | (use14 != u1_p)
         d0 = jnp.any(jnp.abs(mv04 - mv0_p) >= 4, axis=-1)
         d1 = jnp.any(jnp.abs(mv14 - mv1_p) >= 4, axis=-1)
-        mv_diff = (use0 & d0) | (use1 & d1)
+        mv_diff = (use04 & d0) | (use14 & d1)
         return jnp.where(nz, 2,
                          jnp.where(diff_set | mv_diff, 1, 0))
 
