@@ -179,10 +179,13 @@ def make_sharded_pframe_step(mesh: Mesh, width: int, band_mb_rows: int,
 
     def band_encode(y, u, v, ry, rhp, rcuv, qp, qpc, slice_qp, lam):
         def one(y1, u1, v1, ry1, rhp1, rcuv1, q1, qc1, sq1, lam1):
+            # intra_in_p off in the band step: keeps the sharded graph
+            # wavefront-free (slice bands already reset intra pred)
             return encode_pframe_device(
                 y1, u1, v1, ry1, rhp1, rcuv1, q1, qc1, sq1, lam1,
                 mbw=mbw, mbh=band_mb_rows,
-                cap_words=cap_words, me_range=me_range, deblock=True)
+                cap_words=cap_words, me_range=me_range, deblock=True,
+                intra_in_p=False)
         return jax.vmap(jax.vmap(one))(y, u, v, ry, rhp, rcuv,
                                        qp, qpc, slice_qp, lam)
 
@@ -218,27 +221,31 @@ def sharded_pframe_encode(mesh: Mesh, planes_batch, refs_batch, qp: int = 26,
     us = np.stack([split(f[1], bh // 2) for f in planes_batch])
     vs = np.stack([split(f[2], bh // 2) for f in planes_batch])
 
-    # per-band padded reference windows (band rows +- PAD, full width + PAD)
+    # per-band padded reference windows (band rows +- PAD, full width +
+    # PAD). All prep runs in NUMPY on the host: nothing here may touch the
+    # default jax backend — the only device placement is the explicit
+    # device_put to the mesh sharding below, so the whole call is hermetic
+    # to whatever the default (e.g. TPU) backend's health is.
+    PAD = mc_ops.PAD
+    CPAD = mc_ops.CPAD
     ry_l, rhp_l, rcuv_l = [], [], []
     for f in refs_batch:
-        y_pad = mc_ops.pad_plane(jnp.asarray(f[0]))
-        hp = mc_ops.hpel_planes(y_pad)
-        cuv = jnp.stack([mc_ops.pad_plane(jnp.asarray(f[1]), mc_ops.CPAD),
-                         mc_ops.pad_plane(jnp.asarray(f[2]), mc_ops.CPAD)])
-        PAD = mc_ops.PAD
-        CPAD = mc_ops.CPAD
-        ry = jnp.stack([y_pad[b * bh:b * bh + bh + 2 * PAD]
-                        for b in range(nb)])
-        rh = jnp.stack([hp[:, b * bh:b * bh + bh + 2 * PAD]
-                        for b in range(nb)])
-        rc = jnp.stack([cuv[:, b * bh // 2:b * bh // 2 + bh // 2 + 2 * CPAD]
-                        for b in range(nb)])
+        y_pad = np.pad(f[0], PAD, mode="edge")
+        hp = mc_ops.hpel_planes_np(y_pad)
+        cuv = np.stack([np.pad(f[1], CPAD, mode="edge"),
+                        np.pad(f[2], CPAD, mode="edge")])
+        ry = np.stack([y_pad[b * bh:b * bh + bh + 2 * PAD]
+                       for b in range(nb)])
+        rh = np.stack([hp[:, b * bh:b * bh + bh + 2 * PAD]
+                       for b in range(nb)])
+        rc = np.stack([cuv[:, b * bh // 2:b * bh // 2 + bh // 2 + 2 * CPAD]
+                       for b in range(nb)])
         ry_l.append(ry)
         rhp_l.append(rh)
         rcuv_l.append(rc)
-    ry = jnp.stack(ry_l)
-    rhp = jnp.stack(rhp_l)
-    rcuv = jnp.stack(rcuv_l)
+    ry = np.stack(ry_l)
+    rhp = np.stack(rhp_l)
+    rcuv = np.stack(rcuv_l)
 
     qp_mb = np.full((B, nb, band_mb_rows, mbw), qp, np.int32)
     qpc_mb = np.asarray(chroma_qp(qp_mb), np.int32)
