@@ -21,6 +21,24 @@ TARGET_FPS = 300.0   # 10x realtime @ 30fps on one chip
 W, H = 1920, 1080
 N_FRAMES = 24
 QP = 26
+BD_QPS = [22, 26, 30, 34]    # rate-distortion sweep for BD-rate
+
+
+def bd_rate(r1, p1, r2, p2):
+    """Bjontegaard delta rate of curve 2 vs curve 1 (negative = curve 2
+    needs fewer bits at equal PSNR). r*: kbps lists, p*: PSNR lists."""
+    lr1, lr2 = np.log(np.asarray(r1)), np.log(np.asarray(r2))
+    c1 = np.polyfit(p1, lr1, 3)
+    c2 = np.polyfit(p2, lr2, 3)
+    lo = max(min(p1), min(p2))
+    hi = min(max(p1), max(p2))
+    if hi <= lo:
+        return None
+    i1 = np.polyint(c1)
+    i2 = np.polyint(c2)
+    avg1 = (np.polyval(i1, hi) - np.polyval(i1, lo)) / (hi - lo)
+    avg2 = (np.polyval(i2, hi) - np.polyval(i2, lo)) / (hi - lo)
+    return float((np.exp(avg2 - avg1) - 1) * 100)
 
 
 def synth_clip(n, w=W, h=H):
@@ -87,7 +105,7 @@ def decode_with_cv2(path, n):
     return out
 
 
-def run_reference(y4m_path):
+def run_reference(y4m_path, qp=QP):
     """Encode the clip with the reference x264 binary at matched settings.
     Returns (kbps, psnr) or (None, None)."""
     exe = os.path.join(os.path.dirname(__file__), "tools", "refbuild",
@@ -108,7 +126,7 @@ def run_reference(y4m_path):
             return None, None
     try:
         out = subprocess.run(
-            [exe, "--preset", "veryfast", "--qp", str(QP), "--no-cabac",
+            [exe, "--preset", "veryfast", "--qp", str(qp), "--no-cabac",
              "--bframes", "0",
              "--psnr", "--tune", "psnr", "-o", "/tmp/bench_ref.264",
              y4m_path],
@@ -133,75 +151,135 @@ def worker(w, h):
     from x264_tpu import param_default_preset
     from x264_tpu.encoder.encoder import Encoder, Picture
 
-    p = param_default_preset("medium")
-    p.width, p.height = W, H
-    p.cabac = False
-    p.bframe = 0         # metric is IPPP; keep comparable across rounds
-    p.rc.rc_method = 0
-    p.rc.qp_constant = QP
-    p.analyse.psnr = False
-    p.analyse.ssim = False
-    enc = Encoder(p)
-
     frames = synth_clip(N_FRAMES, W, H)
-    # warmup (compiles I and P paths)
-    enc.encode(Picture(frames[0], pts=0))
-    enc.encode(Picture(frames[1], pts=1))
 
-    n_bench = N_FRAMES
-    t0 = time.time()
-    total_bytes = 0
-    nals_all = []
-    for i in range(n_bench):
-        # first benched frame is a forced IDR so the measured stream is
-        # independently decodable (warmup NALs are discarded)
-        pic = Picture(frames[i], pts=i + 2)
-        if i == 0:
-            pic.i_type = 1            # TYPE_IDR
-        nals, out = enc.encode(pic)
-        nals_all += nals
-        total_bytes += sum(len(n.payload) + 4 for n in nals)
-    while enc.delayed_frames():
-        nals, out = enc.encode(None)
-        nals_all += nals
-        total_bytes += sum(len(n.payload) + 4 for n in nals)
-    dt = time.time() - t0
-    fps = n_bench / dt
-    kbps = total_bytes * 8 * 30.0 / n_bench / 1000.0
+    def encode_once(qp, timed):
+        p = param_default_preset("medium")
+        p.width, p.height = W, H
+        p.cabac = False
+        p.bframe = 0     # metric is IPPP; keep comparable across rounds
+        p.rc.rc_method = 0
+        p.rc.qp_constant = qp
+        p.analyse.psnr = False
+        p.analyse.ssim = False
+        enc = Encoder(p)
+        if timed:   # warmup (compiles I and P paths)
+            enc.encode(Picture(frames[0], pts=0))
+            enc.encode(Picture(frames[1], pts=1))
+        n_bench = N_FRAMES
+        t0 = time.time()
+        total_bytes = 0
+        nals_all = []
+        for i in range(n_bench):
+            # first benched frame is a forced IDR so the measured stream
+            # is independently decodable (warmup NALs are discarded)
+            pic = Picture(frames[i], pts=i + 2)
+            if i == 0:
+                pic.i_type = 1            # TYPE_IDR
+            nals, out = enc.encode(pic)
+            nals_all += nals
+            total_bytes += sum(len(n.payload) + 4 for n in nals)
+        while enc.delayed_frames():
+            nals, out = enc.encode(None)
+            nals_all += nals
+            total_bytes += sum(len(n.payload) + 4 for n in nals)
+        dt = time.time() - t0
+        fps = n_bench / dt
+        kbps = total_bytes * 8 * 30.0 / n_bench / 1000.0
+        # quality: decode our stream with libavcodec (cv2), PSNR vs source
+        psnr_v = None
+        try:
+            data = b""
+            for n in enc.headers() + nals_all:
+                data += b"\x00\x00\x00\x01" + n.payload
+            with open("/tmp/bench_tpu.264", "wb") as f:
+                f.write(data)
+            import cv2
+            cap = cv2.VideoCapture("/tmp/bench_tpu.264")
+            vals = []
+            idx = 0
+            while idx < n_bench:
+                ok, img = cap.read()
+                if not ok:
+                    break
+                yuv = cv2.cvtColor(img, cv2.COLOR_BGR2YUV_I420)
+                dy = yuv[:H]
+                du = yuv[H:H + H // 4].reshape(H // 2, W // 2)
+                dv = yuv[H + H // 4:].reshape(H // 2, W // 2)
+                sy, su, sv = frames[idx]
+                vals.append((6 * psnr(sy, dy) + psnr(su, du)
+                             + psnr(sv, dv)) / 8)
+                idx += 1
+            if vals:
+                psnr_v = round(float(np.mean(vals)), 3)
+        except Exception:
+            pass
+        return fps, kbps, psnr_v
 
-    # ---- quality: decode our stream, PSNR vs source ----
-    psnr_v = None
+    fps, kbps, psnr_v = encode_once(QP, timed=True)
+
+    # ---- encode-farm throughput (BASELINE config 5): S lockstep
+    # streams batched on the one chip via vmap; aggregate frames/sec ----
+    farm_fps = farm_streams = None
     try:
-        data = b""
-        for n in enc.headers() + nals_all:
-            data += b"\x00\x00\x00\x01" + n.payload
-        with open("/tmp/bench_tpu.264", "wb") as f:
-            f.write(data)
-        import cv2
-        cap = cv2.VideoCapture("/tmp/bench_tpu.264")
-        vals = []
-        idx = 0
-        while idx < n_bench:
-            ok, img = cap.read()
-            if not ok:
-                break
-            yuv = cv2.cvtColor(img, cv2.COLOR_BGR2YUV_I420)
-            dy = yuv[:H]
-            du = yuv[H:H + H // 4].reshape(H // 2, W // 2)
-            dv = yuv[H + H // 4:].reshape(H // 2, W // 2)
-            sy, su, sv = frames[idx]
-            vals.append((6 * psnr(sy, dy) + psnr(su, du) + psnr(sv, dv))
-                        / 8)
-            idx += 1
-        if vals:
-            psnr_v = round(float(np.mean(vals)), 3)
+        S = int(os.environ.get("BENCH_STREAMS", "4"))
+        if S > 1:
+            from x264_tpu.encoder.farm import FarmEncoder
+            p = param_default_preset("medium")
+            p.width, p.height = W, H
+            p.cabac = False
+            p.bframe = 0
+            p.rc.rc_method = 0
+            p.rc.qp_constant = QP
+            p.analyse.psnr = False
+            p.analyse.ssim = False
+            farm = FarmEncoder(p, S)
+            mbH = -(-H // 16) * 16
+            mbW = -(-W // 16) * 16
+
+            def padf(f):
+                return [np.pad(pl, ((0, th - pl.shape[0]),
+                                    (0, tw - pl.shape[1])), mode="edge")
+                        for pl, th, tw in zip(
+                            f, (mbH, mbH // 2, mbH // 2),
+                            (mbW, mbW // 2, mbW // 2))]
+            batch = [padf(frames[s % len(frames)]) for s in range(S)]
+            farm.encode_batch(batch, idr=True)     # warm I
+            nxt = [padf(frames[(s + 1) % len(frames)]) for s in range(S)]
+            farm.encode_batch(nxt, idr=False)      # warm P
+            t0 = time.time()
+            nfr = 12
+            for i in range(nfr):
+                b = [padf(frames[(s + i) % len(frames)])
+                     for s in range(S)]
+                farm.encode_batch(b, idr=(i == 0))
+            dt = time.time() - t0
+            farm_fps = round(S * nfr / dt, 3)
+            farm_streams = S
     except Exception:
-        pass
+        farm_fps = None
 
-    ref_kbps = ref_psnr = None
+    # ---- BD-rate sweep vs the reference binary (VERDICT r2 item 8):
+    # same clip at 4 QPs on both encoders, Bjontegaard delta-rate ----
+    write_y4m("/tmp/bench_src.y4m", frames)
+    ours_r, ours_p, refs_r, refs_p = [], [], [], []
+    ref_kbps = ref_psnr = bd = None
     try:
-        write_y4m("/tmp/bench_src.y4m", frames)
-        ref_kbps, ref_psnr = run_reference("/tmp/bench_src.y4m")
+        for q in BD_QPS:
+            if q == QP:
+                r_o, p_o = kbps, psnr_v
+            else:
+                _, r_o, p_o = encode_once(q, timed=False)
+            r_r, p_r = run_reference("/tmp/bench_src.y4m", q)
+            if q == QP:
+                ref_kbps, ref_psnr = r_r, p_r
+            if None not in (r_o, p_o, r_r, p_r):
+                ours_r.append(r_o)
+                ours_p.append(p_o)
+                refs_r.append(r_r)
+                refs_p.append(p_r)
+        if len(ours_r) >= 3:
+            bd = round(bd_rate(refs_r, refs_p, ours_r, ours_p), 2)
     except Exception:
         pass
 
@@ -218,6 +296,14 @@ def worker(w, h):
         "ref_kbps": ref_kbps,
         "ref_psnr": ref_psnr,
         "qp": QP,
+        "farm_fps": (round(farm_fps / scale, 3)
+                     if farm_fps is not None else None),
+        "farm_streams": farm_streams,
+        "bd_rate_vs_ref_pct": bd,     # negative = we need fewer bits
+        "rd_ours": [[round(r, 1), round(p, 3)]
+                    for r, p in zip(ours_r, ours_p)],
+        "rd_ref": [[round(r, 1), round(p, 3)]
+                   for r, p in zip(refs_r, refs_p)],
     }))
 
 

@@ -1,0 +1,135 @@
+"""Encode farm: S independent streams batched on one chip.
+
+The reference scales throughput by running many encoder processes per
+machine (doc/threads.txt's frame-threads are its per-stream axis); on a
+TPU the same axis is a *batch dimension*: `jax.vmap` over the per-frame
+device passes runs S streams' analysis/transform/entropy in lockstep,
+amortizing every dispatch, pipeline bubble and wavefront latency chain
+across the batch (BASELINE.md milestone config 5; SURVEY §2.9 mapping).
+
+Scope: IPPP, CQP, CAVLC, flat QP (the bench configuration). The host
+tail per stream is slice-header + byte append only — the packed payload
+is produced on device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..entropy import nal as nal_mod
+from ..ops import mc
+from ..ops.tables import chroma_qp
+from . import inter, intra
+
+
+class FarmEncoder:
+    """Lockstep S-stream IPPP encoder (one device program per frame
+    position, batched over streams)."""
+
+    def __init__(self, p, streams: int):
+        from .encoder import validate_parameters
+        from ..entropy import sets
+        self.p = validate_parameters(p)
+        self.S = streams
+        self.sps = sets.sps_init(self.p, self.p.sps_id)
+        self.pps = sets.pps_init(self.p, self.sps, self.p.sps_id)
+        self.mb_w, self.mb_h = self.p.mb_width, self.p.mb_height
+        self.qp = self.p.rc.qp_constant
+        self.frame_num = 0
+        self.poc = 0
+        self.idr_pic_id = 0
+        self._dpb = None       # dict of stacked device refs [S, ...]
+        mbw, mbh = self.mb_w, self.mb_h
+        self.qp_mb = jnp.full((mbh, mbw), self.qp, jnp.int32)
+        self.qpc_mb = jnp.asarray(
+            chroma_qp(np.full((mbh, mbw), self.qp),
+                      self.p.analyse.chroma_qp_offset), jnp.int32)
+        self.cap_words = (mbw * mbh * intra.cap_bytes_per_mb(self.qp)) // 4
+        self.me_range = min(self.p.analyse.me_range, mc.PAD - 8)
+        self.lam = max(1, int(round(2.0 ** ((self.qp - 12) / 6.0))))
+
+        kw = dict(mbw=mbw, mbh=mbh, cap_words=self.cap_words,
+                  deblock=self.p.deblocking_filter,
+                  a_off=self.p.deblocking_filter_alphac0 * 2,
+                  b_off=self.p.deblocking_filter_beta * 2,
+                  cqpo=self.p.analyse.chroma_qp_offset)
+
+        def i_step(y, u, v):
+            return intra.encode_iframe_device(
+                y, u, v, self.qp_mb, self.qpc_mb, self.qp, **kw)
+
+        def p_step(y, u, v, ry, rhp, rcuv):
+            return inter.encode_pframe_device(
+                y, u, v, ry, rhp, rcuv, self.qp_mb, self.qpc_mb,
+                self.qp, self.lam, me_range=self.me_range,
+                decimate=self.p.analyse.dct_decimate, **kw)
+
+        def dpb_prep(recon_y, recon_u, recon_v):
+            y_pad = mc.pad_plane(recon_y)
+            return (y_pad, mc.hpel_planes(y_pad),
+                    jnp.stack([mc.pad_plane(recon_u, mc.CPAD),
+                               mc.pad_plane(recon_v, mc.CPAD)]))
+
+        self._i_step = jax.jit(jax.vmap(i_step))
+        self._p_step = jax.jit(jax.vmap(p_step))
+        self._dpb_prep = jax.jit(jax.vmap(dpb_prep))
+
+    def headers(self):
+        from ..entropy import sets
+        return [
+            nal_mod.nal_encode(nal_mod.NAL_SPS,
+                               nal_mod.NAL_PRIORITY_HIGHEST,
+                               sets.sps_write(self.sps)),
+            nal_mod.nal_encode(nal_mod.NAL_PPS,
+                               nal_mod.NAL_PRIORITY_HIGHEST,
+                               sets.pps_write(self.pps)),
+        ]
+
+    def _slice_header(self, ftype):
+        from .encoder import Encoder
+        sh = Encoder._slice_header(self, ftype, self.qp)
+        return sh
+
+    def encode_batch(self, planes_s, idr: bool):
+        """Encode one frame position for all S streams.
+
+        planes_s: list of S [y, u, v] numpy frames (MB-aligned).
+        Returns a list of S NAL-lists. The device work is one batched
+        program; the host tail is S slice headers + byte appends."""
+        from .encoder import TYPE_IDR, TYPE_P
+        from .intra import finalize_slice
+        y = jnp.asarray(np.stack([f[0] for f in planes_s]))
+        u = jnp.asarray(np.stack([f[1] for f in planes_s]))
+        v = jnp.asarray(np.stack([f[2] for f in planes_s]))
+        if idr:
+            self.frame_num = 0
+            self.poc = 0
+            words, bits, recon, _ = self._i_step(y, u, v)
+            ftype, ntype, ridc = (TYPE_IDR, nal_mod.NAL_SLICE_IDR,
+                                  nal_mod.NAL_PRIORITY_HIGHEST)
+        else:
+            words, bits, recon, _ = self._p_step(
+                y, u, v, self._dpb["y_pad"], self._dpb["hpel"],
+                self._dpb["cuv"])
+            ftype, ntype, ridc = (TYPE_P, nal_mod.NAL_SLICE,
+                                  nal_mod.NAL_PRIORITY_HIGH)
+        y_pad, hpel, cuv = self._dpb_prep(recon[0], recon[1], recon[2])
+        self._dpb = {"y_pad": y_pad, "hpel": hpel, "cuv": cuv}
+        bits_h = np.asarray(bits)
+        words_h = np.asarray(words)       # one batched [S, cap] fetch
+        outs = []
+        for s in range(self.S):
+            sh = self._slice_header(ftype)
+            nals = finalize_slice(self, words_h[s], int(bits_h[s]),
+                                  self.cap_words, sh, ntype, ridc)
+            outs.append(nals)
+        if idr:
+            self.idr_pic_id = (self.idr_pic_id + 1) % 65536
+        self.frame_num = (self.frame_num + 1) % (
+            1 << self.sps.log2_max_frame_num)
+        self.poc += 2
+        return outs
