@@ -126,11 +126,16 @@ def mb_windows_packed(planes, off, *, bs: int, win: int, pad: int):
 
 def mb_windows_auto(planes, off, *, bs: int, lo: int, hi: int, win: int,
                     pad: int):
-    """Window warp dispatcher (measured on v5e): small windows win with the
-    int32-packed gather; wide luma windows with the plain byte gather."""
-    del lo, hi
+    """Window warp dispatcher. Small windows use the one-hot banded
+    matmul (`mb_windows`): on the axon TPU runtime, a scattered-index
+    GATHER fused with consumers crashes the device worker whenever any
+    other program executed earlier in the process (runtime bug,
+    root-caused round 3 — see docs/ROADMAP.md). The MXU one-hot form is
+    bit-exact and immune. Wide luma windows keep the plain byte gather,
+    which has never triggered the fault."""
     if win <= 12:
-        return mb_windows_packed(planes, off, bs=bs, win=win, pad=pad)
+        return mb_windows(planes, off, bs=bs, lo=lo, hi=hi, win=win,
+                          pad=pad)
     return mb_windows_ref(planes, off, bs=bs, win=win, pad=pad)
 
 
