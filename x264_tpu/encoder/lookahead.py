@@ -272,15 +272,21 @@ class Lookahead:
         is needed. Consumed entries leave the window."""
         if not self.window:
             return None
-        if not flush and len(self.window) < self.depth:
-            return None
-        w = self.window
-        first = w[0]
-        fidx = first["idx"]
 
         def forced(e):
             p = e["pic"]
             return p.i_type if p is not None else TYPE_AUTO
+
+        w = self.window
+        first = w[0]
+        fidx = first["idx"]
+        # a forced non-B head frame needs no future context: its type is
+        # already decided, so honor it with zero added latency (the
+        # depth gate exists only to give the AUTO decision a window)
+        head_forced = forced(first) in (TYPE_IDR, TYPE_KEYFRAME, TYPE_I,
+                                        TYPE_P)
+        if not flush and not head_forced and len(self.window) < self.depth:
+            return None
 
         keyint = max(self.p.keyint_max, 1)
         kmin = (self.p.keyint_min if self.p.keyint_min > 0
