@@ -46,7 +46,8 @@ def build_argparser() -> argparse.ArgumentParser:
 _CLI_VALUE_OPTS = {"-o", "--output", "--preset", "--tune", "--profile",
                    "--frames", "--seek", "--input-res", "--fps",
                    "--dump-yuv", "--muxer", "--qpfile", "--vf",
-                   "--video-filter"}
+                   "--video-filter", "--tcfile-in", "--tcfile-out",
+                   "--timebase", "--log-level"}
 _CLI_FLAG_OPTS = {"--quiet", "--verbose", "-h", "--help"}
 # boolean encoder options that never take a value
 _NO_VALUE_PARAMS = {"no-cabac", "no-deblock", "no-scenecut", "cabac",
@@ -68,7 +69,9 @@ def main(argv=None) -> int:
     cli = {"preset": "medium", "tune": None, "profile": None, "frames": 0,
            "seek": 0, "input_res": None, "fps": None, "dump_yuv": None,
            "quiet": False, "verbose": False, "output": None, "input": None,
-           "muxer": None, "qpfile": None, "vf": None, "video_filter": None}
+           "muxer": None, "qpfile": None, "vf": None, "video_filter": None,
+           "tcfile_in": None, "tcfile_out": None, "timebase": None,
+           "log_level": None}
     passthrough = []           # (name, value)
     i = 0
     while i < len(argv):
@@ -190,6 +193,57 @@ def main(argv=None) -> int:
     if known.dump_yuv:
         p.dump_yuv = known.dump_yuv
 
+    # --- logging level (reference --log-level/--quiet/--verbose) ---
+    from .utils import log as logmod
+    if cli.get("log_level") is not None:
+        names = {"none": logmod.LOG_NONE, "error": logmod.LOG_ERROR,
+                 "warning": logmod.LOG_WARNING, "info": logmod.LOG_INFO,
+                 "debug": logmod.LOG_DEBUG}
+        lv = cli["log_level"]
+        p.log_level = names.get(str(lv).lower(),
+                                int(lv) if str(lv).lstrip("-").isdigit()
+                                else logmod.LOG_INFO)
+    elif cli["quiet"]:
+        p.log_level = logmod.LOG_NONE
+    elif cli["verbose"]:
+        p.log_level = logmod.LOG_DEBUG
+    logmod.set_level(p.log_level)
+
+    # --- VFR: --tcfile-in / --timebase (reference x264.c:1675-1736,
+    # input/timecode.c) ---
+    tcmap = None
+    if cli.get("tcfile_in"):
+        from .io.timecode import TimecodeMap, TimecodeError
+        tb_opt = None
+        if cli.get("timebase"):
+            t = cli["timebase"]
+            if "/" in t:
+                tn, td = t.split("/", 1)
+                tb_opt = (int(tn), int(td))
+            # plain integer with a tcfile = timebase numerator (the
+            # reference help: "timebase numerator for input timecode
+            # file"); the denominator stays auto-derived below
+        try:
+            tcmap = TimecodeMap(cli["tcfile_in"],
+                                fallback_fps=(p.fps_num, p.fps_den),
+                                timebase=tb_opt)
+        except (OSError, TimecodeError) as e:
+            logmod.error(str(e))
+            return 2
+        if cli.get("timebase") and "/" not in cli["timebase"]:
+            n = int(cli["timebase"])
+            tcmap.tb_num, tcmap.tb_den = n, tcmap.tb_den * n
+        p.timebase_num, p.timebase_den = tcmap.tb_num, tcmap.tb_den
+    elif cli.get("timebase"):
+        logmod.error("--timebase is incompatible with cfr input")
+        return 2
+    tcout = None
+    if cli.get("tcfile_out"):
+        from .io.timecode import TimecodeWriter
+        tn = p.timebase_num or p.fps_den
+        td = p.timebase_den or p.fps_num
+        tcout = TimecodeWriter(cli["tcfile_out"], tn, td)
+
     # --- qpfile: per-frame forced type/QP (reference parse_qpfile,
     # x264.c; format "<frame> <I|i|K|P|B|b> [qp]") ---
     qpfile: dict[int, tuple[int, int]] = {}
@@ -229,6 +283,16 @@ def main(argv=None) -> int:
     n = 0
     total_bytes = 0
     fed = 0
+
+    def emit(nals, pic_out):
+        """Write one access unit, mapping frame-index pts/dts to
+        timebase ticks when a tcfile drives VFR timing."""
+        pts, dts = pic_out.pts, pic_out.dts
+        if tcmap is not None:
+            pts, dts = tcmap.pts(pts), tcmap.pts(dts)
+        if tcout is not None:
+            tcout.add(pts)
+        return out.write_frame(nals, pts=pts, dts=dts)
     for idx, planes in enumerate(reader):
         if idx < known.seek:
             continue
@@ -240,8 +304,7 @@ def main(argv=None) -> int:
             pic.i_type, pic.forced_qp = qpfile[fed - 1]
         nals, pic_out = enc.encode(pic)
         if nals:
-            total_bytes += out.write_frame(nals, pts=pic_out.pts,
-                                           dts=pic_out.dts)
+            total_bytes += emit(nals, pic_out)
         if dumper and pic_out is not None and pic_out.recon is not None:
             dumper.write_frame([np.asarray(r) for r in pic_out.recon])
         if pic_out is not None:
@@ -256,8 +319,7 @@ def main(argv=None) -> int:
     while enc.delayed_frames():
         nals, pic_out = enc.encode(None)
         if nals:
-            total_bytes += out.write_frame(nals, pts=pic_out.pts,
-                                           dts=pic_out.dts)
+            total_bytes += emit(nals, pic_out)
         if pic_out is not None:
             if dumper and pic_out.recon is not None:
                 dumper.write_frame([np.asarray(r) for r in pic_out.recon])
@@ -265,6 +327,8 @@ def main(argv=None) -> int:
     el = time.time() - t0
     stats = enc.close()
     out.close()
+    if tcout is not None:
+        tcout.close()
     if dumper:
         dumper.close()
     reader.close()

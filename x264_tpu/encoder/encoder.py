@@ -136,6 +136,8 @@ class Encoder:
 
     def __init__(self, params: P.Params) -> None:
         self.p = validate_parameters(params)
+        from ..utils.log import Logger
+        self.log = Logger(self.p.log_level)   # pf_log analogue
         self.sps = sets.sps_init(self.p, self.p.sps_id)
         self.pps = sets.pps_init(self.p, self.sps, self.p.sps_id)
         self.mb_w, self.mb_h = self.p.mb_width, self.p.mb_height
@@ -301,13 +303,15 @@ class Encoder:
             # of 2 fields per frame
             hrd = []
             if is_idr:
-                init_delay = int(0.9 * self.sps.hrd_cpb_size * 90000
-                                 / max(self.sps.hrd_bitrate, 1))
+                # real CPB fullness (reference x264_hrd_fullness) from
+                # the VBV state, in 90 kHz ticks of the SIGNALED rate
+                init_delay, init_offset = self.rc.hrd_fullness(
+                    self.sps.hrd_bitrate_unscaled,
+                    self.sps.hrd_cpb_size_unscaled)
                 hrd.append(nal_mod.nal_encode(
                     nal_mod.NAL_SEI, nal_mod.NAL_PRIORITY_DISPOSABLE,
-                    sets.sei_buffering_period(self.sps,
-                                              min(init_delay, (1 << 24)
-                                                  - 1))))
+                    sets.sei_buffering_period(self.sps, init_delay,
+                                              init_offset)))
                 self._hrd_bp_idx = self.frames_out
             cpb_delay = 2 * (self.frames_out
                              - getattr(self, "_hrd_bp_idx", 0))
@@ -316,6 +320,16 @@ class Encoder:
                 nal_mod.NAL_SEI, nal_mod.NAL_PRIORITY_DISPOSABLE,
                 sets.sei_pic_timing(self.sps, cpb_delay, dpb_delay)))
             nals = hrd + nals
+        if self.sps.nal_hrd_parameters and self.sps.hrd_cbr:
+            # CBR: convert decoder-buffer overflow into filler NALs so
+            # the stream really is constant-rate (reference hrd_filler,
+            # NAL_FILLER after the slice in the same AU)
+            fill_bits = self.rc.hrd_filler_bits()
+            if fill_bits:
+                k = max(0, fill_bits // 8 - 6)   # startcode+hdr+stop
+                nals = nals + [nal_mod.nal_encode(
+                    nal_mod.NAL_FILLER, nal_mod.NAL_PRIORITY_DISPOSABLE,
+                    b"\xff" * k + b"\x80")]
         if self.p.aud:
             from .intra import aud_nal
             nals = [aud_nal(ftype)] + nals

@@ -72,6 +72,7 @@ class RateControl:
         # ---- VBV state (reference ratecontrol.c:2137) ----
         rc = p.rc
         self.vbv = bool(rc.vbv_buffer_size and rc.vbv_max_bitrate)
+        self._cbr = p.nal_hrd == P.NAL_HRD_CBR
         if self.vbv:
             self.buffer_size = rc.vbv_buffer_size * 1000.0
             self.buffer_rate = rc.vbv_max_bitrate * 1000.0 / max(self.fps,
@@ -180,6 +181,36 @@ class RateControl:
             qscale *= 1.1
         return qscale
 
+    # ----------------------------------------------------------------- HRD
+    def hrd_fullness(self, bitrate: int, cpb_size: int):
+        """initial_cpb_removal_delay (+offset) in 90 kHz ticks from the
+        current decoder-buffer fill (reference x264_hrd_fullness,
+        ratecontrol.c:2194). `bitrate`/`cpb_size` are the values a
+        decoder reconstructs from the scaled VUI fields.
+
+        Frame-level approximation: buffer_fill is the decoder CPB state
+        after the previous frame's removal + refill, which is exactly
+        the fullness a new buffering period should advertise."""
+        fill = min(self.buffer_fill if self.vbv else float(cpb_size),
+                   float(cpb_size))
+        delay = int(90000 * fill / max(bitrate, 1))
+        offset = int(90000 * cpb_size / max(bitrate, 1)) - delay
+        lim = (1 << 24) - 1
+        return min(delay, lim), max(0, min(offset, lim))
+
+    def hrd_filler_bits(self) -> int:
+        """CBR overflow: bits of filler needed so the decoder buffer
+        does not overflow (reference hrd_filler / update_vbv filler,
+        ratecontrol.c:2137). Call after end(); returns whole bytes*8."""
+        if not self.vbv or not getattr(self, "_cbr", False):
+            return 0
+        over = self.buffer_fill - self.buffer_size
+        if over <= 0:
+            return 0
+        nbytes = int(over + 7) // 8
+        self.buffer_fill -= nbytes * 8
+        return nbytes * 8
+
     # ------------------------------------------------------------- frame
     def start(self, ftype: int, forced_qp: int = -1) -> int:
         """QP for the upcoming frame (reference x264_ratecontrol_start)."""
@@ -258,9 +289,11 @@ class RateControl:
             self.pred_coef[tkey] = (self.pred_coef[tkey] * 0.5
                                     + bits * qs / cplx)
             self.pred_count[tkey] = self.pred_count[tkey] * 0.5 + 1.0
-            self.buffer_fill = min(
-                self.buffer_fill + self.buffer_rate - bits,
-                self.buffer_size)
+            # CBR keeps the overflow visible so hrd_filler_bits() can
+            # convert it to filler; VBR arrival just stalls (clamp)
+            self.buffer_fill += self.buffer_rate - bits
+            if not self._cbr:
+                self.buffer_fill = min(self.buffer_fill, self.buffer_size)
             self.buffer_fill = max(self.buffer_fill, 0.0)
         if self.method == P.RC_CQP and not self.pass2:
             if self.p.rc.stat_write:

@@ -102,6 +102,8 @@ class SPS:
     nal_hrd_parameters: bool = False
     hrd_bitrate: int = 0             # bits/s
     hrd_cpb_size: int = 0            # bits
+    hrd_bitrate_unscaled: int = 0    # value a decoder reconstructs
+    hrd_cpb_size_unscaled: int = 0
     hrd_cbr: bool = False
     initial_cpb_removal_delay_length: int = 24
     cpb_removal_delay_length: int = 24
@@ -169,6 +171,10 @@ def sps_init(p: P.Params, sps_id: int = 0) -> SPS:
         sps.hrd_bitrate = p.rc.vbv_max_bitrate * 1000
         sps.hrd_cpb_size = p.rc.vbv_buffer_size * 1000
         sps.hrd_cbr = p.nal_hrd == P.NAL_HRD_CBR
+        # the values the decoder will reconstruct from the scaled fields
+        # (reference set.c keeps *_unscaled for hrd_fullness math)
+        sps.hrd_bitrate_unscaled = max(1, sps.hrd_bitrate >> 10) << 10
+        sps.hrd_cpb_size_unscaled = max(1, sps.hrd_cpb_size >> 7) << 7
     sps.pic_struct_present = p.pic_struct
     return sps
 
@@ -420,14 +426,16 @@ def sei_recovery_point(recovery_frame_cnt: int) -> bytes:
     return sei_write(SEI_RECOVERY_POINT, data)
 
 
-def sei_buffering_period(sps: SPS, initial_cpb_removal_delay: int) -> bytes:
+def sei_buffering_period(sps: SPS, initial_cpb_removal_delay: int,
+                         initial_cpb_removal_delay_offset: int = 0) -> bytes:
     """Buffering period SEI (spec D.1.1; reference set.c:654). Requires
     HRD parameters in the SPS VUI (written when VBV is configured)."""
     bw = BitWriter()
     bw.write_ue(sps.id)
     bw.write(sps.initial_cpb_removal_delay_length,
              initial_cpb_removal_delay)
-    bw.write(sps.initial_cpb_removal_delay_length, 0)   # offset
+    bw.write(sps.initial_cpb_removal_delay_length,
+             initial_cpb_removal_delay_offset)
     _sei_align(bw)
     return sei_write(SEI_BUFFERING_PERIOD, bw.getvalue())
 

@@ -99,7 +99,14 @@ class MP4Output:
 
     def set_param(self, p) -> None:
         self._w, self._h = p.width, p.height
-        self._timescale, self._delta = p.fps_num, p.fps_den
+        # VFR (x264.h i_timebase_num/den): seconds = pts * num/den, so
+        # the media timescale is tb_den and one pts unit is tb_num ticks.
+        # CFR default (timebase 0/0) degenerates to fps_den/fps_num with
+        # frame-index pts — the same math.
+        if getattr(p, "timebase_den", 0):
+            self._timescale, self._delta = p.timebase_den, p.timebase_num
+        else:
+            self._timescale, self._delta = p.fps_num, p.fps_den
 
     def write_headers(self, nals: list[NAL]) -> int:
         self._sps, self._pps, _ = split_headers(nals)
@@ -140,9 +147,12 @@ class MP4Output:
             struct.pack(">Hh", 0x18, -1),                  # depth, ctab
             _box(b"avcC", avcc))
         stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1), avc1)
-        # stts: run-length encode dts deltas
+        # stts: run-length encode dts deltas; the last sample's duration
+        # repeats the previous delta (the reference derives it from
+        # largest/second-largest pts, output/mp4.c close)
         deltas = [(self._dts[i + 1] - self._dts[i]) * self._delta
-                  for i in range(n - 1)] + [self._delta]
+                  for i in range(n - 1)]
+        deltas.append(deltas[-1] if deltas else self._delta)
         runs = []
         for d in deltas:
             if runs and runs[-1][1] == d:
@@ -267,8 +277,10 @@ class MKVOutput:
         self._sps = self._pps = None
         self._w = self._h = 0
         self._fps = (25, 1)
+        self._tb = (1, 25)
         self._wrote_tracks = False
         self._nframes = 0
+        self._last_ms = 0
         self._dur_pos = None
         f = self._f
         f.write(_el(0x1A45DFA3,                     # EBML header
@@ -281,6 +293,11 @@ class MKVOutput:
     def set_param(self, p) -> None:
         self._w, self._h = p.width, p.height
         self._fps = (p.fps_num, p.fps_den)
+        # pts->seconds factor: timebase when VFR, else frame/fps
+        if getattr(p, "timebase_den", 0):
+            self._tb = (p.timebase_num, p.timebase_den)
+        else:
+            self._tb = (p.fps_den, p.fps_num)
 
     def write_headers(self, nals: list[NAL]) -> int:
         self._sps, self._pps, _ = split_headers(nals)
@@ -306,7 +323,8 @@ class MKVOutput:
     def write_frame(self, nals: list[NAL], pts=None, dts=None) -> int:
         if pts is None:
             pts = self._nframes
-        ms = pts * 1000 * self._fps[1] // self._fps[0]
+        ms = pts * 1000 * self._tb[0] // self._tb[1]
+        self._last_ms = max(self._last_ms, ms)
         data = sample_bytes(nals)
         flags = 0x80 if is_keyframe(nals) else 0x00
         block = b"\x81" + struct.pack(">h", 0) + bytes([flags]) + data
@@ -319,7 +337,7 @@ class MKVOutput:
 
     def close(self, largest_pts=None, second_largest_pts=None) -> None:
         if self._dur_pos is not None and self._nframes:
-            dur_ms = self._nframes * 1000.0 * self._fps[1] / self._fps[0]
+            dur_ms = self._last_ms + 1000.0 * self._fps[1] / self._fps[0]
             end = self._f.tell()
             self._f.seek(self._dur_pos)
             self._f.write(struct.pack(">d", dur_ms))
@@ -340,6 +358,7 @@ class FLVOutput:
         self._sps = self._pps = None
         self._w = self._h = 0
         self._fps = (25, 1)
+        self._tb = (1, 25)
         self._nframes = 0
         self._dts_off = None             # shifts first dts to 0
         self._f.write(b"FLV\x01\x01\x00\x00\x00\x09" + b"\x00" * 4)
@@ -347,6 +366,10 @@ class FLVOutput:
     def set_param(self, p) -> None:
         self._w, self._h = p.width, p.height
         self._fps = (p.fps_num, p.fps_den)
+        if getattr(p, "timebase_den", 0):
+            self._tb = (p.timebase_num, p.timebase_den)
+        else:
+            self._tb = (p.fps_den, p.fps_num)
 
     def _tag(self, ttype: int, ts_ms: int, body: bytes) -> None:
         hdr = (bytes([ttype]) + len(body).to_bytes(3, "big")
@@ -389,9 +412,9 @@ class FLVOutput:
         if self._dts_off is None:
             self._dts_off = -dts
         dts += self._dts_off
-        num, den = self._fps
-        dts_ms = dts * 1000 * den // num
-        cts_ms = (pts - dts) * 1000 * den // num
+        tn, td = self._tb
+        dts_ms = dts * 1000 * tn // td
+        cts_ms = (pts - dts) * 1000 * tn // td
         key = is_keyframe(nals)
         data = sample_bytes(nals)
         body = (bytes([(1 if key else 2) << 4 | 7, 1])
