@@ -194,3 +194,40 @@ def test_two_pass_hits_target(tmp_path):
     assert os.path.getsize(stat) > 0
     kbps2 = run(False, True)
     assert 90 < kbps2 < 150, kbps2   # within ~25% of 120 kbps
+
+
+def test_zones_force_qp_and_factor():
+    """Zones override RC per frame range (reference ratecontrol.c:1219;
+    x264.h:300-310): force_qp pins the QP, bitrate_factor shifts it."""
+    from x264_tpu.encoder.ratecontrol import RateControl
+    from x264_tpu.params import Zone, param_parse
+    p = param_default_preset("medium")
+    p.width, p.height = 64, 48
+    p.rc.rc_method = 0
+    p.rc.qp_constant = 30
+    p.rc.zones = [Zone(start=2, end=3, force_qp=40),
+                  Zone(start=4, end=5, bitrate_factor=4.0)]
+    rc = RateControl(p)
+    TYPE_P = 3
+    qps = [rc.start(TYPE_P, frame_idx=i) for i in range(6)]
+    assert qps[0] == 30 and qps[1] == 30
+    assert qps[2] == 40 and qps[3] == 40
+    # 4x bitrate ~= -12 QP in the qscale model
+    assert qps[4] == 18 and qps[5] == 18, qps
+    # CRF path: zone factor lowers QP too
+    p2 = param_default_preset("medium")
+    p2.width, p2.height = 64, 48
+    p2.rc.rc_method = 1
+    p2.rc.rf_constant = 26
+    p2.rc.zones = [Zone(start=1, end=1, bitrate_factor=2.0)]
+    rc2 = RateControl(p2)
+    # no end() between starts: identical RC state, only the zone differs
+    q0 = rc2.start(TYPE_P, frame_idx=0)
+    q1 = rc2.start(TYPE_P, frame_idx=1)
+    q2 = rc2.start(TYPE_P, frame_idx=2)
+    assert q1 == q0 - 6 and q2 == q0, (q0, q1, q2)
+    # CLI string form parses into zones
+    p3 = param_default_preset("medium")
+    param_parse(p3, "zones", "0,9,q=35/10,19,b=2.0")
+    assert p3.rc.zones[0].force_qp == 35
+    assert abs(p3.rc.zones[1].bitrate_factor - 2.0) < 1e-9

@@ -259,7 +259,7 @@ class Encoder:
             self._dpb.clear()
         self.poc = 2 * (idx - self._idr_display_base)
 
-        qp = self._decide_qp(ftype, pic)
+        qp = self._decide_qp(ftype, pic, idx)
         pre_state = (self.frame_num, self.poc)
         if ftype == TYPE_B:
             from . import bframe
@@ -401,8 +401,8 @@ class Encoder:
             out.append(pl)
         return out
 
-    def _decide_qp(self, ftype: int, pic: Picture) -> int:
-        return self.rc.start(ftype, pic.forced_qp)
+    def _decide_qp(self, ftype: int, pic: Picture, idx: int = None) -> int:
+        return self.rc.start(ftype, pic.forced_qp, frame_idx=idx)
 
     # -------------------------------------------------------- frame encode
     def _dispatch_frame(self, planes, ftype, qp, pic, tree_off=None):

@@ -211,14 +211,31 @@ class RateControl:
         self.buffer_fill -= nbytes * 8
         return nbytes * 8
 
+    # ------------------------------------------------------------- zones
+    def _zone_for(self, frame_idx):
+        """Zone covering display frame `frame_idx` (reference
+        get_zone, ratecontrol.c:1219-1343); later zones win."""
+        if frame_idx is None:
+            return None
+        z_hit = None
+        for z in self.p.rc.zones:
+            if z.start <= frame_idx <= z.end:
+                z_hit = z
+        return z_hit
+
     # ------------------------------------------------------------- frame
-    def start(self, ftype: int, forced_qp: int = -1) -> int:
-        """QP for the upcoming frame (reference x264_ratecontrol_start)."""
+    def start(self, ftype: int, forced_qp: int = -1,
+              frame_idx: int = None) -> int:
+        """QP for the upcoming frame (reference x264_ratecontrol_start).
+        frame_idx is the display-order index (zone lookup)."""
         rc = self.p.rc
         idx = getattr(self, "started", 0)
         self.started = idx + 1
         if forced_qp >= 0:
             return forced_qp
+        zone = self._zone_for(frame_idx)
+        if zone is not None and zone.force_qp:
+            return int(min(max(zone.force_qp, rc.qp_min), rc.qp_max))
         if self.pass2:
             t, qp = self.pass2[min(idx, len(self.pass2) - 1)]
             # drift correction vs the pass-2 plan (reference vbv_pass2 /
@@ -241,6 +258,8 @@ class RateControl:
                 q = int(round(q - 6.0 * math.log2(rc.ip_factor)))
             elif ftype in (TYPE_B, TYPE_BREF):
                 q = int(round(q + 6.0 * math.log2(rc.pb_factor)))
+            if zone is not None:
+                q = int(round(q - 6.0 * math.log2(zone.bitrate_factor)))
             return int(min(max(q, rc.qp_min), rc.qp_max))
 
         blurred = (self.cplx_sum / self.cplx_count
@@ -265,6 +284,8 @@ class RateControl:
             qscale /= rc.ip_factor
         elif ftype in (TYPE_B, TYPE_BREF):
             qscale *= rc.pb_factor
+        if zone is not None:
+            qscale /= zone.bitrate_factor   # ratecontrol.c zone apply
 
         if self.vbv:
             qscale = self._clip_qscale_vbv(self._tkey(ftype), qscale)
