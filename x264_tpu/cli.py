@@ -45,7 +45,7 @@ def build_argparser() -> argparse.ArgumentParser:
 # CLI-level options (everything else falls through to param_parse)
 _CLI_VALUE_OPTS = {"-o", "--output", "--preset", "--tune", "--profile",
                    "--frames", "--seek", "--input-res", "--fps",
-                   "--dump-yuv", "--muxer", "--qpfile", "--vf",
+                   "--dump-yuv", "--muxer", "--demuxer", "--qpfile", "--vf",
                    "--video-filter", "--tcfile-in", "--tcfile-out",
                    "--timebase", "--log-level"}
 _CLI_FLAG_OPTS = {"--quiet", "--verbose", "-h", "--help"}
@@ -69,7 +69,8 @@ def main(argv=None) -> int:
     cli = {"preset": "medium", "tune": None, "profile": None, "frames": 0,
            "seek": 0, "input_res": None, "fps": None, "dump_yuv": None,
            "quiet": False, "verbose": False, "output": None, "input": None,
-           "muxer": None, "qpfile": None, "vf": None, "video_filter": None,
+           "muxer": None, "demuxer": None, "qpfile": None, "vf": None,
+           "video_filter": None,
            "tcfile_in": None, "tcfile_out": None, "timebase": None,
            "log_level": None}
     passthrough = []           # (name, value)
@@ -157,8 +158,20 @@ def main(argv=None) -> int:
             print(f"x264-tpu [error]: {e}", file=sys.stderr)
             return 2
 
-    # --- input ---
-    if known.input.endswith(".y4m"):
+    # --- input (reference select_input, x264.c:1228: probe by extension /
+    # --demuxer, lavf as the anything-else fallback) ---
+    demuxer = (cli.get("demuxer") or "auto").lower()
+    is_raw = known.input.endswith((".yuv", ".raw")) or known.input_res
+    if demuxer == "lavf" or (
+            demuxer == "auto" and not known.input.endswith(".y4m")
+            and not is_raw):
+        from .io.lavf import LavfReader
+        try:
+            reader = LavfReader(known.input)
+        except Exception as e:
+            print(f"x264-tpu [error]: lavf: {e}", file=sys.stderr)
+            return 2
+    elif demuxer == "y4m" or known.input.endswith(".y4m"):
         reader = Y4MReader(known.input)
     else:
         if not known.input_res:

@@ -207,7 +207,11 @@ class RawReader:
 
 
 def open_input(path: str, **kwargs):
-    """Probe by extension (reference: select_input x264.c:1228)."""
+    """Probe by extension (reference: select_input x264.c:1228); lavf is
+    the anything-else fallback like the reference CLI."""
     if str(path).endswith(".y4m"):
         return Y4MReader(path)
-    return RawReader(path, **kwargs)
+    if str(path).endswith((".yuv", ".raw")) or "width" in kwargs:
+        return RawReader(path, **kwargs)
+    from .lavf import LavfReader
+    return LavfReader(path)
