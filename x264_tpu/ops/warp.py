@@ -132,10 +132,19 @@ def mb_windows_auto(planes, off, *, bs: int, lo: int, hi: int, win: int,
     other program executed earlier in the process (runtime bug,
     root-caused round 3 — see docs/ROADMAP.md). The MXU one-hot form is
     bit-exact and immune. Wide luma windows keep the plain byte gather,
-    which has never triggered the fault."""
+    which has never triggered the fault.
+
+    The choice is resolved at LOWERING time per target platform
+    (jax.lax.platform_dependent): the CPU backend cannot execute bf16
+    dots (DotThunk UNIMPLEMENTED) and gathers are fine there, so CPU
+    lowerings — including the virtual-CPU-mesh dryrun under a TPU
+    default backend — always take the gather form."""
     if win <= 12:
-        return mb_windows(planes, off, bs=bs, lo=lo, hi=hi, win=win,
-                          pad=pad)
+        return jax.lax.platform_dependent(
+            cpu=lambda: mb_windows_ref(planes, off, bs=bs, win=win,
+                                       pad=pad),
+            default=lambda: mb_windows(planes, off, bs=bs, lo=lo, hi=hi,
+                                       win=win, pad=pad))
     return mb_windows_ref(planes, off, bs=bs, win=win, pad=pad)
 
 
