@@ -231,3 +231,37 @@ def test_zones_force_qp_and_factor():
     param_parse(p3, "zones", "0,9,q=35/10,19,b=2.0")
     assert p3.rc.zones[0].force_qp == 35
     assert abs(p3.rc.zones[1].bitrate_factor - 2.0) < 1e-9
+
+
+def test_vbv_lookahead_raises_qp_before_burst():
+    """VBV lookahead (slicetype.c:1225 analogue): a burst of expensive
+    planned frames must raise the current frame's QP beyond what the
+    single-frame clip would pick."""
+    from x264_tpu.encoder.ratecontrol import RateControl, qp2qscale
+    import x264_tpu.params as P
+
+    def mk():
+        p = P.param_default_preset("medium")
+        p.width, p.height = 320, 192
+        p.rc.rc_method = P.RC_ABR
+        p.rc.bitrate = 400
+        p.rc.vbv_max_bitrate = 400
+        p.rc.vbv_buffer_size = 200      # small buffer: lookahead matters
+        p.rc.qp_max = 51                # direct RC use: unvalidated params
+        p.fps_num, p.fps_den = 25, 1
+        return RateControl(p)
+
+    rc1 = mk()
+    rc2 = mk()
+    # teach predictors a stable relation: coef such that bits scale with
+    # cost/qscale
+    for rc in (rc1, rc2):
+        for _ in range(8):
+            rc.start(3)                  # TYPE_P
+            rc.end(3, 16000, 60000.0, 26)
+    base_cost = 60000.0
+    rc1.set_lookahead_costs([base_cost] * 8)
+    rc2.set_lookahead_costs([base_cost * 12] * 8)   # burst incoming
+    q_calm = rc1.start(3)
+    q_burst = rc2.start(3)
+    assert q_burst > q_calm, (q_calm, q_burst)

@@ -161,22 +161,116 @@ class RateControl:
             path = self.p.rc.stat_out
             with open(path, "w") as f:
                 f.write("".join(self.stat_lines))
+        self.mbtree_flush()
+
+    # --------------------------------------------------- MB-tree stats file
+    # Reference: binary fix8-packed per-MB qp offsets appended per frame
+    # (mbtree_fix8_pack/unpack mc.h:338-339, x264_macroblock_tree_read
+    # ratecontrol.c:541, cross-resolution rescale :417-540). File is
+    # "<stats>.mbtree": u32 frame count header-less stream of records
+    # [u32 idx, u16 mbh, u16 mbw, int16 fix8 offsets (mbh*mbw)].
+
+    def _mbtree_path(self, write: bool):
+        rc = self.p.rc
+        base = rc.stat_out if write else rc.stat_in
+        return (base + ".mbtree") if base else None
+
+    def mbtree_record(self, idx: int, tree_off) -> None:
+        """Pass-1: remember a frame's MB-tree qp offsets for the file."""
+        if not self.p.rc.stat_write or tree_off is None:
+            return
+        import numpy as _np
+        a = _np.asarray(tree_off, _np.float32)
+        self._mbtree_recs = getattr(self, "_mbtree_recs", [])
+        self._mbtree_recs.append((idx, a))
+
+    def mbtree_flush(self) -> None:
+        path = self._mbtree_path(True)
+        recs = getattr(self, "_mbtree_recs", None)
+        if not path or not recs:
+            return
+        import struct
+        import numpy as _np
+        with open(path, "wb") as f:
+            for idx, a in recs:
+                fix8 = _np.clip(_np.round(a * 256.0), -32768,
+                                32767).astype("<i2")
+                f.write(struct.pack("<IHH", idx, a.shape[0], a.shape[1]))
+                f.write(fix8.tobytes())
+
+    def mbtree_fetch(self, idx: int):
+        """Pass-2: stored offsets for frame idx, rescaled to the current
+        MB grid when resolutions differ (ratecontrol.c:417-540)."""
+        if not self.pass2:
+            return None
+        if not hasattr(self, "_mbtree_in"):
+            self._mbtree_in = {}
+            path = self._mbtree_path(False)
+            if path:
+                import os as _os
+                import struct
+                import numpy as _np
+                if _os.path.exists(path):
+                    with open(path, "rb") as f:
+                        while True:
+                            hdr = f.read(8)
+                            if len(hdr) < 8:
+                                break
+                            fi, mh, mw = struct.unpack("<IHH", hdr)
+                            raw = f.read(mh * mw * 2)
+                            a = _np.frombuffer(raw, "<i2").astype(
+                                _np.float32).reshape(mh, mw) / 256.0
+                            self._mbtree_in[fi] = a
+        a = self._mbtree_in.get(idx)
+        if a is None:
+            return None
+        mh = self.p.mb_height
+        mw = self.p.mb_width
+        if a.shape != (mh, mw):
+            import numpy as _np
+            ys = _np.clip((_np.arange(mh) * a.shape[0]) // max(mh, 1), 0,
+                          a.shape[0] - 1)
+            xs = _np.clip((_np.arange(mw) * a.shape[1]) // max(mw, 1), 0,
+                          a.shape[1] - 1)
+            a = a[ys][:, xs]
+        return a
 
     # ----------------------------------------------------------------- VBV
+    def set_lookahead_costs(self, costs) -> None:
+        """Planned lowres costs of the queued frames (display order) —
+        feeds the VBV lookahead simulation (reference vbv_lookahead,
+        slicetype.c:1225 + clip_qscale's planned loop,
+        ratecontrol.c:2279-2330)."""
+        self._la_costs = list(costs or [])
+
     def _clip_qscale_vbv(self, tkey: str, qscale: float) -> float:
         """Raise qscale until the predicted frame fits the buffer
-        (reference clip_qscale, ratecontrol.c:2244)."""
+        (reference clip_qscale, ratecontrol.c:2244), simulating buffer
+        evolution over the lookahead window's planned frames so a burst
+        of expensive upcoming frames raises QP before the underflow."""
         cplx = (self.cplx_sum / self.cplx_count
                 if self.cplx_count > 0 else float(self.base_cplx))
         coef = self.pred_coef[tkey] / self.pred_count[tkey]
+        coef_p = self.pred_coef["P"] / self.pred_count["P"]
+        la = getattr(self, "_la_costs", [])[:16]
         for _ in range(32):
             pred = coef * cplx / max(qscale, 1e-9)
             # keep at least 20% of the buffer after this frame when
             # possible (reference keeps space for subsequent frames)
             space = self.buffer_fill + self.buffer_rate \
                 - 0.2 * self.buffer_size
-            if pred <= max(space, self.buffer_rate * 0.5) \
-                    or qscale >= qp2qscale(self.p.rc.qp_max):
+            under = pred > max(space, self.buffer_rate * 0.5)
+            if not under and la:
+                # VBV lookahead: walk the planned window at this qscale
+                fill = self.buffer_fill + self.buffer_rate - pred
+                for c in la:
+                    fill = min(fill + self.buffer_rate,
+                               self.buffer_size)
+                    fill -= coef_p * max(c, 1.0) / max(qscale, 1e-9)
+                    if fill < 0.1 * self.buffer_size:
+                        under = True
+                        break
+            if not under or qscale >= qp2qscale(self.p.rc.qp_max):
                 break
             qscale *= 1.1
         return qscale
