@@ -164,5 +164,64 @@ def main():
     print(f"hpel_planes+pad:          {t(hp, 5):8.1f} ms")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--new" not in __import__("sys").argv:
     main()
+
+
+def main_new():
+    """Round-3 additions: seeded vs full ESA, Pallas vs XLA commit,
+    sliced-band vmap throughput. Run after main() or standalone."""
+    global SYNC
+    import x264_tpu.encoder.inter as inter
+    import x264_tpu.encoder.intra as intra
+    from x264_tpu.ops import mc
+    from x264_tpu.ops.tables import chroma_qp
+    if SYNC is None:
+        tiny = jax.jit(lambda x: x + 1)
+        yy = jnp.zeros((8, 128), jnp.float32)
+        np.asarray(tiny(yy))
+        t0 = time.time()
+        for _ in range(20):
+            np.asarray(tiny(yy))
+        SYNC = (time.time() - t0) / 20
+        print(f"sync roundtrip: {SYNC*1e3:.1f} ms")
+    rng = np.random.default_rng(0)
+    H, W = 1088, 1920
+    mbh, mbw = H // 16, W // 16
+    y = jnp.asarray(rng.integers(0, 256, (H, W)).astype(np.uint8))
+    u = jnp.asarray(rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8))
+    v = jnp.asarray(rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8))
+    ry = jnp.asarray(rng.integers(0, 256, (H, W)).astype(np.uint8))
+    y_pad = mc.pad_plane(ry)
+    hpel = mc.hpel_planes(y_pad)
+
+    full = jax.jit(lambda: inter.motion_search(y_pad, hpel, y, 5, 16))
+    print(f"motion_search ESA R=16:    {t(full, 3):8.1f} ms")
+    seeded = jax.jit(lambda: inter.motion_search_seeded(y_pad, y, 5, 16))
+    print(f"motion_search seeded R=16: {t(seeded, 3):8.1f} ms")
+    fullp = jax.jit(lambda: inter.motion_search(y_pad, hpel, y, 5, 16,
+                                                shapes=True))
+    print(f"ESA +partition shapes:     {t(fullp, 3):8.1f} ms")
+    seedp = jax.jit(lambda: inter.motion_search_seeded(y_pad, y, 5, 16,
+                                                       shapes=True))
+    print(f"seeded +partition shapes:  {t(seedp, 3):8.1f} ms")
+
+    qp_mb = jnp.full((mbh, mbw), 26, jnp.int32)
+    qpc_mb = jnp.asarray(chroma_qp(np.full((mbh, mbw), 26), 0), jnp.int32)
+    i16m, cm, _ = intra.decide_modes(y, u, v)
+
+    xla_commit = jax.jit(lambda: intra.commit_i16x16(
+        y, u, v, i16m, cm, qp_mb, qpc_mb, mbw=mbw, mbh=mbh))
+    print(f"commit scan (XLA):         {t(xla_commit, 3):8.1f} ms")
+    try:
+        from x264_tpu.ops.pallas.commit import commit_i16_pallas
+        pl_commit = jax.jit(lambda: commit_i16_pallas(
+            y, u, v, i16m, cm, qp_mb, qpc_mb, mbw=mbw, mbh=mbh))
+        print(f"commit scan (Pallas):      {t(pl_commit, 3):8.1f} ms")
+    except Exception as e:  # noqa: BLE001
+        print(f"commit scan (Pallas): FAILED {type(e).__name__}: "
+              f"{str(e)[:200]}")
+
+
+if __name__ == "__main__" and "--new" in __import__("sys").argv:
+    main_new()

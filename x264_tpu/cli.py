@@ -114,6 +114,8 @@ def main(argv=None) -> int:
             key = "output" if tok == "-o" else tok[2:].replace("-", "_")
             cli[key] = argv[i + 1]
             i += 1
+        elif tok == "--no-progress":
+            cli["no_progress"] = True
         elif tok.startswith("--"):
             name = tok[2:]
             value = None
@@ -322,12 +324,24 @@ def main(argv=None) -> int:
             dumper.write_frame([np.asarray(r) for r in pic_out.recon])
         if pic_out is not None:
             n += 1
-        if not known.quiet and n % 10 == 0:
+        if not known.quiet and not cli.get("no_progress") \
+                and n % 10 == 0:
             el = time.time() - t0
             fps_now = n / el if el > 0 else 0
             kbps = total_bytes * 8 * (p.fps_num / p.fps_den) / max(n, 1) / 1000
-            print(f"\r{n} frames, {fps_now:.2f} fps, {kbps:.2f} kb/s",
-                  end="", file=sys.stderr)
+            # progress ticker with %/ETA when the frame count is known
+            # (reference print_status, x264.c:1875)
+            total = known.frames or max(getattr(info, "num_frames", -1), 0)
+            if total and fps_now > 0:
+                pct = 100.0 * fed / total
+                eta = max(total - fed, 0) / fps_now
+                print(f"\r[{pct:5.1f}%] {n}/{total} frames, "
+                      f"{fps_now:.2f} fps, {kbps:.2f} kb/s, "
+                      f"eta {int(eta) // 60}:{int(eta) % 60:02d}",
+                      end="", file=sys.stderr)
+            else:
+                print(f"\r{n} frames, {fps_now:.2f} fps, {kbps:.2f} kb/s",
+                      end="", file=sys.stderr)
     # flush delayed frames (pipeline/lookahead)
     while enc.delayed_frames():
         nals, pic_out = enc.encode(None)
@@ -358,6 +372,29 @@ def main(argv=None) -> int:
                       f"Avg QP:{stats['qp_sum'][t] / c:5.2f} "
                       f"size:{stats['bytes_by_type'][t] // c}",
                       file=sys.stderr)
+        # MB-mode histogram (reference encoder_close, encoder.c:4247)
+        for t, mbs in sorted(stats.get("mb", {}).items()):
+            tot = max(mbs.get("total", 0), 1)
+            parts = "  ".join(
+                f"{k}:{100.0 * v / tot:5.1f}%"
+                for k, v in mbs.items() if k != "total")
+            print(f"x264-tpu [info]: mb {t}  {parts}", file=sys.stderr)
+        if stats.get("psnr_frames"):
+            npx = {0: p.width * p.height,
+                   1: p.width * p.height // 4, 2: p.width * p.height // 4}
+            import math
+            vals = []
+            for i in range(3):
+                mse = stats["ssd"][i] / (npx[i] * stats["psnr_frames"])
+                peak = (1 << p.bitdepth) - 1
+                vals.append(10 * math.log10(peak * peak / mse)
+                            if mse > 0 else 99.0)
+            print(f"x264-tpu [info]: PSNR Mean Y:{vals[0]:.3f} "
+                  f"U:{vals[1]:.3f} V:{vals[2]:.3f}", file=sys.stderr)
+        if stats.get("ssim_frames"):
+            print(f"x264-tpu [info]: SSIM Mean Y:"
+                  f"{stats['ssim_sum'] / stats['ssim_frames']:.7f}",
+                  file=sys.stderr)
     return 0
 
 
