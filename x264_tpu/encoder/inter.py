@@ -68,7 +68,7 @@ def _decimate_score(lv_z):
 
 
 def _tile_sad_map(diff_abs, mbh, mbw):
-    """[H,W] absolute差 -> per-MB SAD [mbh, mbw]."""
+    """[H,W] absolute diff -> per-MB SAD [mbh, mbw]."""
     return diff_abs.reshape(mbh, 16, mbw, 16).sum(axis=(1, 3))
 
 
@@ -83,60 +83,194 @@ def _satd16(pred, src):
     return jnp.sum(jnp.abs(t), axis=(1, 2, 3)) >> 1
 
 
-def motion_search(padded_ref, hpel, y_src, lam, me_range: int):
+def motion_search(padded_ref, hpel, y_src, lam, me_range: int,
+                  shapes: bool = False, pir_cap=None):
     """TPU-native motion search: exhaustive full-pel via shifted planes
     (no gathers — the dense-correlation form of ESA, reference me.c:618)
     followed by a windowed 7x7-qpel refinement with static offsets.
 
-    Returns mv [N, 2] in quarter-pel units."""
+    With shapes=True also tracks per-half best MVs for the P_16x8 /
+    P_8x16 partition shapes (reference mb_analyse_inter_p16x8/p8x16,
+    analyse.c:1255+) at near-zero extra cost: the 8x8 quarter-sums of
+    each offset's SAD map roll up into all three shapes.
+
+    Returns mv [mbh, mbw, 2] full-pel, or with shapes=True a dict
+    {"16x16": [mbh,mbw,2], "16x8": [mbh,mbw,2,2], "8x16": [mbh,mbw,2,2]}
+    (partition axis before the xy axis)."""
     H, W = y_src.shape
     mbh, mbw = H // 16, W // 16
-    n = mbh * mbw
     src16 = y_src.astype(jnp.int16)
-    tiles = _mb_tiles(y_src, 16).reshape(n, 16, 16)
     R = me_range
 
     # ---- stage 1: exhaustive full-pel search (ESA, reference me.c:618):
     # every offset in [-R, R]^2 evaluated as a shifted-plane SAD map in
-    # int16 (absdiff <= 255, 16-col partial sums <= 4080 — both fit), so
+    # int16 (absdiff <= 255, 8x8 partial sums <= 16320 — both fit), so
     # the fused shift+absdiff+reduce stays at 2 bytes/px of HBM traffic;
     # offsets processed in groups of 8 per scan step to amortize overhead
     offs = [(dx, dy) for dy in range(-R, R + 1) for dx in range(-R, R + 1)]
     while len(offs) % 8:
         offs.append(offs[-1])
     offsets = np.array(offs, np.int32).reshape(-1, 8, 2)
-    fine = np.array([(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
-                    np.int32)
 
     def esa_scan(offsets):
         def step(carry, off8):
-            best_cost, best_mv = carry
+            best = carry
             for k in range(8):
                 dx, dy = off8[k, 0], off8[k, 1]
                 shifted = jax.lax.dynamic_slice(
                     padded_ref, (mc.PAD + dy, mc.PAD + dx), (H, W)) \
                     .astype(jnp.int16)
-                ad = jnp.abs(shifted - src16).reshape(mbh, 16, mbw, 16)
-                sad = ad.sum(axis=3, dtype=jnp.int16) \
-                    .sum(axis=1, dtype=jnp.int32)
-                cost = sad + lam * (_mv_cost_bits(dx * 4)
-                                    + _mv_cost_bits(dy * 4))
-                better = cost < best_cost
-                best_cost = jnp.where(better, cost, best_cost)
-                new_mv = jnp.stack([jnp.broadcast_to(dx, sad.shape),
-                                    jnp.broadcast_to(dy, sad.shape)],
-                                   axis=-1)
-                best_mv = jnp.where(better[..., None], new_mv, best_mv)
-            return (best_cost, best_mv), None
+                ad = jnp.abs(shifted - src16) \
+                    .reshape(mbh, 2, 8, mbw, 2, 8)
+                quad = ad.sum(axis=5, dtype=jnp.int16) \
+                    .sum(axis=2, dtype=jnp.int32)     # [mbh,2,mbw,2]
+                mvcost = lam * (_mv_cost_bits(dx * 4)
+                                + _mv_cost_bits(dy * 4))
+                if pir_cap is not None:
+                    # Periodic-intra-refresh MV bound (reference
+                    # analyse.c:342-346): refreshed MBs must not
+                    # reference un-refreshed columns of the ref frame
+                    mvcost = mvcost + jnp.where(dx > pir_cap, 1 << 28, 0)
+                cand = {"16x16": quad.sum(axis=(1, 3)) + mvcost}
+                if shapes:
+                    # halves carry their own mv bits each
+                    cand["16x8"] = (quad.sum(axis=3).transpose(0, 2, 1)
+                                    + (mvcost[..., None]
+                                       if pir_cap is not None else mvcost))
+                    cand["8x16"] = quad.sum(axis=1) + (
+                        mvcost[..., None] if pir_cap is not None else mvcost)
+                new = {}
+                for key, cost in cand.items():
+                    bc, bm = best[key]
+                    better = cost < bc
+                    bc = jnp.where(better, cost, bc)
+                    new_mv = jnp.stack(
+                        [jnp.broadcast_to(dx, cost.shape),
+                         jnp.broadcast_to(dy, cost.shape)], axis=-1)
+                    bm = jnp.where(better[..., None], new_mv, bm)
+                    new[key] = (bc, bm)
+                best = new
+            return best, None
 
-        init = (jnp.full((mbh, mbw), 1 << 30, jnp.int32),
-                jnp.zeros((mbh, mbw, 2), jnp.int32))
-        (cost, mv), _ = jax.lax.scan(step, init, jnp.asarray(offsets))
-        return cost, mv
+        init = {"16x16": (jnp.full((mbh, mbw), 1 << 30, jnp.int32),
+                          jnp.zeros((mbh, mbw, 2), jnp.int32))}
+        if shapes:
+            for key in ("16x8", "8x16"):
+                init[key] = (jnp.full((mbh, mbw, 2), 1 << 30, jnp.int32),
+                             jnp.zeros((mbh, mbw, 2, 2), jnp.int32))
+        out, _ = jax.lax.scan(step, init, jnp.asarray(offsets))
+        return out
 
-    _, mv_c = esa_scan(offsets)
-    del fine
-    return mv_c                      # [mbh, mbw, 2] full-pel
+    best = esa_scan(offsets)
+    if not shapes:
+        return best["16x16"][1]          # [mbh, mbw, 2] full-pel
+    return {"16x16": best["16x16"][1], "16x8": best["16x8"][1],
+            "8x16": best["8x16"][1]}
+
+
+def motion_search_seeded(padded_ref, y_src, lam, me_range: int,
+                         shapes: bool = False, pir_cap=None,
+                         refine: int = 4):
+    """Hierarchical full-pel search: half-res exhaustive scan seeds a
+    +-refine full-res window refine per MB — the TPU reformulation of
+    the reference's HEX/UMH predictor-seeded ladders (me.c:344/422;
+    fixed-shape candidate grids per SURVEY §7.3.6). ~16x less HBM
+    traffic than full-res ESA at matched range.
+
+    Same return convention as motion_search."""
+    from ..ops.warp import mb_windows_ref
+    H, W = y_src.shape
+    mbh, mbw = H // 16, W // 16
+    n = mbh * mbw
+    R, M = me_range, refine
+    src16 = y_src.astype(jnp.int16)
+
+    # ---- stage 1: half-res exhaustive scan (one 8x8 lowres block/MB) --
+    def lowres(p):
+        p = p.astype(jnp.int16)
+        return (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2]
+                + p[1::2, 1::2] + 2) >> 2
+
+    lsrc = lowres(y_src)
+    lref_in = lowres(padded_ref[mc.PAD:mc.PAD + H, mc.PAD:mc.PAD + W])
+    Rl = (R + 1) // 2
+    lref = jnp.pad(lref_in, Rl + 1, mode="edge")
+    Hl, Wl = H // 2, W // 2
+    loffs = [(dx, dy) for dy in range(-Rl, Rl + 1)
+             for dx in range(-Rl, Rl + 1)]
+    while len(loffs) % 8:
+        loffs.append(loffs[-1])
+    loffsets = np.array(loffs, np.int32).reshape(-1, 8, 2)
+
+    def lstep(carry, off8):
+        bc, bm = carry
+        for k in range(8):
+            dx, dy = off8[k, 0], off8[k, 1]
+            sh = jax.lax.dynamic_slice(
+                lref, (Rl + 1 + dy, Rl + 1 + dx), (Hl, Wl)) \
+                .astype(jnp.int16)
+            ad = jnp.abs(sh - lsrc).reshape(mbh, 8, mbw, 8)
+            sad = ad.sum(axis=3, dtype=jnp.int16).sum(axis=1,
+                                                      dtype=jnp.int32)
+            cost = 4 * sad + lam * (_mv_cost_bits(dx * 8)
+                                    + _mv_cost_bits(dy * 8))
+            better = cost < bc
+            bc = jnp.where(better, cost, bc)
+            nm = jnp.stack([jnp.broadcast_to(dx, sad.shape),
+                            jnp.broadcast_to(dy, sad.shape)], axis=-1)
+            bm = jnp.where(better[..., None], nm, bm)
+        return (bc, bm), None
+
+    init = (jnp.full((mbh, mbw), 1 << 30, jnp.int32),
+            jnp.zeros((mbh, mbw, 2), jnp.int32))
+    (_, lmv), _ = jax.lax.scan(lstep, init, jnp.asarray(loffsets))
+
+    # ---- stage 2: full-res +-M refine around the 2x-upscaled seed ----
+    seed = jnp.clip(2 * lmv, -(R - M), R - M)          # [mbh,mbw,2]
+    WIN = 16 + 2 * M
+    win = mb_windows_ref(padded_ref[None], seed - M, bs=16, win=WIN,
+                         pad=mc.PAD)[:, :, 0].astype(jnp.int16)
+    tiles = _mb_tiles(y_src, 16).astype(jnp.int16)     # [mbh,mbw,16,16]
+
+    best = {"16x16": (jnp.full((mbh, mbw), 1 << 30, jnp.int32),
+                      jnp.zeros((mbh, mbw, 2), jnp.int32))}
+    if shapes:
+        for key in ("16x8", "8x16"):
+            best[key] = (jnp.full((mbh, mbw, 2), 1 << 30, jnp.int32),
+                         jnp.zeros((mbh, mbw, 2, 2), jnp.int32))
+    for dy in range(-M, M + 1):
+        for dx in range(-M, M + 1):
+            cand_mv = seed + jnp.asarray([dx, dy], jnp.int32)
+            ad = jnp.abs(win[:, :, M + dy:M + dy + 16,
+                             M + dx:M + dx + 16] - tiles) \
+                .reshape(mbh, mbw, 2, 8, 2, 8)
+            quad = ad.sum(axis=5, dtype=jnp.int16) \
+                .sum(axis=3, dtype=jnp.int32)          # [mbh,mbw,2,2]
+            mvcost = lam * (_mv_cost_bits(cand_mv[..., 0] * 4)
+                            + _mv_cost_bits(cand_mv[..., 1] * 4))
+            if pir_cap is not None:
+                mvcost = mvcost + jnp.where(cand_mv[..., 0] > pir_cap,
+                                            1 << 28, 0)
+            cand = {"16x16": quad.sum(axis=(2, 3)) + mvcost}
+            if shapes:
+                cand["16x8"] = quad.sum(axis=3) + mvcost[..., None]
+                cand["8x16"] = quad.sum(axis=2) + mvcost[..., None]
+            new = {}
+            for key, cost in cand.items():
+                bc, bm = best[key]
+                better = cost < bc
+                bc = jnp.where(better, cost, bc)
+                bm = jnp.where(better[..., None],
+                               jnp.broadcast_to(
+                                   cand_mv[:, :, None, :]
+                                   if cost.ndim == 3 else cand_mv,
+                                   bm.shape), bm)
+                new[key] = (bc, bm)
+            best = new
+    if not shapes:
+        return best["16x16"][1]
+    return {"16x16": best["16x16"][1], "16x8": best["16x8"][1],
+            "8x16": best["8x16"][1]}
 
 
 SUBPEL_MARG = 2      # window margin: covers qpel radius 3 interp taps
@@ -195,6 +329,79 @@ def subpel_refine_mc(hpel, y_src, mv_c, lam, me_range: int,
         best_q = jnp.where(better[:, None], mvq, best_q)
         best_pred = jnp.where(better[:, None, None], predq, best_pred)
     return best_q, best_pred, best_cost
+
+
+def subpel_refine_part(hpel, y_src, mv_c, lam, me_range: int,
+                       r0: int, ph: int, c0: int, pw: int,
+                       radius: int = 3):
+    """Qpel refinement + MC for one rectangular partition of every MB
+    (reference refine_subpel per-partition calls, me.c:865).
+
+    mv_c [mbh,mbw,2] full-pel MV of THIS partition; (r0,c0,ph,pw) its
+    pixel rectangle inside the MB. The hpel window is extracted at the
+    MB origin with the partition's own MV, then the partition subrange
+    is sliced out of it statically.
+
+    Returns (mvq [n,2], pred [n,ph,pw] int32, cost [n])."""
+    from ..ops.warp import mb_windows_auto
+    H, W = y_src.shape
+    mbh, mbw = H // 16, W // 16
+    n = mbh * mbw
+    tiles = _mb_tiles(y_src, 16).reshape(n, 16, 16)[:, r0:r0 + ph,
+                                                    c0:c0 + pw]
+    win = mb_windows_auto(hpel, mv_c - SUBPEL_MARG, bs=16,
+                          lo=-me_range - SUBPEL_MARG,
+                          hi=me_range - SUBPEL_MARG,
+                          win=SUBPEL_WIN, pad=mc.PAD)
+    win = win.reshape(n, 4, SUBPEL_WIN, SUBPEL_WIN).astype(jnp.int32)
+    mv_fp = mv_c.reshape(n, 2)
+    M = SUBPEL_MARG
+
+    best_cost = jnp.full((n,), 1 << 30, jnp.int32)
+    best_q = mv_fp * 4
+    best_pred = win[:, 0, M + r0:M + r0 + ph, M + c0:M + c0 + pw]
+    cands = [(0, 0)] + [(qdx, qdy)
+                        for qdy in range(-radius, radius + 1)
+                        for qdx in range(-radius, radius + 1)
+                        if (qdx, qdy) != (0, 0)]
+    for qdx, qdy in cands:
+        fx, fy = qdx & 3, qdy & 3
+        ix, iy = qdx >> 2, qdy >> 2
+        q = fy * 4 + fx
+        p0 = int(mc.HPEL_REF0[q])
+        p1 = int(mc.HPEL_REF1[q])
+        oy0 = iy + (1 if fy == 3 else 0)
+        ra = M + r0 + oy0
+        ca = M + c0 + ix
+        s0 = win[:, p0, ra:ra + ph, ca:ca + pw]
+        if q & 5:
+            ox1 = ix + (1 if fx == 3 else 0)
+            s1 = win[:, p1, M + r0 + iy:M + r0 + iy + ph,
+                     M + c0 + ox1:M + c0 + ox1 + pw]
+            predq = (s0 + s1 + 1) >> 1
+        else:
+            predq = s0
+        mvq = mv_fp * 4 + jnp.asarray([qdx, qdy], jnp.int32)[None, :]
+        cost = _satd_rect(predq, tiles) + lam * (
+            _mv_cost_bits(mvq[:, 0]) + _mv_cost_bits(mvq[:, 1]))
+        better = cost < best_cost
+        best_cost = jnp.where(better, cost, best_cost)
+        best_q = jnp.where(better[:, None], mvq, best_q)
+        best_pred = jnp.where(better[:, None, None], predq, best_pred)
+    return best_q, best_pred, best_cost
+
+
+def _satd_rect(pred, src):
+    """SATD of [N,h,w] rectangles (h, w multiples of 4)."""
+    N, h, w = pred.shape
+    d = pred - src.astype(jnp.int32)
+    dd = d.reshape(N, h // 4, 4, w // 4, 4).transpose(0, 1, 3, 2, 4) \
+        .reshape(N, (h // 4) * (w // 4), 4, 4)
+    hm = jnp.asarray(np.array([[1, 1, 1, 1], [1, -1, 1, -1],
+                               [1, 1, -1, -1], [1, -1, -1, 1]], np.int32))
+    t = jnp.einsum("ij,...jk,lk->...il", hm, dd, hm,
+                   preferred_element_type=jnp.int32)
+    return jnp.sum(jnp.abs(t), axis=(1, 2, 3)) >> 1
 
 
 def chroma_mc_warp(cpads, mvq, mbh: int, mbw: int, me_range: int,
@@ -288,14 +495,114 @@ def mv_predictors(mv_field, inter_mask=None):
     return mvp, pskip
 
 
+def mv_predictors_part(mv4, inter4, part_mode):
+    """Partition-aware MV predictors at 4x4 granularity (spec 8.4.1.3
+    incl. the 16x8/8x16 directional rules; reference mvpred.c:30).
+
+    mv4 [mbh*4, mbw*4, 2] — final MVs replicated into each partition's
+    4x4 blocks (valid because a partition's final MV is its search MV,
+    independent of prediction). inter4 — inter(ref0) mask, same grid.
+    part_mode [mbh, mbw]: 0=16x16, 1=16x8, 2=8x16.
+
+    Returns (mvp [mbh,mbw,2,2] per partition, pskip [mbh,mbw,2])."""
+    H4, W4 = inter4.shape
+    mbh, mbw = H4 // 4, W4 // 4
+    mv_p = jnp.pad(mv4, ((1, 0), (1, 1), (0, 0)))
+    use_p = jnp.pad(inter4, ((1, 0), (1, 1)))
+    col = jnp.arange(mbw)[None, :]
+    row = jnp.arange(mbh)[:, None]
+
+    def pick(dy, dx):
+        """(mv, use, avail) of the 4x4 block at MB-origin + (dy, dx).
+        avail = in-frame AND decoded before the current partition
+        (rows above, columns left, or inside the current MB)."""
+        mv = mv_p[1 + dy::4, :, :][:mbh][:, 1 + dx::4, :][:, :mbw]
+        use = use_p[1 + dy::4, :][:mbh][:, 1 + dx::4][:, :mbw]
+        in_frame = jnp.ones((mbh, mbw), bool)
+        if dy < 0:
+            in_frame = in_frame & (row > 0)
+        if dx < 0:
+            in_frame = in_frame & (col > 0)
+        if dx >= 4:
+            in_frame = in_frame & (col < mbw - 1)
+        decoded = (dy < 0) or (dx < 0) or (0 <= dx < 4 and 0 <= dy < 4)
+        avail = in_frame & decoded
+        return (jnp.where(avail[..., None], mv, 0),
+                avail & use, avail)
+
+    def median_mvp(a, b, c):
+        """8.4.1.3.1: median with single-match and only-A rules.
+        a/b/c = (mv, use, avail)."""
+        (mva, ua, aa), (mvb, ub, ab), (mvc, uc, ac) = a, b, c
+        ca = jnp.where(ua[..., None], mva, 0)
+        cb = jnp.where(ub[..., None], mvb, 0)
+        cc = jnp.where(uc[..., None], mvc, 0)
+        med = jnp.clip(ca, jnp.minimum(cb, cc), jnp.maximum(cb, cc))
+        nm = (ua.astype(jnp.int32) + ub.astype(jnp.int32)
+              + uc.astype(jnp.int32))[..., None]
+        only = jnp.where(ua[..., None], ca,
+                         jnp.where(ub[..., None], cb, cc))
+        mvp = jnp.where(nm == 1, only, med)
+        return jnp.where(((~ab) & (~ac) & aa)[..., None], ca, mvp)
+
+    def sub_c(c, d):
+        """C unavailable -> D (8.4.1.3.2)."""
+        (mvc, uc, ac), (mvd, ud, ad) = c, d
+        mv = jnp.where(ac[..., None], mvc, mvd)
+        return (mv, jnp.where(ac, uc, ud), ac | ad)
+
+    # --- 16x16 / part0 common neighbors ---
+    A0 = pick(0, -1)
+    B0 = pick(-1, 0)
+    C0 = sub_c(pick(-1, 4), pick(-1, -1))
+    mvp16 = median_mvp(A0, B0, C0)
+
+    # --- 16x8 ---
+    t_mvp = jnp.where(B0[1][..., None], B0[0], mvp16)        # top: B rule
+    A1 = pick(2, -1)
+    B1 = pick(1, 0)
+    C1 = sub_c(pick(1, 4), pick(1, -1))
+    bot_med = median_mvp(A1, B1, C1)
+    b_mvp = jnp.where(A1[1][..., None], A1[0], bot_med)      # bottom: A
+
+    # --- 8x16 ---
+    C0n = sub_c(pick(-1, 2), pick(-1, -1))
+    l_med = median_mvp(A0, B0, C0n)
+    l_mvp = jnp.where(A0[1][..., None], A0[0], l_med)        # left: A
+    A2 = pick(0, 1)
+    B2 = pick(-1, 2)
+    C2 = sub_c(pick(-1, 4), pick(-1, 1))
+    r_med = median_mvp(A2, B2, C2)
+    r_mvp = jnp.where(C2[1][..., None], C2[0], r_med)        # right: C
+
+    pm = part_mode[..., None]
+    mvp0 = jnp.where(pm == 0, mvp16,
+                     jnp.where(pm == 1, t_mvp, l_mvp))
+    mvp1 = jnp.where(pm == 1, b_mvp,
+                     jnp.where(pm == 2, r_mvp, mvp16))
+    mvp = jnp.stack([mvp0, mvp1], axis=2)                    # [mbh,mbw,2,2]
+
+    # --- P-Skip (8.4.1.1): A/B are the MB's own left/top 4x4 blocks ---
+    azero = A0[1][..., None] & jnp.all(A0[0] == 0, axis=-1, keepdims=True)
+    bzero = B0[1][..., None] & jnp.all(B0[0] == 0, axis=-1, keepdims=True)
+    pskip = jnp.where((~A0[2][..., None]) | (~B0[2][..., None]), 0,
+                      jnp.where(azero | bzero, 0, mvp16))
+    return mvp, pskip
+
+
 @partial(jax.jit, static_argnames=("mbw", "mbh", "cap_words", "me_range",
                                    "deblock", "a_off", "b_off", "cqpo",
-                                   "decimate", "entropy", "intra_in_p"))
+                                   "decimate", "entropy", "intra_in_p",
+                                   "partitions", "pir", "me_seeded",
+                                   "nr"))
 def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
                          qp_mb, qpc_mb, slice_qp, lam,
+                         pir_cap=None, pir_band=None,
                          *, mbw, mbh, cap_words, me_range, deblock=False,
                          a_off=0, b_off=0, cqpo=0, decimate=True,
-                         entropy=True, intra_in_p=True):
+                         entropy=True, intra_in_p=True, partitions=False,
+                         pir=False, me_seeded=False, nr=False,
+                         nr_offset=None):
     """Fused P-frame device pass: ME -> intra-vs-inter decision ->
     MVP/skip -> MC -> transform (+ mixed wavefront commit when any MB
     goes intra) -> entropy -> packed payload. Returns (words, total_bits,
@@ -314,11 +621,64 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
     from .intra import _commit_scan, decide_modes_full
     H, W = y.shape
     n = mbw * mbh
-    mv_c = motion_search(ref_y_pad, ref_hpel, y, lam, me_range)
+    if me_seeded:
+        mvs = motion_search_seeded(ref_y_pad, y, lam, me_range,
+                                   shapes=partitions,
+                                   pir_cap=pir_cap if pir else None)
+    else:
+        mvs = motion_search(ref_y_pad, ref_hpel, y, lam, me_range,
+                            shapes=partitions,
+                            pir_cap=pir_cap if pir else None)
+    mv_c = mvs["16x16"] if partitions else mvs
     mvq, pred_y, inter_cost = subpel_refine_mc(ref_hpel, y, mv_c, lam,
                                                me_range)
-    satd_cost = jnp.sum(inter_cost)
     mv_field = mvq.reshape(mbh, mbw, 2)
+
+    if partitions:
+        # --- P_16x8 / P_8x16 candidates (analyse.c:1255+): each half
+        # gets its own qpel refinement + MC around its full-pel winner ---
+        q_t, p_t, c_t = subpel_refine_part(
+            ref_hpel, y, mvs["16x8"][:, :, 0], lam, me_range, 0, 8, 0, 16)
+        q_b, p_b, c_b = subpel_refine_part(
+            ref_hpel, y, mvs["16x8"][:, :, 1], lam, me_range, 8, 8, 0, 16)
+        q_l, p_l, c_l = subpel_refine_part(
+            ref_hpel, y, mvs["8x16"][:, :, 0], lam, me_range, 0, 16, 0, 8)
+        q_r, p_r, c_r = subpel_refine_part(
+            ref_hpel, y, mvs["8x16"][:, :, 1], lam, me_range, 0, 16, 8, 8)
+        # mb_type bit bias: ue(1)/ue(2) = 3 bits vs ue(0) = 1
+        cost_168 = c_t + c_b + lam * 2
+        cost_816 = c_l + c_r + lam * 2
+        part_mode = jnp.argmin(
+            jnp.stack([inter_cost, cost_168, cost_816]), axis=0) \
+            .astype(jnp.int32)                                    # [n]
+        inter_cost = jnp.minimum(inter_cost,
+                                 jnp.minimum(cost_168, cost_816))
+        pm3 = part_mode[:, None, None]
+        pred_y = jnp.where(
+            pm3 == 0, pred_y,
+            jnp.where(pm3 == 1,
+                      jnp.concatenate([p_t, p_b], axis=1),
+                      jnp.concatenate([p_l, p_r], axis=2)))
+        # per-partition final qpel MVs [n, part, 2]
+        mv_p0 = jnp.where(pm3[:, :, 0] == 0, mvq,
+                          jnp.where(pm3[:, :, 0] == 1, q_t, q_l))
+        mv_p1 = jnp.where(pm3[:, :, 0] == 0, mvq,
+                          jnp.where(pm3[:, :, 0] == 1, q_b, q_r))
+        part_grid = part_mode.reshape(mbh, mbw)
+        # 4x4-granular MV field (partitions are 8px-aligned): which
+        # 4x4 cells belong to partition 1
+        r4 = jnp.arange(4)
+        use_p1 = jnp.where(
+            (part_grid == 1)[..., None, None], r4[None, None, :, None] >= 2,
+            jnp.where((part_grid == 2)[..., None, None],
+                      r4[None, None, None, :] >= 2, False))  # [mbh,mbw,4,4]
+        mv4 = jnp.where(
+            use_p1[..., None],
+            mv_p1.reshape(mbh, mbw, 1, 1, 2),
+            mv_p0.reshape(mbh, mbw, 1, 1, 2))       # [mbh,mbw,4,4,2]
+        mv4_grid = mv4.transpose(0, 2, 1, 3, 4).reshape(mbh * 4,
+                                                        mbw * 4, 2)
+    satd_cost = jnp.sum(inter_cost)
 
     # --- intra candidate (mode decision from source neighbors) ---
     if intra_in_p:
@@ -330,10 +690,27 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
         i16_mode = jnp.zeros((mbh, mbw), jnp.int32)
         chroma_mode = jnp.zeros((mbh, mbw), jnp.int32)
         is_intra = jnp.zeros((mbh, mbw), bool)
+    if pir:
+        # periodic intra refresh: force the sweep column band intra
+        # (reference analyse.c:461-466 b_force_intra)
+        assert intra_in_p, "PIR requires the intra-in-P candidate"
+        is_intra = is_intra | pir_band
     is_intra_f = is_intra.reshape(-1)
 
-    mvp, pskip = mv_predictors(mv_field, ~is_intra)
-    mvd = (mv_field - mvp).reshape(n, 2)
+    if partitions:
+        inter4 = jnp.repeat(jnp.repeat(~is_intra, 4, axis=0), 4, axis=1)
+        mv4_grid = jnp.where(inter4[..., None], mv4_grid, 0)
+        mvp_pp, pskip = mv_predictors_part(mv4_grid, inter4, part_grid)
+        mvd = (mv_p0.reshape(mbh, mbw, 2) - mvp_pp[:, :, 0]).reshape(n, 2)
+        mvd2 = (mv_p1.reshape(mbh, mbw, 2)
+                - mvp_pp[:, :, 1]).reshape(n, 2)
+        mv_field = mv_p0.reshape(mbh, mbw, 2)   # part0 == MB MV for 16x16
+    else:
+        mvp, pskip = mv_predictors(mv_field, ~is_intra)
+        mvd = (mv_field - mvp).reshape(n, 2)
+        mvd2 = jnp.zeros((n, 2), jnp.int32)
+        part_mode = jnp.zeros((n,), jnp.int32)
+        mv4_grid = None
 
     # --- transform (batched; pred_y came fused out of the subpel stage) ---
     src_y = _mb_tiles(y, 16).reshape(n, 16, 16)
@@ -341,13 +718,31 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
     res = src_y.astype(jnp.int32) - pred_y
     blocks = _luma_blocks(res)
     w = dct.dct4x4(blocks)
+    nr_sums = None
+    if nr:
+        # noise reduction before quant, inter luma only (reference
+        # macroblock.c:164 b_noise_reduction path)
+        w, nr_sums = quant.denoise_dct(w, nr_offset)
     lv = quant.quant4x4(w, qp[:, None], intra=False)
     dq = quant.dequant4x4(lv, qp[:, None])
     recon_y_mb = jnp.clip(pred_y + _luma_merge(dct.idct4x4(dq)), 0, 255)
 
     # --- chroma ---
     qpc = qpc_mb.reshape(-1)
-    pred_c_all = chroma_mc_warp(ref_cuv_pad, mvq, mbh, mbw, me_range)
+    if partitions:
+        # two window extractions (one per partition MV); the partition's
+        # sub-rectangle is a per-pixel select since chroma interpolation
+        # is pointwise within each warped window (spec 8.4.2.2.2)
+        pc0 = chroma_mc_warp(ref_cuv_pad, mv_p0, mbh, mbw, me_range)
+        pc1 = chroma_mc_warp(ref_cuv_pad, mv_p1, mbh, mbw, me_range)
+        r8 = jnp.arange(8)
+        pmf = part_mode[:, None, None]
+        use1c = jnp.where(pmf == 1, r8[None, :, None] >= 4,
+                          jnp.where(pmf == 2, r8[None, None, :] >= 4,
+                                    False))                  # [n,8,8]
+        pred_c_all = jnp.where(use1c[:, None], pc1, pc0)
+    else:
+        pred_c_all = chroma_mc_warp(ref_cuv_pad, mvq, mbh, mbw, me_range)
     out_c = []
     for ci, src_pl in enumerate((u, v)):
         pred_c = pred_c_all[:, ci]
@@ -454,6 +849,8 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
     cbp_chroma = jnp.where(any_cac, 2, jnp.where(any_cdc, 1, 0))
     mv_is_pskip = jnp.all(mv_field.reshape(n, 2)
                           == pskip.reshape(n, 2), axis=1)
+    if partitions:
+        mv_is_pskip = mv_is_pskip & (part_mode == 0)
     skip = (cbp_luma == 0) & (cbp_chroma == 0) & mv_is_pskip & ~is_intra_f
 
     cdc_blk = jnp.stack([udc.reshape(n, 2, 2), vdc.reshape(n, 2, 2)],
@@ -466,7 +863,8 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
             lv.reshape(n, 16, 4, 4), cdc_blk, cac_blk,
             mbw=mbw, mbh=mbh, cap_words=cap_words,
             is_intra=is_intra_f, i16_mode=i16_mode.reshape(-1),
-            chroma_mode=chroma_mode.reshape(-1), luma_dc=dc_blk)
+            chroma_mode=chroma_mode.reshape(-1), luma_dc=dc_blk,
+            part_mode=part_mode, mvd2=mvd2)
     else:
         # decoder-carried QP: MBs that parse mb_qp_delta update QP_prev —
         # inter MBs with cbp>0, and every I16 MB (dqp always coded)
@@ -490,6 +888,7 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
             "i16_mode": i16_mode.reshape(-1),
             "chroma_mode": chroma_mode.reshape(-1),
             "luma_dc_z": dc_blk.reshape(n, 16)[:, zig],
+            "part_mode": part_mode, "mvd2": mvd2,
         }
         words, total_bits = decisions, None
     if deblock:
@@ -497,27 +896,37 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
         nnz4 = nnz_l.reshape(mbh, mbw, 4, 4).transpose(0, 2, 1, 3) \
             .reshape(mbh * 4, mbw * 4).astype(jnp.int32)
         bs_v, bs_h = compute_strengths(
-            is_intra, nnz4, mv_field,
+            is_intra, nnz4,
+            mv4_grid if partitions else mv_field,
             mbw=mbw, mbh=mbh)
         recon_y, recon_u, recon_v = deblock_frame(
             recon_y, recon_u, recon_v, bs_v, bs_h,
             eff_qp.reshape(mbh, mbw), mbw=mbw, mbh=mbh,
             a_off=a_off, b_off=b_off, chroma_qp_offset=cqpo)
-    stats = {"skip": jnp.sum(skip), "satd": satd_cost,
+    if mv4_grid is None:
+        mv4_grid = jnp.repeat(jnp.repeat(mv_field, 4, axis=0), 4, axis=1)
+    stats = {"nr_sums": nr_sums, "skip": jnp.sum(skip),
+             "satd": satd_cost,
              "intra": jnp.sum(is_intra_f),
+             "p16x8": jnp.sum((part_mode == 1) & ~is_intra_f),
+             "p8x16": jnp.sum((part_mode == 2) & ~is_intra_f),
              # colocated fields for B spatial direct (mvpred.c:290):
-             # the L1 anchor's per-MB MV + inter(ref0) mask
-             "mvf": mv_field, "inter_mask": ~is_intra}
+             # per-MB MV (part 0), the 4x4-granular field (partitioned
+             # colocated MBs drive per-quadrant colZero), inter(ref0) mask
+             "mvf": mv_field, "mvf4": mv4_grid, "inter_mask": ~is_intra}
     return words, total_bits, (recon_y, recon_u, recon_v), stats
 
 
-def cabac_finalize_pframe(enc, decisions, qp_mb, slice_qp, sh):
+def cabac_finalize_pframe(enc, decisions, qp_mb, slice_qp, sh,
+                          mbw=None, mbh=None):
     """Host tail of a CABAC P frame: transfer decision/level tensors and
-    run the C++ writer (native/cabac.cpp)."""
+    run the C++ writer (native/cabac.cpp). mbw/mbh override the frame
+    dims for multi-slice bands (each band is its own CABAC slice)."""
     from ..entropy.cabac_host import encode_slice_cabac
     from ..entropy.cavlc import LUMA4x4_RASTER
     from .intra import finalize_slice_cabac
-    mbw, mbh = enc.mb_w, enc.mb_h
+    mbw = mbw or enc.mb_w
+    mbh = mbh or enc.mb_h
     n = mbw * mbh
     d = {k: np.asarray(val) for k, val in decisions.items()}
     luma = d["luma_z"].astype(np.int16)[:, LUMA4x4_RASTER]  # z-scan order
@@ -529,15 +938,39 @@ def cabac_finalize_pframe(enc, decisions, qp_mb, slice_qp, sh):
         d["mvd"].astype(np.int16),
         d["luma_dc_z"].astype(np.int16), luma,
         d["cdc"].astype(np.int16), d["cac_z"].reshape(n, 8, 16),
-        model=0)
+        model=0, mvd1=d["mvd2"].astype(np.int16),
+        part_mode=d["part_mode"].astype(np.uint8))
     sh.cabac_init_idc = 0
     return finalize_slice_cabac(enc, payload, sh, nal_mod.NAL_SLICE,
                                 nal_mod.NAL_PRIORITY_HIGH)
 
 
-def dispatch_pframe(enc, planes, ftype, qp, ref_tag=None, tree_off=None):
+def apply_ref_list_mod(enc, ref, sh):
+    """Emit ref_pic_list_modification_l0 when the chosen reference is not
+    the decoder's default list0[0] (= the most recent decoded reference)
+    — the conformant re-reference path after
+    x264_encoder_invalidate_reference (reference encoder.c:3485-3583
+    reference_build_list + the slice-header modification)."""
+    last_fn = getattr(enc, "_last_ref_fn", None)
+    if last_fn is None or ref.get("frame_num") == last_fn:
+        return
+    max_fn = 1 << enc.sps.log2_max_frame_num
+    diff = (enc.frame_num - ref["frame_num"]) % max_fn
+    if diff <= 0:
+        return
+    # op 0: subtract abs_diff_pic_num (= diff) from picNumPred
+    sh.ref_pic_list_mod_l0 = [(0, diff - 1)]
+
+
+def dispatch_pframe(enc, planes, ftype, qp, ref_tag=None, tree_off=None,
+                    pir=None):
     """Device dispatch of one P frame.
-    Returns (finalize_fn, retry_fn, recon_dev, ref_tag)."""
+    Returns (finalize_fn, retry_fn, recon_dev, ref_tag).
+
+    pir: optional (start_col, end_col, ref_end_col|None) periodic-intra-
+    refresh geometry (reference encoder.c:3626-3660): [start, end] is this
+    frame's forced-intra column band; MBs left of start may not reference
+    ref columns at or beyond ref_end_col (analyse.c:342-346)."""
     from .intra import finalize_slice
     if not enc._dpb:
         raise RuntimeError("P frame without reference")
@@ -552,28 +985,59 @@ def dispatch_pframe(enc, planes, ftype, qp, ref_tag=None, tree_off=None):
     # merange 16/24 are honored (VERDICT r1 item 9).
     me_range = min(enc.p.analyse.me_range, mc.PAD - 8)
     sh = enc._slice_header(ftype, qp)
+    apply_ref_list_mod(enc, ref, sh)
     # frame_num/poc transitions are owned by the orchestrator (encoder.py)
     materialize = (enc.p.analyse.psnr or enc.p.analyse.ssim
                    or enc.p.dump_yuv or enc.p.full_recon)
 
     def attempt(qp_try):
         from .frame_encode import build_qp_maps
+        from ..params import ANALYSE_PSUB16x16
         qp_mb, qpc_mb = build_qp_maps(enc, y, u, v, qp_try, tree_off)
         # SAD/SATD-domain lambda (reference x264_lambda_tab scale)
         lam = max(1, int(round(2.0 ** ((qp_try - 12) / 6.0))))
         cap_bpm = cap_bytes_per_mb(qp_try)
         cap_words = (mbw * mbh * cap_bpm) // 4
+        nr = int(getattr(enc.p.analyse, "noise_reduction", 0) or 0)
+        if nr and not hasattr(enc, "_nr_state"):
+            enc._nr_state = (np.zeros((4, 4), np.int64), 0,
+                             np.zeros((4, 4), np.int32))
+        pir_cap = pir_band = None
+        if pir is not None:
+            start_col, end_col, ref_end = pir
+            cols = np.arange(mbw)
+            band = (cols >= start_col) & (cols <= end_col)
+            pir_band = jnp.asarray(np.broadcast_to(band, (mbh, mbw)))
+            # max full-pel dx for already-refreshed MBs: stay left of the
+            # ref's refreshed boundary with hpel(3px)+subpel(1px)+round
+            # margin; unconstrained elsewhere / after an I-frame ref
+            cap = np.full((mbw,), 1 << 20, np.int32)
+            if ref_end is not None:
+                lim = ref_end * 16 - cols * 16 - 16 - 5
+                # max_mv > 0 guard as in the reference: no cap when the
+                # refresh bar is at/left of the MB itself. A fully-masked
+                # MB (lim < -R) falls back to the forced-intra candidate.
+                guard = (ref_end * 16 - cols * 16 - 3) > 0
+                cap = np.where((cols < start_col) & guard, lim, cap)
+            pir_cap = jnp.asarray(
+                np.broadcast_to(cap, (mbh, mbw)).astype(np.int32))
         words, total_bits, recon, stats = encode_pframe_device(
             y, u, v, ref["y_pad"], ref["hpel"], ref["cuv_pad"],
             qp_mb, qpc_mb, qp_try, lam,
+            pir_cap=pir_cap, pir_band=pir_band, pir=pir is not None,
+            nr=nr > 0,
+            nr_offset=(jnp.asarray(enc._nr_state[2]) if nr else None),
+            me_seeded=enc.p.analyse.me_method <= 2,   # dia/hex/umh ladder
             mbw=mbw, mbh=mbh, cap_words=cap_words, me_range=me_range,
             decimate=enc.p.analyse.dct_decimate,
             deblock=enc.p.deblocking_filter,
             a_off=enc.p.deblocking_filter_alphac0 * 2,
             b_off=enc.p.deblocking_filter_beta * 2,
             cqpo=enc.p.analyse.chroma_qp_offset,
-            entropy=not enc.p.cabac)
+            entropy=not enc.p.cabac,
+            partitions=bool(enc.p.analyse.inter & ANALYSE_PSUB16x16))
         enc._pending_ref_fields = {"mvf": stats["mvf"],
+                                   "mvf4": stats["mvf4"],
                                    "inter_mask": stats["inter_mask"]}
 
         def finalize():
@@ -588,6 +1052,23 @@ def dispatch_pframe(enc, planes, ftype, qp, ref_tag=None, tree_off=None):
                 else list(recon)
             enc.rc.end(ftype, sum(len(n.payload) * 8 for n in nals),
                        float(stats["satd"]), qp_try)
+            if nr and stats.get("nr_sums") is not None:
+                # offset learning (x264_noise_reduction_update)
+                s, c, _ = enc._nr_state
+                off, s2, c2 = quant.nr_update(
+                    nr, np.asarray(stats["nr_sums"]),
+                    16 * mbw * mbh, s, c)
+                enc._nr_state = (s2, c2, off)
+            # MB-mode histogram (reference encoder_close stats block,
+            # encoder.c:4247: mb I/P type percentages)
+            mbs = enc.stats.setdefault("mb", {}).setdefault(
+                "P", {"total": 0, "skip": 0, "intra": 0, "16x8": 0,
+                      "8x16": 0})
+            mbs["total"] += mbw * mbh
+            mbs["skip"] += int(stats["skip"])
+            mbs["intra"] += int(stats["intra"])
+            mbs["16x8"] += int(stats["p16x8"])
+            mbs["8x16"] += int(stats["p8x16"])
             return nals, rec
 
         return finalize, list(recon)

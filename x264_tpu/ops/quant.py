@@ -186,3 +186,39 @@ def dequant8x8_np(levels, qp):
     if shift >= 0:
         return ((lv * mf16) << shift).astype(np.int32)
     return ((lv * mf16 + (1 << (-shift - 1))) >> (-shift)).astype(np.int32)
+
+
+@jax.jit
+def denoise_dct(w, offset):
+    """Noise reduction (reference denoise_dct, common/quant.c:304):
+    shrink each |coefficient| by a learned per-position offset before
+    quantization, and return the per-position |coef| sums that feed the
+    offset-learning accumulator.
+
+    w [..., 4, 4] int32 transform coefficients; offset [4, 4] int32.
+    Returns (denoised coefficients, |w| position sums [4, 4])."""
+    aw = jnp.abs(w.astype(jnp.int32))
+    sums = jnp.sum(aw, axis=tuple(range(w.ndim - 2)), dtype=jnp.int64)
+    lvl = jnp.maximum(aw - offset.astype(jnp.int32), 0)
+    return jnp.sign(w) * lvl, sums
+
+
+def nr_update(nr_strength: int, sums, count: int, prev_sum, prev_count):
+    """Host-side offset learning (reference x264_noise_reduction_update,
+    encoder/macroblock.c:1146): exponential-ish accumulator with halving
+    past 2^18 samples; offset = nr*count / (sum * weight/256 + 1), DC
+    never denoised. The position weight approximates the reference's
+    dct4_weight2 table from the dequant class values (derived, not
+    transcribed). Returns (offset [4,4] int32, new_sum, new_count)."""
+    import numpy as _np
+    s = prev_sum + _np.asarray(sums, _np.int64)
+    c = prev_count + int(count)
+    if c > (1 << 18):
+        s >>= 1
+        c >>= 1
+    d = tables.DEQUANT4_MF[0].astype(_np.int64)          # {10,13,16} classes
+    weight2 = (d * d) >> 2
+    off = ((_np.int64(nr_strength) * c + s // 2)
+           // (s * weight2 // 256 + 1)).astype(_np.int32)
+    off[0, 0] = 0
+    return off, s, c
