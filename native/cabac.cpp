@@ -17,8 +17,9 @@
 // residual tensors to this serial writer (SURVEY §7.1: "C++ host code for
 // the serial entropy stage").
 //
-// Coverage: I slices with I16x16 MBs; P slices with P_Skip, P_L0_16x16
-// and I16x16 MBs (intra-in-P). Grows with the encoder's mode set.
+// Coverage: I slices with I16x16 MBs; P slices with P_Skip, P_L0_16x16,
+// P_L0_L0_16x8/8x16 and I16x16 MBs (intra-in-P); B slices with B_Skip,
+// B_Direct/L0/L1/BI 16x16. Grows with the encoder's mode set.
 
 #include <cstdint>
 #include <cstdlib>
@@ -224,7 +225,6 @@ struct MBInfo {           // per-MB state for neighbor contexts
     uint8_t cpm = 0;          // chroma pred mode
     uint8_t cbp_l = 0, cbp_c = 0;
     uint8_t dc_nnz[3] = {0, 0, 0};   // luma DC, chroma U DC, chroma V DC
-    uint8_t mvd[2][2] = {{0, 0}, {0, 0}};    // capped |mvd| per list
 };
 
 struct Slice {
@@ -236,6 +236,11 @@ struct Slice {
     MBInfo *mbs;
     uint8_t *nnz_l;          // [mbh*4][mbw*4]
     uint8_t *nnz_c;          // [2][mbh*2][mbw*2]
+    // capped |mvd| at 4x4 granularity per list/component — the mvd ctx
+    // neighbors (spec 9.3.3.1.1.7) are the 4x4 blocks left/above the
+    // current *partition*, which with 16x8/8x16 may be the other
+    // partition of the same MB. [list][comp][mbh*4 * mbw*4]
+    uint8_t *amvd4[2][2];
     int intra_in_p_base = 17;
 
     MBInfo &mb(int x, int y) { return mbs[y * mbw + x]; }
@@ -248,6 +253,10 @@ struct Slice {
     int nzc(int pl, int gx, int gy, int intra_cur) {
         if (gx < 0 || gy < 0) return intra_cur;
         return nnz_c[(pl * mbh * 2 + gy) * mbw * 2 + gx] > 0;
+    }
+    int amvd(int list, int comp, int gx, int gy) {
+        if (gx < 0 || gy < 0) return 0;   // out of slice -> 0
+        return amvd4[list][comp][gy * mbw * 4 + gx];
     }
 };
 
@@ -397,14 +406,16 @@ void write_i16x16(Slice &S, int x, int y, int in_p, int i16_mode,
     me.coded = 1;
 }
 
-void write_mvd_list(Slice &S, MBInfo &me, int x, int y, int list,
-                    const int16_t *mvd) {
-    // mvd components with neighbor-|mvd|-sum contexts (reference
-    // cabac_mvd_cpn, encoder/cabac.c:270)
+void write_mvd_part(Slice &S, int x, int y, int list, const int16_t *mvd,
+                    int px, int py, int pw, int ph) {
+    // mvd components for one partition: ctxIdxInc from the |mvd| sum of
+    // the 4x4 blocks left/above the partition's top-left block (spec
+    // 9.3.3.1.1.7; with sub-MB partitions the neighbor can be the other
+    // partition of the same MB). (px,py,pw,ph) in 4x4 units within MB.
     Cabac &cb = S.cb;
+    int gx = x * 4 + px, gy = y * 4 + py;
     for (int c = 0; c < 2; c++) {
-        int amvd = (x > 0 ? S.mb(x - 1, y).mvd[list][c] : 0)
-                 + (y > 0 ? S.mb(x, y - 1).mvd[list][c] : 0);
+        int amvd = S.amvd(list, c, gx - 1, gy) + S.amvd(list, c, gx, gy - 1);
         int ctx = (amvd > 2) + (amvd > 32);
         int base = c ? 47 : 40;
         int v = mvd[c];
@@ -425,8 +436,17 @@ void write_mvd_list(Slice &S, MBInfo &me, int x, int y, int list,
             }
             cb.bypass(v < 0);
         }
-        me.mvd[list][c] = (uint8_t)(a < 66 ? a : 66);
+        uint8_t cap = (uint8_t)(a < 66 ? a : 66);
+        for (int by = py; by < py + ph; by++)
+            for (int bx = px; bx < px + pw; bx++)
+                S.amvd4[list][c][(y * 4 + by) * S.mbw * 4 + x * 4 + bx]
+                    = cap;
     }
+}
+
+void write_mvd_list(Slice &S, MBInfo &, int x, int y, int list,
+                    const int16_t *mvd) {
+    write_mvd_part(S, x, y, list, mvd, 0, 0, 4, 4);
 }
 
 void write_cbp_dqp_residual(Slice &S, int x, int y, MBInfo &me, int cbp_l,
@@ -507,17 +527,31 @@ void write_cbp_dqp_residual(Slice &S, int x, int y, MBInfo &me, int cbp_l,
     me.coded = 1;
 }
 
-void write_p16x16(Slice &S, int x, int y, const int16_t *mvd, int cbp_l,
-                  int cbp_c, int qp, const int16_t *lraw,
-                  const int16_t *cdc, const int16_t *cac) {
+void write_p_inter(Slice &S, int x, int y, int part, const int16_t *mvd,
+                   const int16_t *mvd2, int cbp_l, int cbp_c, int qp,
+                   const int16_t *lraw, const int16_t *cdc,
+                   const int16_t *cac) {
+    // part: 0=P_L0_16x16 '000', 1=P_L0_L0_16x8 '011', 2=P_L0_L0_8x16
+    // '010' (spec table 9-34 P binarization; ctxIdx 14/15/16|17)
     Cabac &cb = S.cb;
     MBInfo &me = S.mb(x, y);
-    // ---- mb_type: P_L0_16x16 ----
     cb.decision(14, 0);
-    cb.decision(15, 0);
-    cb.decision(16, 0);
-    // (single ref: no ref_idx)
-    write_mvd_list(S, me, x, y, 0, mvd);
+    if (part == 0) {
+        cb.decision(15, 0);
+        cb.decision(16, 0);
+        write_mvd_part(S, x, y, 0, mvd, 0, 0, 4, 4);
+    } else if (part == 1) {          // 16x8: two stacked partitions
+        cb.decision(15, 1);
+        cb.decision(17, 1);
+        // (single ref: no ref_idx)
+        write_mvd_part(S, x, y, 0, mvd, 0, 0, 4, 2);
+        write_mvd_part(S, x, y, 0, mvd2, 0, 2, 4, 2);
+    } else {                         // 8x16: two side-by-side partitions
+        cb.decision(15, 1);
+        cb.decision(17, 0);
+        write_mvd_part(S, x, y, 0, mvd, 0, 0, 2, 4);
+        write_mvd_part(S, x, y, 0, mvd2, 2, 0, 2, 4);
+    }
     write_cbp_dqp_residual(S, x, y, me, cbp_l, cbp_c, qp, lraw, cdc, cac);
 }
 
@@ -586,8 +620,9 @@ int cabac_encode_slice(
     const uint8_t *cbp_chroma,    // [n] 0..2
     const int8_t *qp,             // [n] per-MB qp
     const uint8_t *bmode,         // [n] B: 0=L0 1=L1 2=BI
-    const int16_t *mvd,           // [n*2] (list0)
-    const int16_t *mvd1,          // [n*2] (list1, B only)
+    const uint8_t *part_mode,     // [n] P: 0=16x16 1=16x8 2=8x16
+    const int16_t *mvd,           // [n*2] (list0 / P partition 0)
+    const int16_t *mvd1,          // [n*2] (list1, B / P partition 1)
     const int16_t *luma_dc,       // [n*16]    zigzag (I16 MBs)
     const int16_t *luma_ac,       // [n*16*16] zigzag, z-scan blocks
     const int16_t *chroma_dc,     // [n*2*4]
@@ -613,6 +648,10 @@ int cabac_encode_slice(
     S.mbs = (MBInfo *)std::calloc(n, sizeof(MBInfo));
     S.nnz_l = (uint8_t *)std::calloc(mbh * 4 * mbw * 4, 1);
     S.nnz_c = (uint8_t *)std::calloc(2 * mbh * 2 * mbw * 2, 1);
+    uint8_t *amvd_buf = (uint8_t *)std::calloc(4 * mbh * 4 * mbw * 4, 1);
+    for (int li = 0; li < 2; li++)
+        for (int ci = 0; ci < 2; ci++)
+            S.amvd4[li][ci] = amvd_buf + (li * 2 + ci) * mbh * 4 * mbw * 4;
 
     for (int y = 0; y < mbh; y++) {
         for (int x = 0; x < mbw; x++) {
@@ -657,9 +696,10 @@ int cabac_encode_slice(
                              qp[i], luma_ac + i * 16 * 16,
                              chroma_dc + i * 8, chroma_ac + i * 8 * 16);
             } else {
-                write_p16x16(S, x, y, mvd + i * 2, cbp_luma[i],
-                             cbp_chroma[i], qp[i], luma_ac + i * 16 * 16,
-                             chroma_dc + i * 8, chroma_ac + i * 8 * 16);
+                write_p_inter(S, x, y, part_mode[i], mvd + i * 2,
+                              mvd1 + i * 2, cbp_luma[i],
+                              cbp_chroma[i], qp[i], luma_ac + i * 16 * 16,
+                              chroma_dc + i * 8, chroma_ac + i * 8 * 16);
             }
             // end_of_slice_flag: 1 on the last MB triggers EncodeFlush
             S.cb.terminal(i == n - 1);
@@ -671,12 +711,14 @@ int cabac_encode_slice(
         std::free(S.mbs);
         std::free(S.nnz_l);
         std::free(S.nnz_c);
+        std::free(amvd_buf);
         return written;
     }
 overflow:
     std::free(S.mbs);
     std::free(S.nnz_l);
     std::free(S.nnz_c);
+    std::free(amvd_buf);
     return -1;
 }
 

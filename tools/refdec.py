@@ -497,14 +497,16 @@ class Decoder:
         return f, b, hh, j
 
     def _luma_mc(self, planes, x0, y0, mvx, mvy, bs=16):
-        """Quarter-pel luma block fetch per spec table 8-12."""
+        """Quarter-pel luma block fetch per spec table 8-12.
+        bs: int (square) or (h, w) for rectangular partitions."""
         f, b, hh, j = planes
         H, W = f.shape
         pad = getattr(self, "_mc_pad", 0)
+        bh, bw = (bs, bs) if isinstance(bs, int) else bs
         fx, fy = mvx & 3, mvy & 3
         ix, iy = x0 + (mvx >> 2) + pad, y0 + (mvy >> 2) + pad
-        rows = iy + np.arange(bs)[:, None]
-        cols = ix + np.arange(bs)[None, :]
+        rows = iy + np.arange(bh)[:, None]
+        cols = ix + np.arange(bw)[None, :]
 
         def g(plane, dy=0, dx=0):
             r = np.clip(rows + dy, 0, H - 1)
@@ -532,10 +534,11 @@ class Decoder:
 
     def _chroma_mc(self, plane, x0, y0, mvx, mvy, bs=8):
         H, W = plane.shape
+        bh, bw = (bs, bs) if isinstance(bs, int) else bs
         dx, dy = mvx & 7, mvy & 7
         ix, iy = x0 + (mvx >> 3), y0 + (mvy >> 3)
-        rows = iy + np.arange(bs)[:, None]
-        cols = ix + np.arange(bs)[None, :]
+        rows = iy + np.arange(bh)[:, None]
+        cols = ix + np.arange(bw)[None, :]
         A = plane[np.clip(rows, 0, H - 1), np.clip(cols, 0, W - 1)]
         B = plane[np.clip(rows, 0, H - 1), np.clip(cols + 1, 0, W - 1)]
         C = plane[np.clip(rows + 1, 0, H - 1), np.clip(cols, 0, W - 1)]
@@ -719,34 +722,39 @@ class Decoder:
         nnz_l = np.zeros((sps.mb_h * 4, sps.mb_w * 4), np.int32)
         nnz_c = np.zeros((2, sps.mb_h * 2, sps.mb_w * 2), np.int32)
         n = sps.mb_w * sps.mb_h
-        mvf = np.zeros((sps.mb_h, sps.mb_w, 2), np.int64)   # final MVs
-        interf = np.zeros((sps.mb_h, sps.mb_w), bool)       # refIdx == 0
+        # 4x4-granular motion state: with 16x8/8x16 partitions the MVP /
+        # P_Skip neighbors are partition cells, not whole MBs
+        mv4 = np.zeros((sps.mb_h * 4, sps.mb_w * 4, 2), np.int64)
+        use4 = np.zeros((sps.mb_h * 4, sps.mb_w * 4), bool)  # refIdx == 0
+        filled4 = np.zeros((sps.mb_h * 4, sps.mb_w * 4), bool)  # decoded
         intra_map = np.zeros((sps.mb_h, sps.mb_w), bool)
         qp_map = np.zeros((sps.mb_h, sps.mb_w), np.int32)
         mbidx = 0
 
-        def mvp_for(mx, my):
-            return self._mvp_match(mvf, interf, mx, my)
+        def fill_mb(mx, my, mv, inter=True):
+            s = np.s_[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4]
+            mv4[s] = mv
+            use4[s] = inter
+            filled4[s] = True
 
-        def pskip_for(mx, my):
-            return self._pskip_mv(mvf, interf, mx, my)
-
-        def mc_into(mx, my, mv):
-            pred = self._luma_mc(planes, mx * 16, my * 16,
-                                 int(mv[0]), int(mv[1]))
-            y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = pred
-            pu = self._chroma_mc(ru, mx * 8, my * 8, int(mv[0]), int(mv[1]))
-            pv = self._chroma_mc(rv, mx * 8, my * 8, int(mv[0]), int(mv[1]))
-            u[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = pu
-            v[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = pv
+        def mc_into(mx, my, mv, px=0, py=0, pw=16, ph=16):
+            """MC one partition: (px,py,pw,ph) in luma pixels within MB."""
+            x0, y0 = mx * 16 + px, my * 16 + py
+            pred = self._luma_mc(planes, x0, y0,
+                                 int(mv[0]), int(mv[1]), bs=(ph, pw))
+            y[y0:y0 + ph, x0:x0 + pw] = pred
+            cx, cy, cw, ch = x0 // 2, y0 // 2, pw // 2, ph // 2
+            u[cy:cy + ch, cx:cx + cw] = self._chroma_mc(
+                ru, cx, cy, int(mv[0]), int(mv[1]), bs=(ch, cw))
+            v[cy:cy + ch, cx:cx + cw] = self._chroma_mc(
+                rv, cx, cy, int(mv[0]), int(mv[1]), bs=(ch, cw))
 
         while mbidx < n:
             run = r.ue()
             for _ in range(run):
                 mx, my = mbidx % sps.mb_w, mbidx // sps.mb_w
-                mv = pskip_for(mx, my)
-                mvf[my, mx] = mv
-                interf[my, mx] = True
+                mv = self._pskip_mv4(mv4, use4, filled4, mx, my)
+                fill_mb(mx, my, mv)
                 qp_map[my, mx] = qp
                 mc_into(mx, my, mv)
                 mbidx += 1
@@ -772,21 +780,42 @@ class Decoder:
                 qp += r.se()
                 qp_map[my, mx] = qp
                 intra_map[my, mx] = True
+                fill_mb(mx, my, 0, inter=False)
                 self._decode_i16(r, y, u, v, nnz_l, nnz_c, mx, my,
                                  pred_mode, chroma_mode, cbp_l, cbp_c,
                                  qp, sps, pps)
                 mbidx += 1
                 continue
-            if mb_type != 0:
+            if mb_type > 2:
                 raise NotImplementedError(
                     f"P mb_type {mb_type} at {mbidx}")
             if num_ref > 1:
                 raise NotImplementedError("multi-ref te(ref_idx)")
-            mvd = np.array([r.se(), r.se()], np.int64)
-            mv = mvp_for(mx, my) + mvd
-            mvf[my, mx] = mv
-            interf[my, mx] = True
-            mc_into(mx, my, mv)
+            if mb_type == 0:
+                mvd = np.array([r.se(), r.se()], np.int64)
+                mv = self._mvp_part(mv4, use4, filled4, mx, my, 0, 0) + mvd
+                fill_mb(mx, my, mv)
+                mc_into(mx, my, mv)
+            else:
+                # P_L0_L0_16x8 (1) / 8x16 (2): both mvds parse first
+                # (spec 7.3.5.1 mb_pred order), then per-partition MVP
+                mvds = [np.array([r.se(), r.se()], np.int64)
+                        for _ in range(2)]
+                for pi in range(2):
+                    mv = self._mvp_part(mv4, use4, filled4, mx, my,
+                                        mb_type, pi) + mvds[pi]
+                    if mb_type == 1:
+                        s = np.s_[my * 4 + 2 * pi:my * 4 + 2 * pi + 2,
+                                  mx * 4:mx * 4 + 4]
+                        geom = (0, 8 * pi, 16, 8)
+                    else:
+                        s = np.s_[my * 4:my * 4 + 4,
+                                  mx * 4 + 2 * pi:mx * 4 + 2 * pi + 2]
+                        geom = (8 * pi, 0, 8, 16)
+                    mv4[s] = mv
+                    use4[s] = True
+                    filled4[s] = True
+                    mc_into(mx, my, mv, *geom)
             cbp_code = r.ue()
             if cbp_code >= 48:
                 raise ValueError("bad cbp code")
@@ -805,14 +834,17 @@ class Decoder:
         np.clip(y, 0, 255, out=y)
         np.clip(u, 0, 255, out=u)
         np.clip(v, 0, 255, out=v)
+        mvf = mv4[::4, ::4].copy()          # part-0 MV per MB
+        interf = use4[::4, ::4].copy()
         self.last_mvf = mvf.copy()          # debug introspection
         self.last_qp_map = qp_map.copy()
         self.last_intra_map = intra_map.copy()
-        self._pending_fields = {"mvf": mvf.copy(), "interf": interf.copy()}
+        self._pending_fields = {"mvf": mvf, "interf": interf,
+                                "mvf4": mv4.copy()}
         if self._db[0] != 1:
             y, u, v = deblock_frame_ref(
                 y, u, v, qp_map, intra_map,
-                nnz_l, mvf, self._db[1], self._db[2],
+                nnz_l, mv4, self._db[1], self._db[2],
                 pps.chroma_qp_index_offset)
         self._finish_frame(y, u, v)
 
@@ -1004,11 +1036,92 @@ class Decoder:
             return np.zeros(2, np.int64)
         return self._mvp_match(mvf, usef, mx, my)
 
+    @staticmethod
+    def _mvp_block4(mv4, use4, filled4, gx, gy, pw):
+        """Neighbors + median MVP for a partition whose top-left 4x4 cell
+        is (gx, gy), width pw in 4x4 units (spec 8.4.1.3 at partition
+        granularity; availability = already decoded, i.e. filled4).
+        Returns (mvp, (mv_a, r_a), (mv_b, r_b), (mv_c, r_c)) — r_* marks
+        neighbors whose list-0 refIdx matches (inter ref0)."""
+        H4, W4 = filled4.shape
+        z = np.zeros(2, np.int64)
+
+        def cell(cx, cy):
+            if cx < 0 or cy < 0 or cx >= W4 or cy >= H4 \
+                    or not filled4[cy, cx]:
+                return z, False, False
+            return mv4[cy, cx], bool(use4[cy, cx]), True
+
+        mv_a, r_a, av_a = cell(gx - 1, gy)
+        mv_b, r_b, av_b = cell(gx, gy - 1)
+        mv_c, r_c, av_c = cell(gx + pw, gy - 1)
+        if not av_c:                                  # C -> D (8.4.1.3.2)
+            mv_c, r_c, av_c = cell(gx - 1, gy - 1)
+        if av_a and not av_b and not av_c:
+            mvp = np.asarray(mv_a, np.int64).copy()
+        else:
+            ca = mv_a if r_a else z
+            cbv = mv_b if r_b else z
+            cc = mv_c if r_c else z
+            nmatch = int(r_a) + int(r_b) + int(r_c)
+            if nmatch == 1:
+                mvp = (ca if r_a else cbv if r_b else cc).copy()
+            else:
+                mvp = np.array([np.median([ca[0], cbv[0], cc[0]]),
+                                np.median([ca[1], cbv[1], cc[1]])],
+                               np.int64)
+        return mvp, (mv_a, r_a), (mv_b, r_b), (mv_c, r_c)
+
+    def _pskip_mv4(self, mv4, use4, filled4, mx, my):
+        """P_Skip motion vector at 4x4 neighbor granularity (spec
+        8.4.1.1): zero if A/B unavailable or a zero-MV inter-ref0
+        neighbor cell, else the 16x16 median MVP."""
+        z = np.zeros(2, np.int64)
+        if mx == 0 or my == 0:
+            return z
+        gx, gy = mx * 4, my * 4
+        a_use = use4[gy, gx - 1] and filled4[gy, gx - 1]
+        b_use = use4[gy - 1, gx] and filled4[gy - 1, gx]
+        if (a_use and not np.any(mv4[gy, gx - 1])) or \
+                (b_use and not np.any(mv4[gy - 1, gx])):
+            return z
+        mvp, _, _, _ = self._mvp_block4(mv4, use4, filled4, gx, gy, 4)
+        return mvp
+
+    def _mvp_part(self, mv4, use4, filled4, mx, my, part_kind, part_idx):
+        """MVP for P partition part_idx of an MB: part_kind 0=16x16,
+        1=16x8, 2=8x16 — with the 16x8/8x16 directional rules
+        (spec 8.4.1.3 items 2/3; reference mvpred.c:30)."""
+        if part_kind == 0:
+            px, py, pw = 0, 0, 4
+        elif part_kind == 1:
+            px, py, pw = 0, 2 * part_idx, 4
+        else:
+            px, py, pw = 2 * part_idx, 0, 2
+        gx, gy = mx * 4 + px, my * 4 + py
+        mvp, A, B, C = self._mvp_block4(mv4, use4, filled4, gx, gy, pw)
+        if part_kind == 1:
+            if part_idx == 0 and B[1]:
+                return np.asarray(B[0], np.int64).copy()
+            if part_idx == 1 and A[1]:
+                return np.asarray(A[0], np.int64).copy()
+        elif part_kind == 2:
+            if part_idx == 0 and A[1]:
+                return np.asarray(A[0], np.int64).copy()
+            if part_idx == 1 and C[1]:
+                return np.asarray(C[0], np.int64).copy()
+        return mvp
+
     def _derive_direct_mb(self, mvf0, use0, mvf1, use1, mx, my,
-                          col_inter, col_mv):
+                          col_inter, col_mv, col_mv4=None):
         """Spatial direct derivation for one MB (mvpred.c:290; 16x16,
         1 ref per list, progressive). Fields store mv 0 where the list
-        is unused (the cache convention). Returns (u0, u1, m0, m1)."""
+        is unused (the cache convention). Returns (u0, u1, m0, m1).
+
+        col_mv4 (4x4-granular colocated MVs) enables the spec's
+        per-quadrant colZero check (direct_8x8_inference corners,
+        8.4.1.2.2); mixed-quadrant MBs raise — the encoder never codes
+        direct/skip there (whole-MB coding would be nonconformant)."""
         mbw = use0.shape[1]
         z = np.zeros(2, np.int64)
         outs = []
@@ -1037,9 +1150,20 @@ class Decoder:
         (u0, m0), (u1, m1) = outs
         if not u0 and not u1:
             return True, True, z, z
-        if (col_inter[my, mx] and abs(int(col_mv[my, mx, 0])) <= 1
-                and abs(int(col_mv[my, mx, 1])) <= 1
-                and (np.any(m0) or np.any(m1))):
+        if col_mv4 is not None and col_inter[my, mx]:
+            czs = []
+            for cy, cx in ((0, 0), (0, 3), (3, 0), (3, 3)):
+                c = col_mv4[my * 4 + cy, mx * 4 + cx]
+                czs.append(abs(int(c[0])) <= 1 and abs(int(c[1])) <= 1)
+            if (np.any(m0) or np.any(m1)) and len(set(czs)) > 1:
+                raise NotImplementedError(
+                    "mixed per-quadrant colZero in direct MB")
+            col_zero = czs[0]
+        else:
+            col_zero = (col_inter[my, mx]
+                        and abs(int(col_mv[my, mx, 0])) <= 1
+                        and abs(int(col_mv[my, mx, 1])) <= 1)
+        if col_zero and (np.any(m0) or np.any(m1)):
             if u0:
                 m0 = z
             if u1:
@@ -1184,13 +1308,16 @@ class Decoder:
         qp_map = np.zeros((sps.mb_h, sps.mb_w), np.int32)
         col_inter = l1.get("interf")
         col_mv = l1.get("mvf")
+        col_mv4 = l1.get("mvf4")
         if col_inter is None or col_mv is None:
             col_inter = np.zeros((sps.mb_h, sps.mb_w), bool)
             col_mv = np.zeros((sps.mb_h, sps.mb_w, 2), np.int64)
+            col_mv4 = None
 
         def do_direct(mx, my, has_resid):
             u0, u1, m0, m1 = self._derive_direct_mb(
-                mvf0, use0, mvf1, use1, mx, my, col_inter, col_mv)
+                mvf0, use0, mvf1, use1, mx, my, col_inter, col_mv,
+                col_mv4)
             dmode = 2 if (u0 and u1) else (0 if u0 else 1)
             self._b_mc(y, u, v, planes0, planes1, ru0, rv0, ru1, rv1,
                        mx, my, dmode, m0, m1, w0, w1)
@@ -1316,12 +1443,18 @@ class Decoder:
         c_cbp_l = np.zeros((mbh, mbw), np.int32)
         c_cbp_c = np.zeros((mbh, mbw), np.int32)
         c_dcnnz = np.zeros((mbh, mbw, 3), np.int32)
-        c_mvd = np.zeros((mbh, mbw, 2, 2), np.int64)
+        # |mvd| context state at 4x4 granularity (spec 9.3.3.1.1.7 —
+        # the neighbors of a 16x8/8x16 partition are partition cells)
+        c_mvd4 = np.zeros((mbh * 4, mbw * 4, 2, 2), np.int64)
         intra_map = np.zeros((mbh, mbw), bool)
         mvf0 = np.zeros((mbh, mbw, 2), np.int64)
         mvf1 = np.zeros((mbh, mbw, 2), np.int64)
         use0 = np.zeros((mbh, mbw), bool)
         use1 = np.zeros((mbh, mbw), bool)
+        # 4x4-granular motion state for P partitions
+        mv40 = np.zeros((mbh * 4, mbw * 4, 2), np.int64)
+        use40 = np.zeros((mbh * 4, mbw * 4), bool)
+        filled40 = np.zeros((mbh * 4, mbw * 4), bool)
         mode_map = np.zeros((mbh, mbw), np.int32)
         last_qp = slice_qp
         state = {"last_dqp": 0}
@@ -1345,9 +1478,11 @@ class Decoder:
                                           l1["poc"])
             col_inter = l1.get("interf")
             col_mv = l1.get("mvf")
+            col_mv4 = l1.get("mvf4")
             if col_inter is None or col_mv is None:
                 col_inter = np.zeros((mbh, mbw), bool)
                 col_mv = np.zeros((mbh, mbw, 2), np.int64)
+                col_mv4 = None
 
         def nzl(gx, gy, intra_cur):
             if gx < 0 or gy < 0:
@@ -1368,15 +1503,19 @@ class Decoder:
                 return coeffs, int(np.count_nonzero(coeffs))
             return np.zeros(nx, np.int64), 0
 
-        def read_mvd_pair(mx, my, lst):
+        def read_mvd_pair(mx, my, lst, px=0, py=0, pw=4, ph=4):
+            """(px,py,pw,ph) = partition geometry in 4x4 units within
+            the MB; ctx neighbors are the cells left/above its corner."""
             out = np.zeros(2, np.int64)
+            gx, gy = mx * 4 + px, my * 4 + py
             for comp in range(2):
-                amvd = (c_mvd[my, mx - 1, lst, comp] if mx > 0 else 0) \
-                    + (c_mvd[my - 1, mx, lst, comp] if my > 0 else 0)
+                amvd = (c_mvd4[gy, gx - 1, lst, comp] if gx > 0 else 0) \
+                    + (c_mvd4[gy - 1, gx, lst, comp] if gy > 0 else 0)
                 ctx = (1 if amvd > 2 else 0) + (1 if amvd > 32 else 0)
                 vv = _cabac_mvd(cb, 47 if comp else 40, ctx)
                 out[comp] = vv
-                c_mvd[my, mx, lst, comp] = min(abs(int(vv)), 66)
+                c_mvd4[gy:gy + ph, gx:gx + pw, lst, comp] = \
+                    min(abs(int(vv)), 66)
             return out
 
         def read_dqp(has_residual):
@@ -1526,7 +1665,7 @@ class Decoder:
                         # B_Skip: spatial direct prediction, no residual
                         u0, u1, m0, m1 = self._derive_direct_mb(
                             mvf0, use0, mvf1, use1, mx, my,
-                            col_inter, col_mv)
+                            col_inter, col_mv, col_mv4)
                         dmode = 2 if (u0 and u1) else (0 if u0 else 1)
                         self._b_mc(y, u, v, planes0, planes1, ru0, rv0,
                                    ru1, rv1, mx, my, dmode, m0, m1,
@@ -1542,7 +1681,8 @@ class Decoder:
                         c_cbp_l[my, mx] = 0
                         c_cbp_c[my, mx] = 0
                         c_dcnnz[my, mx] = 0
-                        c_mvd[my, mx] = 0
+                        c_mvd4[my * 4:my * 4 + 4,
+                               mx * 4:mx * 4 + 4] = 0
                         nnz_l[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
                         nnz_c[:, my * 2:my * 2 + 2,
                               mx * 2:mx * 2 + 2] = 0
@@ -1551,9 +1691,13 @@ class Decoder:
                         if cb.terminal() != (1 if mbidx == n - 1 else 0):
                             raise ValueError("end_of_slice desync")
                         continue
-                    mv = self._pskip_mv(mvf0, use0, mx, my)
+                    mv = self._pskip_mv4(mv40, use40, filled40, mx, my)
                     mvf0[my, mx] = mv
                     use0[my, mx] = True
+                    s4 = np.s_[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4]
+                    mv40[s4] = mv
+                    use40[s4] = True
+                    filled40[s4] = True
                     pred = self._luma_mc(planes0, mx * 16, my * 16,
                                          int(mv[0]), int(mv[1]))
                     y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = pred
@@ -1570,7 +1714,7 @@ class Decoder:
                     c_cbp_l[my, mx] = 0
                     c_cbp_c[my, mx] = 0
                     c_dcnnz[my, mx] = 0
-                    c_mvd[my, mx] = 0
+                    c_mvd4[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
                     nnz_l[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
                     nnz_c[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
                     state["last_dqp"] = 0
@@ -1626,27 +1770,50 @@ class Decoder:
                                            chroma_mode, qp, dc_scan, ac,
                                            cdc, cac)
                     intra_map[my, mx] = True
+                    filled40[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = True
                     c_cpm[my, mx] = chroma_mode
                     c_cbp_l[my, mx] = cbp_l
                     c_cbp_c[my, mx] = cbp_c
                 else:
+                    # mb_type bins (spec table 9-34 P): 000=16x16,
+                    # 001=P_8x8, 010=8x16, 011=16x8
                     if cb.decision(15):
-                        raise NotImplementedError("P 8x8 CABAC")
-                    if cb.decision(16):
-                        raise NotImplementedError("P 16x8/8x16 CABAC")
-                    mvd = read_mvd_pair(mx, my, 0)
-                    mv = self._mvp_match(mvf0, use0, mx, my) + mvd
-                    mvf0[my, mx] = mv
-                    use0[my, mx] = True
-                    pred = self._luma_mc(planes0, mx * 16, my * 16,
-                                         int(mv[0]), int(mv[1]))
-                    y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = pred
-                    u[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
-                        self._chroma_mc(ru0, mx * 8, my * 8,
-                                        int(mv[0]), int(mv[1]))
-                    v[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
-                        self._chroma_mc(rv0, mx * 8, my * 8,
-                                        int(mv[0]), int(mv[1]))
+                        part = 1 if cb.decision(17) else 2
+                    else:
+                        if cb.decision(16):
+                            raise NotImplementedError("P 8x8 CABAC")
+                        part = 0
+                    if part == 0:
+                        geoms = [(0, 0, 4, 4)]
+                    elif part == 1:                     # 16x8
+                        geoms = [(0, 0, 4, 2), (0, 2, 4, 2)]
+                    else:                               # 8x16
+                        geoms = [(0, 0, 2, 4), (2, 0, 2, 4)]
+                    for pi, (px, py, pw, ph) in enumerate(geoms):
+                        mvd = read_mvd_pair(mx, my, 0, px, py, pw, ph)
+                        mv = self._mvp_part(mv40, use40, filled40,
+                                            mx, my, part, pi) + mvd
+                        s4 = np.s_[my * 4 + py:my * 4 + py + ph,
+                                   mx * 4 + px:mx * 4 + px + pw]
+                        mv40[s4] = mv
+                        use40[s4] = True
+                        filled40[s4] = True
+                        if pi == 0:
+                            mvf0[my, mx] = mv
+                            use0[my, mx] = True
+                        x0, y0 = mx * 16 + px * 4, my * 16 + py * 4
+                        lw, lh = pw * 4, ph * 4
+                        y[y0:y0 + lh, x0:x0 + lw] = self._luma_mc(
+                            planes0, x0, y0, int(mv[0]), int(mv[1]),
+                            bs=(lh, lw))
+                        cx, cy = x0 // 2, y0 // 2
+                        cw, chh = lw // 2, lh // 2
+                        u[cy:cy + chh, cx:cx + cw] = self._chroma_mc(
+                            ru0, cx, cy, int(mv[0]), int(mv[1]),
+                            bs=(chh, cw))
+                        v[cy:cy + chh, cx:cx + cw] = self._chroma_mc(
+                            rv0, cx, cy, int(mv[0]), int(mv[1]),
+                            bs=(chh, cw))
                     cbp_l, cbp_c, qp, luma, cdc, cac = \
                         read_inter_payload(mx, my)
                     self._apply_resid_arrays(y, u, v, mx, my, qp, luma,
@@ -1668,7 +1835,7 @@ class Decoder:
                     # B_Direct_16x16 with residual
                     u0, u1, m0, m1 = self._derive_direct_mb(
                         mvf0, use0, mvf1, use1, mx, my,
-                        col_inter, col_mv)
+                        col_inter, col_mv, col_mv4)
                     dmode = 2 if (u0 and u1) else (0 if u0 else 1)
                     self._b_mc(y, u, v, planes0, planes1, ru0, rv0,
                                ru1, rv1, mx, my, dmode, m0, m1, w0, w1)
@@ -1737,11 +1904,13 @@ class Decoder:
         self.last_intra_map = intra_map.copy()
         if slice_type != 1:
             self._pending_fields = {"mvf": mvf0.copy(),
-                                    "interf": use0.copy()}
+                                    "interf": use0.copy(),
+                                    "mvf4": mv40.copy()}
         if self._db[0] != 1:
             b_info = (use0, use1, mvf0, mvf1) if slice_type == 1 else None
             y, u, v = deblock_frame_ref(
-                y, u, v, qp_map, intra_map, nnz_l, mvf0,
+                y, u, v, qp_map, intra_map, nnz_l,
+                mv40 if slice_type == 0 else mvf0,
                 self._db[1], self._db[2], pps.chroma_qp_index_offset,
                 b_info=b_info)
         self._finish_frame(y, u, v)
@@ -1991,9 +2160,14 @@ def deblock_frame_ref(y, u, v, qp_map, intra_map, nnz_l, mvf,
 
     b_info=(mode_map, mvf0, mvf1) switches edge strengths to the B-slice
     mixed-prediction rules (spec 8.7.2.1): bs=1 when the two sides use
-    different reference sets, or any used list's |mv delta| >= 4."""
+    different reference sets, or any used list's |mv delta| >= 4.
+
+    mvf: [mbh,mbw,2] MB-granular or [mbh*4,mbw*4,2] 4x4-granular (the
+    latter needed for 16x8/8x16 partition-internal edges)."""
     mbh, mbw = qp_map.shape
     H, W = y.shape
+    if mvf is not None and mvf.shape[0] == mbh:
+        mvf = np.repeat(np.repeat(mvf, 4, axis=0), 4, axis=1)
     yf = y.astype(np.int64).ravel()
     uf = u.astype(np.int64).ravel()
     vf = v.astype(np.int64).ravel()
@@ -2024,8 +2198,8 @@ def deblock_frame_ref(y, u, v, qp_map, intra_map, nnz_l, mvf,
                 if abs(int(d[0])) >= 4 or abs(int(d[1])) >= 4:
                     return 1
             return 0
-        mvq = mvf[mby, mbx]
-        mvp = mvf[pby // 4, pbx // 4]
+        mvq = mvf[by, bx]
+        mvp = mvf[pby, pbx]
         if abs(int(mvq[0]) - int(mvp[0])) >= 4 or \
                 abs(int(mvq[1]) - int(mvp[1])) >= 4:
             return 1

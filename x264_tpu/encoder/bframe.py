@@ -118,14 +118,18 @@ def mv_predictors_b(mv_field, use_mask):
                                    "decimate", "entropy", "use_direct"))
 def encode_bframe_device(y, u, v, r0_y, r0_hpel, r0_cuv, r1_y, r1_hpel,
                          r1_cuv, qp_mb, qpc_mb, slice_qp, lam, w0, w1,
-                         col_inter, col_mv,
+                         col_inter, col_mv, col_uniform,
                          *, mbw, mbh, cap_words, me_range, deblock=False,
                          a_off=0, b_off=0, cqpo=0, decimate=True,
                          entropy=True, use_direct=True):
     """Fused B-frame device pass. Returns (words, total_bits, recon,
     stats). (w0, w1) are the implicit bipred weights (traced scalars so
     POC-distance changes do not recompile). col_inter/col_mv are the L1
-    anchor's colocated inter mask + MV field for spatial direct."""
+    anchor's colocated inter mask + MV field for spatial direct;
+    col_uniform [mbh,mbw] marks colocated MBs whose four 8x8-quadrant
+    corner cells (direct_8x8_inference, spec 8.4.1.2.2) agree on
+    colZeroFlag — direct/skip is only chosen there, so the whole-MB
+    derivation below equals the decoder's per-quadrant one."""
     from ..entropy.cavlc_jax import encode_bframe_entropy_dev
     H, W = y.shape
     n = mbw * mbh
@@ -177,7 +181,8 @@ def encode_bframe_device(y, u, v, r0_y, r0_hpel, r0_cuv, r1_y, r1_hpel,
                              bipred(pd0, pd1),
                              jnp.where(du0f[:, None, None], pd0, pd1))
         cost_dir = _satd16(pred_dir, tiles)
-        is_dir = valid & (cost_dir <= best_exp).reshape(mbh, mbw)
+        is_dir = valid & col_uniform \
+            & (cost_dir <= best_exp).reshape(mbh, mbw)
 
         def fields_of(isd):
             i3 = isd[..., None]
@@ -401,6 +406,21 @@ def dispatch_bframe(enc, planes, qp, ref_fwd_tag, ref_bwd_tag):
     if col_inter is None or col_mv is None:
         col_inter = jnp.zeros((mbh, mbw), bool)
         col_mv = jnp.zeros((mbh, mbw, 2), jnp.int32)
+        col_uniform = jnp.ones((mbh, mbw), bool)
+    else:
+        col_mv4 = ref1.get("mvf4")
+        if col_mv4 is None:     # 16x16-only colocated: always uniform
+            col_uniform = jnp.ones((mbh, mbw), bool)
+        else:
+            # quadrant corner cells (direct_8x8_inference): colZero must
+            # agree across the 4 corners for whole-MB direct coding
+            c4 = col_mv4.reshape(mbh, 4, mbw, 4, 2)
+            corners = jnp.stack([c4[:, cy, :, cx] for cy, cx in
+                                 ((0, 0), (0, 3), (3, 0), (3, 3))],
+                                axis=2)                 # [mbh,mbw,4,2]
+            cz = (jnp.abs(corners[..., 0]) <= 1) \
+                & (jnp.abs(corners[..., 1]) <= 1)       # [mbh,mbw,4]
+            col_uniform = jnp.all(cz == cz[..., :1], axis=-1)
     sh = enc._slice_header(TYPE_B, qp)
     materialize = (enc.p.analyse.psnr or enc.p.analyse.ssim
                    or enc.p.dump_yuv or enc.p.full_recon)
@@ -413,6 +433,7 @@ def dispatch_bframe(enc, planes, qp, ref_fwd_tag, ref_bwd_tag):
             y, u, v, ref0["y_pad"], ref0["hpel"], ref0["cuv_pad"],
             ref1["y_pad"], ref1["hpel"], ref1["cuv_pad"],
             qp_mb, qpc_mb, qp_try, lam, w0, w1, col_inter, col_mv,
+            col_uniform,
             mbw=mbw, mbh=mbh, cap_words=cap_words, me_range=me_range,
             decimate=enc.p.analyse.dct_decimate,
             deblock=enc.p.deblocking_filter,

@@ -48,7 +48,7 @@ def _load():
     lib.cabac_encode_slice.argtypes = [
         u8, u8, u8, u8, u8,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        u8, u8, u8, u8, u8, u8, i8, u8, i16, i16, i16, i16, i16, i16,
+        u8, u8, u8, u8, u8, u8, i8, u8, u8, i16, i16, i16, i16, i16, i16,
         u8, ctypes.c_int]
     _lib = lib
     return lib
@@ -80,7 +80,8 @@ def encode_slice_cabac(slice_type, mbw: int, mbh: int,
                        slice_qp: int, skip, is_intra, i16_mode,
                        chroma_mode, cbp_luma, cbp_chroma, qp_mb, mvd,
                        luma_dc, luma_ac, chroma_dc, chroma_ac,
-                       model: int = 0, bmode=None, mvd1=None) -> bytes:
+                       model: int = 0, bmode=None, mvd1=None,
+                       part_mode=None) -> bytes:
     """Write one slice's CABAC mb layer. Residual arrays are zigzagged;
     luma blocks in z-scan coding order. Returns the payload bytes
     (cabac-aligned slice data, to append after the slice header)."""
@@ -109,6 +110,7 @@ def encode_slice_cabac(slice_type, mbw: int, mbh: int,
     qp_mb = np.ascontiguousarray(np.asarray(qp_mb, np.int8).reshape(-1))
     mvd = i16c(mvd, n * 2)
     bmode = u8c(bmode if bmode is not None else np.zeros(n))
+    part_mode = u8c(part_mode if part_mode is not None else np.zeros(n))
     mvd1 = i16c(mvd1 if mvd1 is not None else np.zeros((n, 2)), n * 2)
     luma_dc = i16c(luma_dc, n * 16)
     luma_ac = i16c(luma_ac, n * 256)
@@ -128,6 +130,7 @@ def encode_slice_cabac(slice_type, mbw: int, mbh: int,
         _ptr(i16_mode, ctypes.c_uint8), _ptr(chroma_mode, ctypes.c_uint8),
         _ptr(cbp_luma, ctypes.c_uint8), _ptr(cbp_chroma, ctypes.c_uint8),
         _ptr(qp_mb, ctypes.c_int8), _ptr(bmode, ctypes.c_uint8),
+        _ptr(part_mode, ctypes.c_uint8),
         _ptr(mvd, ctypes.c_int16), _ptr(mvd1, ctypes.c_int16),
         _ptr(luma_dc, ctypes.c_int16), _ptr(luma_ac, ctypes.c_int16),
         _ptr(chroma_dc, ctypes.c_int16), _ptr(chroma_ac, ctypes.c_int16),

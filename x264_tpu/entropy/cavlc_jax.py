@@ -388,17 +388,24 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
                               slice_qp, luma_lv, cdc_blk, cac_blk,
                               *, mbw: int, mbh: int, cap_words: int,
                               is_intra=None, i16_mode=None,
-                              chroma_mode=None, luma_dc=None):
-    """P-slice MB layer on device (P_L0_16x16 + P_Skip + I16-in-P, 1 ref).
+                              chroma_mode=None, luma_dc=None,
+                              part_mode=None, mvd2=None):
+    """P-slice MB layer on device (P_L0_16x16/16x8/8x16 + P_Skip +
+    I16-in-P, 1 ref).
 
     skip [N] bool; mvd [N,2]; cbp_* [N]; luma_lv [N,16,4,4] (full 16-coeff
     inter blocks / pos0-zeroed intra AC blocks, raster); cdc_blk
     [N,2,2,2]; cac_blk [N,2,4,4,4]. Intra-in-P (spec mb_type 5..30 in P,
     analyse.c:2939): is_intra [N] bool + i16_mode/chroma_mode [N] +
-    luma_dc [N,4,4] hadamard-domain DC levels.
+    luma_dc [N,4,4] hadamard-domain DC levels. Partitions (spec table
+    7-13, cavlc.c:487 P branches): part_mode [N] 0=16x16 1=16x8 2=8x16
+    (= the mb_type ue code) with mvd2 [N,2] the second partition's mvd.
     Returns (words, total_bits, eff_qp) — eff_qp is the decoder-carried
     per-MB QP (uncoded MBs inherit), needed by the deblock strength qp."""
     n = mbw * mbh
+    if part_mode is None:
+        part_mode = jnp.zeros((n,), jnp.int32)
+        mvd2 = jnp.zeros((n, 2), jnp.int32)
     zig = jnp.asarray(ZIGZAG4_FRAME)
     luma_z = luma_lv.reshape(n, 16, 16)[:, :, zig]
     cdc = cdc_blk.reshape(n, 2, 4)
@@ -454,9 +461,10 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
     cac_lens = cac_lens.reshape(n, 8, BLOCK_SLOTS)
 
     # ---- header elements: run, mb_type, mvd_x|chroma_mode, mvd_y|dqp,
-    # cbp, qp_delta (intra MBs use the first three slots only) ----
-    h_codes = jnp.zeros((n, 6), jnp.uint32)
-    h_lens = jnp.zeros((n, 6), jnp.int32)
+    # mvd2_x, mvd2_y (partitioned inter only), cbp, qp_delta (intra MBs
+    # use the first three slots only) ----
+    h_codes = jnp.zeros((n, 8), jnp.uint32)
+    h_lens = jnp.zeros((n, 8), jnp.int32)
     c, l = ue_dev(run)                          # noqa: E741
     h_codes = h_codes.at[:, 0].set(c)
     h_lens = h_lens.at[:, 0].set(l)
@@ -471,13 +479,14 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
                         slice_qp)
     dqp = qp_flat - prev_qp
     eff_qp = jnp.where(has_resid, qp_flat, prev_qp)
-    # mb_type: inter ue(0)='1'; intra ue(5 + I16 code) (spec table 7-13)
+    # mb_type: inter ue(part_mode) (0=16x16/1=16x8/2=8x16); intra
+    # ue(5 + I16 code) (spec table 7-13)
     i16_code = 6 + i16_mode + 4 * cbp_chroma \
         + 12 * (cbp_luma > 0).astype(jnp.int32)
     c_i, l_i = ue_dev(i16_code)
-    c, l = ue_dev(jnp.zeros((n,), jnp.int32))   # noqa: E741
-    h_codes = h_codes.at[:, 1].set(jnp.where(is_intra, c_i, 1))
-    h_lens = h_lens.at[:, 1].set(jnp.where(is_intra, l_i, 1))
+    c, l = ue_dev(part_mode)                    # noqa: E741
+    h_codes = h_codes.at[:, 1].set(jnp.where(is_intra, c_i, c))
+    h_lens = h_lens.at[:, 1].set(jnp.where(is_intra, l_i, l))
     c_cm, l_cm = ue_dev(chroma_mode)
     c, l = se_dev(mvd[:, 0])                    # noqa: E741
     h_codes = h_codes.at[:, 2].set(jnp.where(is_intra, c_cm, c))
@@ -486,12 +495,18 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
     c, l = se_dev(mvd[:, 1])                    # noqa: E741
     h_codes = h_codes.at[:, 3].set(jnp.where(is_intra, c_dq, c))
     h_lens = h_lens.at[:, 3].set(jnp.where(is_intra, l_dq, l))
+    # second-partition mvd (16x8/8x16 only; 1 ref so no ref_idx)
+    part2 = (part_mode > 0) & ~is_intra
+    for comp, slot in ((0, 4), (1, 5)):
+        c, l = se_dev(mvd2[:, comp])            # noqa: E741
+        h_codes = h_codes.at[:, slot].set(c)
+        h_lens = h_lens.at[:, slot].set(jnp.where(part2, l, 0))
     c, l = ue_dev(lut(V.CBP_TO_GOLOMB_INTER,              # noqa: E741
                       cbp_chroma * 16 + cbp_luma))
-    h_codes = h_codes.at[:, 4].set(c)
-    h_lens = h_lens.at[:, 4].set(jnp.where(is_intra, 0, l))
-    h_codes = h_codes.at[:, 5].set(c_dq)
-    h_lens = h_lens.at[:, 5].set(
+    h_codes = h_codes.at[:, 6].set(c)
+    h_lens = h_lens.at[:, 6].set(jnp.where(is_intra, 0, l))
+    h_codes = h_codes.at[:, 7].set(c_dq)
+    h_lens = h_lens.at[:, 7].set(
         jnp.where(is_intra, 0, jnp.where(has_resid, l_dq, 0)))
 
     # ---- gating ----

@@ -134,11 +134,15 @@ def compute_strengths(intra_mb, nnz4, mv_mb, *, mbw, mbh):
     """Boundary strengths for the whole frame (batched).
 
     intra_mb [mbh,mbw] bool; nnz4 [mbh*4, mbw*4] int; mv_mb [mbh,mbw,2]
-    (16x16 partitions, single ref — P_SKIP counts as inter zero-nnz).
+    MB-granular or [mbh*4,mbw*4,2] 4x4-granular (16x8/8x16 partitions;
+    single ref — P_SKIP counts as inter zero-nnz).
     Returns (bs_v, bs_h) [mbh, mbw, 4 edges, 4 lines4]."""
     ih, iw = mbh * 4, mbw * 4
     intra4 = jnp.repeat(jnp.repeat(intra_mb, 4, axis=0), 4, axis=1)
-    mv4 = jnp.repeat(jnp.repeat(mv_mb, 4, axis=0), 4, axis=1)  # [ih,iw,2]
+    if mv_mb.shape[0] == ih:
+        mv4 = mv_mb                                            # [ih,iw,2]
+    else:
+        mv4 = jnp.repeat(jnp.repeat(mv_mb, 4, axis=0), 4, axis=1)
 
     def edge_bs(axis):
         # p = block shifted by -1 along axis, q = block

@@ -74,10 +74,16 @@ _DCMASK8 = (_S2.T @ np.ones((2, 2), np.int32) @ _S2)
 
 
 def _mm(a, m):
-    """a @ m^T over the last axis (m constant)."""
-    return jax.lax.dot_general(
-        a, m.T, (((a.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
+    """a @ m^T over the last axis (m constant). Mosaic has no int32
+    matmul; f32 at HIGHEST precision is exact for |values| < 2^24 (the
+    transform matrices are +-1/+-2 and every intermediate in the 4x4
+    DCT/IDCT/hadamard chains is far below that bound)."""
+    out = jax.lax.dot_general(
+        a.astype(jnp.float32), m.T.astype(jnp.float32),
+        (((a.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    return out.astype(jnp.int32)
 
 
 def _lm(m, a):
@@ -93,8 +99,12 @@ def _tile2d(t, reps):
 
 
 def _shift_lane_down(a):
-    """[mbh, ...] -> previous lane's value (lane 0 gets zeros)."""
-    return jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]], axis=0)
+    """[mbh, ...] -> previous lane's value (lane 0 gets zeros).
+    Concatenate along sublanes is not Mosaic-lowerable; a rotate + mask
+    is. Callers pass 2D (mbh, k) slices only."""
+    r = pltpu.roll(a, 1, 0)
+    lane0 = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0) == 0
+    return jnp.where(lane0, 0, r)
 
 
 def _fwd4x4_packed(res, cf):
@@ -209,7 +219,7 @@ def _predc_modes(left, top, tl, al, at):
 
 
 def _onehot4(p0, p1, p2, p3, mode):
-    m = mode[:, None, None]
+    m = mode[..., None]             # (mbh, 1) -> (mbh, 1, 1)
     return jnp.where(m == 0, p0,
                      jnp.where(m == 1, p1,
                                jnp.where(m == 2, p2, p3)))
@@ -293,6 +303,9 @@ def _make_kernel(mbw: int, mbh: int, mixed: bool):
     nC = len(_CONST_NAMES)
 
     def kernel(*refs):
+        # strip-major blocks: every per-strip ref has a leading singleton
+        # strip axis so the last two block dims equal the array dims
+        # (the Mosaic block-mapping requirement)
         C = {name: refs[i][:] for i, name in enumerate(_CONST_NAMES)}
         (ysrc, usrc, vsrc, i16m, cmode, lqmf, ldmf, lsc,
          cqmf, cdmf, csc) = refs[nC:nC + 11]
@@ -323,48 +336,44 @@ def _make_kernel(mbw: int, mbh: int, mixed: bool):
         # ---- luma ----
         win = wy[:].astype(jnp.int32)
         mid = win[:, :, 16:32]
-        prev_mid = _shift_lane_down(mid)
-        top = prev_mid[:, 15, :]
+        top = _shift_lane_down(mid[:, 15, :])
         left = mid[:, :, 15]
         tl = _shift_lane_down(win[:, 15, 15:16])
-        mode = i16m[:, 0]
+        mode = i16m[0]          # (mbh, 1)
         pv, ph, pdc, ppl = _pred16_modes(left, top, tl, al, at)
         pred = _onehot4(pv, ph, pdc, ppl, mode)
-        src = ysrc[:].astype(jnp.int32)
-        dc_lv, ac_lv, recon = _luma_encode(src, pred, lqmf[:, 0],
-                                           ldmf[:, 0], lsc[:, 0], C)
+        src = ysrc[0].astype(jnp.int32)
+        dc_lv, ac_lv, recon = _luma_encode(src, pred, lqmf[0],
+                                           ldmf[0], lsc[0], C)
         if mixed:
-            il = ilane_r[:, 0] > 0
-            recon = jnp.where(il[:, None, None], recon,
-                              yint[:].astype(jnp.int32))
-            dc_lv = jnp.where(il[:, None, None], dc_lv, 0)
-            ac_lv = jnp.where(il[:, None, None], ac_lv, 0)
+            il3 = ilane_r[0][..., None] > 0      # (mbh, 1, 1)
+            recon = jnp.where(il3, recon, yint[0].astype(jnp.int32))
+            dc_lv = jnp.where(il3, dc_lv, 0)
+            ac_lv = jnp.where(il3, ac_lv, 0)
         dc_o[0] = dc_lv
         ac_o[0] = ac_lv
-        recy[:] = recon.astype(jnp.int16)
+        recy[0] = recon.astype(jnp.int16)
 
         # ---- chroma (both components share neighbors geometry) ----
         def chroma(wref, csrc_ref, cint_ref, qmf, dmf, sc, dc_out, ac_out,
                    rec_out):
             cwin = wref[:].astype(jnp.int32)
             cmid = cwin[:, :, 8:16]
-            cprev = _shift_lane_down(cmid)
-            ctop = cprev[:, 7, :]
+            ctop = _shift_lane_down(cmid[:, 7, :])
             cleft = cmid[:, :, 7]
             ctl = _shift_lane_down(cwin[:, 7, 7:8])
             cdcm, chm, cvm, cpl = _predc_modes(cleft, ctop, ctl, al, at)
-            cpred = _onehot4(cdcm, chm, cvm, cpl, cmode[:, 0])
-            csrc = csrc_ref[:].astype(jnp.int32)
-            cdc, cac, crec = _chroma_encode(csrc, cpred, qmf[:, 0],
-                                            dmf[:, 0], sc[:, 0], C)
+            cpred = _onehot4(cdcm, chm, cvm, cpl, cmode[0])
+            csrc = csrc_ref[0].astype(jnp.int32)
+            cdc, cac, crec = _chroma_encode(csrc, cpred, qmf[0],
+                                            dmf[0], sc[0], C)
             if mixed:
-                crec = jnp.where(il[:, None, None], crec,
-                                 cint_ref[:].astype(jnp.int32))
-                cdc = jnp.where(il[:, None, None], cdc, 0)
-                cac = jnp.where(il[:, None, None], cac, 0)
+                crec = jnp.where(il3, crec, cint_ref[0].astype(jnp.int32))
+                cdc = jnp.where(il3, cdc, 0)
+                cac = jnp.where(il3, cac, 0)
             dc_out[0] = cdc
             ac_out[0] = cac
-            rec_out[:] = crec.astype(jnp.int16)
+            rec_out[0] = crec.astype(jnp.int16)
             return crec
 
         urec = chroma(wu, usrc, uint_ if mixed else None, cqmf, cdmf, csc,
@@ -417,59 +426,69 @@ def commit_i16_pallas(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
     S = D + P
     mixed = is_intra is not None
 
-    ys = skew.skew_plane(jnp.asarray(y).astype(jnp.int16), 16, P) \
-        .reshape(mbh, 16, S * 16)
-    us = skew.skew_plane(jnp.asarray(u).astype(jnp.int16), 8, P) \
-        .reshape(mbh, 8, S * 8)
-    vs = skew.skew_plane(jnp.asarray(v).astype(jnp.int16), 8, P) \
-        .reshape(mbh, 8, S * 8)
-    i16_sk = skew.skew_mb(jnp.asarray(i16_mode, jnp.int32), P)
-    cm_sk = skew.skew_mb(jnp.asarray(chroma_mode, jnp.int32), P)
+    def strips(plane, s):
+        """skewed plane [mbh*s, S*s] -> strip-major [S, mbh, s, s]."""
+        return plane.reshape(mbh, s, S, s).transpose(2, 0, 1, 3)
+
+    def lanes(mb_sk):
+        """skewed per-MB scalars [mbh, S] -> [S, mbh, 1] (sublane-major
+        so in-kernel broadcasts never relayout lanes to sublanes)."""
+        return mb_sk.T.reshape(S, mbh, 1)
+
+    ys = strips(skew.skew_plane(jnp.asarray(y).astype(jnp.int16), 16, P),
+                16)
+    us = strips(skew.skew_plane(jnp.asarray(u).astype(jnp.int16), 8, P), 8)
+    vs = strips(skew.skew_plane(jnp.asarray(v).astype(jnp.int16), 8, P), 8)
+    i16_sk = lanes(skew.skew_mb(jnp.asarray(i16_mode, jnp.int32), P))
+    cm_sk = lanes(skew.skew_mb(jnp.asarray(chroma_mode, jnp.int32), P))
     qp_sk = skew.skew_mb(jnp.asarray(qp_mb, jnp.int32), P)
     qpc_sk = skew.skew_mb(jnp.asarray(qpc_mb, jnp.int32), P)
     lqmf, ldmf, lsc = _quant_params(qp_sk)
     cqmf, cdmf, csc = _quant_params(qpc_sk)
+    lqmf, ldmf = [t.transpose(1, 0, 2, 3) for t in (lqmf, ldmf)]
+    cqmf, cdmf = [t.transpose(1, 0, 2, 3) for t in (cqmf, cdmf)]
+    lsc = lsc.transpose(1, 0, 2)
+    csc = csc.transpose(1, 0, 2)
 
     inputs = [np.asarray(_CONSTS[nm], np.int32) for nm in _CONST_NAMES]
     in_specs = [pl.BlockSpec(_CONSTS[nm].shape, lambda d: (0, 0))
                 for nm in _CONST_NAMES]
     inputs += [ys, us, vs, i16_sk, cm_sk, lqmf, ldmf, lsc, cqmf, cdmf, csc]
     in_specs += [
-        pl.BlockSpec((mbh, 16, 16), lambda d: (0, 0, d + P_STRIPS)),
-        pl.BlockSpec((mbh, 8, 8), lambda d: (0, 0, d + P_STRIPS)),
-        pl.BlockSpec((mbh, 8, 8), lambda d: (0, 0, d + P_STRIPS)),
-        pl.BlockSpec((mbh, 1), lambda d: (0, d + P_STRIPS)),
-        pl.BlockSpec((mbh, 1), lambda d: (0, d + P_STRIPS)),
-        pl.BlockSpec((mbh, 1, 4, 4), lambda d: (0, d + P_STRIPS, 0, 0)),
-        pl.BlockSpec((mbh, 1, 4, 4), lambda d: (0, d + P_STRIPS, 0, 0)),
-        pl.BlockSpec((mbh, 1, 8), lambda d: (0, d + P_STRIPS, 0)),
-        pl.BlockSpec((mbh, 1, 4, 4), lambda d: (0, d + P_STRIPS, 0, 0)),
-        pl.BlockSpec((mbh, 1, 4, 4), lambda d: (0, d + P_STRIPS, 0, 0)),
-        pl.BlockSpec((mbh, 1, 8), lambda d: (0, d + P_STRIPS, 0)),
+        pl.BlockSpec((1, mbh, 16, 16), lambda d: (d + P_STRIPS, 0, 0, 0)),
+        pl.BlockSpec((1, mbh, 8, 8), lambda d: (d + P_STRIPS, 0, 0, 0)),
+        pl.BlockSpec((1, mbh, 8, 8), lambda d: (d + P_STRIPS, 0, 0, 0)),
+        pl.BlockSpec((1, mbh, 1), lambda d: (d + P_STRIPS, 0, 0)),
+        pl.BlockSpec((1, mbh, 1), lambda d: (d + P_STRIPS, 0, 0)),
+        pl.BlockSpec((1, mbh, 4, 4), lambda d: (d + P_STRIPS, 0, 0, 0)),
+        pl.BlockSpec((1, mbh, 4, 4), lambda d: (d + P_STRIPS, 0, 0, 0)),
+        pl.BlockSpec((1, mbh, 8), lambda d: (d + P_STRIPS, 0, 0)),
+        pl.BlockSpec((1, mbh, 4, 4), lambda d: (d + P_STRIPS, 0, 0, 0)),
+        pl.BlockSpec((1, mbh, 4, 4), lambda d: (d + P_STRIPS, 0, 0, 0)),
+        pl.BlockSpec((1, mbh, 8), lambda d: (d + P_STRIPS, 0, 0)),
     ]
     if mixed:
-        ia_sk = skew.skew_mb(jnp.asarray(is_intra).astype(jnp.int32), P)
-        yi = skew.skew_plane(
-            jnp.asarray(inter_planes[0]).astype(jnp.int16), 16, P) \
-            .reshape(mbh, 16, S * 16)
-        ui = skew.skew_plane(
-            jnp.asarray(inter_planes[1]).astype(jnp.int16), 8, P) \
-            .reshape(mbh, 8, S * 8)
-        vi = skew.skew_plane(
-            jnp.asarray(inter_planes[2]).astype(jnp.int16), 8, P) \
-            .reshape(mbh, 8, S * 8)
+        ia_sk = lanes(skew.skew_mb(jnp.asarray(is_intra).astype(jnp.int32),
+                                   P))
+        yi = strips(skew.skew_plane(
+            jnp.asarray(inter_planes[0]).astype(jnp.int16), 16, P), 16)
+        ui = strips(skew.skew_plane(
+            jnp.asarray(inter_planes[1]).astype(jnp.int16), 8, P), 8)
+        vi = strips(skew.skew_plane(
+            jnp.asarray(inter_planes[2]).astype(jnp.int16), 8, P), 8)
         inputs += [ia_sk, yi, ui, vi]
         in_specs += [
-            pl.BlockSpec((mbh, 1), lambda d: (0, d + P_STRIPS)),
-            pl.BlockSpec((mbh, 16, 16), lambda d: (0, 0, d + P_STRIPS)),
-            pl.BlockSpec((mbh, 8, 8), lambda d: (0, 0, d + P_STRIPS)),
-            pl.BlockSpec((mbh, 8, 8), lambda d: (0, 0, d + P_STRIPS)),
+            pl.BlockSpec((1, mbh, 1), lambda d: (d + P_STRIPS, 0, 0)),
+            pl.BlockSpec((1, mbh, 16, 16),
+                         lambda d: (d + P_STRIPS, 0, 0, 0)),
+            pl.BlockSpec((1, mbh, 8, 8), lambda d: (d + P_STRIPS, 0, 0, 0)),
+            pl.BlockSpec((1, mbh, 8, 8), lambda d: (d + P_STRIPS, 0, 0, 0)),
         ]
 
     out_shape = [
-        jax.ShapeDtypeStruct((mbh, 16, S * 16), jnp.int16),   # recy
-        jax.ShapeDtypeStruct((mbh, 8, S * 8), jnp.int16),
-        jax.ShapeDtypeStruct((mbh, 8, S * 8), jnp.int16),
+        jax.ShapeDtypeStruct((S, mbh, 16, 16), jnp.int16),    # recy
+        jax.ShapeDtypeStruct((S, mbh, 8, 8), jnp.int16),
+        jax.ShapeDtypeStruct((S, mbh, 8, 8), jnp.int16),
         jax.ShapeDtypeStruct((D, mbh, 4, 4), jnp.int32),      # dc
         jax.ShapeDtypeStruct((D, mbh, 16, 16), jnp.int32),    # ac packed
         jax.ShapeDtypeStruct((D, mbh, 2, 2), jnp.int32),      # udc
@@ -478,9 +497,9 @@ def commit_i16_pallas(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
         jax.ShapeDtypeStruct((D, mbh, 8, 8), jnp.int32),
     ]
     out_specs = [
-        pl.BlockSpec((mbh, 16, 16), lambda d: (0, 0, d + P_STRIPS)),
-        pl.BlockSpec((mbh, 8, 8), lambda d: (0, 0, d + P_STRIPS)),
-        pl.BlockSpec((mbh, 8, 8), lambda d: (0, 0, d + P_STRIPS)),
+        pl.BlockSpec((1, mbh, 16, 16), lambda d: (d + P_STRIPS, 0, 0, 0)),
+        pl.BlockSpec((1, mbh, 8, 8), lambda d: (d + P_STRIPS, 0, 0, 0)),
+        pl.BlockSpec((1, mbh, 8, 8), lambda d: (d + P_STRIPS, 0, 0, 0)),
         pl.BlockSpec((1, mbh, 4, 4), lambda d: (d, 0, 0, 0)),
         pl.BlockSpec((1, mbh, 16, 16), lambda d: (d, 0, 0, 0)),
         pl.BlockSpec((1, mbh, 2, 2), lambda d: (d, 0, 0, 0)),
@@ -502,14 +521,23 @@ def commit_i16_pallas(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
         out_specs=out_specs,
         scratch_shapes=scratch,
         interpret=interpret,
+        # the 16-wide strip blocks pad to 128 lanes, so the pipeline's
+        # double buffers blow the 16M default scoped-vmem budget at
+        # 1080p; v5e has 128M VMEM — give the kernel half of it
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(*inputs)
     recy, recu, recv, dc, ac, udc, uac, vdc, vac = outs
+
+    def unstrips(t, s):
+        return t.transpose(1, 2, 0, 3).reshape(mbh * s, S * s)
+
     recon = (
-        skew.unskew_plane(recy.reshape(mbh * 16, S * 16), 16, mbw, P)
+        skew.unskew_plane(unstrips(recy, 16), 16, mbw, P)
         .astype(jnp.uint8),
-        skew.unskew_plane(recu.reshape(mbh * 8, S * 8), 8, mbw, P)
+        skew.unskew_plane(unstrips(recu, 8), 8, mbw, P)
         .astype(jnp.uint8),
-        skew.unskew_plane(recv.reshape(mbh * 8, S * 8), 8, mbw, P)
+        skew.unskew_plane(unstrips(recv, 8), 8, mbw, P)
         .astype(jnp.uint8))
 
     def unsk(t):
