@@ -326,6 +326,7 @@ def residual_block(r: BitReader, nc: int, max_coeff: int):
 ZIG4 = np.array([0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15])
 # codeNum -> coded_block_pattern, inter (spec table 9-4)
 _CBP_FROM_GOLOMB_INTER = np.argsort(V.CBP_TO_GOLOMB_INTER)
+_CBP_FROM_GOLOMB_INTRA = np.argsort(V.CBP_TO_GOLOMB_INTRA)
 CHROMA_QP = np.array(list(range(30)) +
                      [29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37,
                       37, 38, 38, 38, 39, 39, 39, 39])
@@ -564,6 +565,7 @@ class Decoder:
 
     def decode_slice(self, r: BitReader, idr: bool, nal_ref_idc: int = 1):
         sps, pps = self.sps, self.pps
+        self._wp = None
         first_mb = r.ue()
         slice_type = r.ue() % 5
         r.ue()  # pps id
@@ -605,7 +607,19 @@ class Decoder:
             if slice_type == 1 and r.u1():  # ref_pic_list_modification l1
                 raise NotImplementedError("ref list modification l1")
             if pps.weighted_pred and slice_type == 0:
-                raise NotImplementedError("pred weight table")
+                # pred_weight_table (spec 7.3.3.2): luma weights per l0
+                # ref; chroma must be unweighted (encoder writes flag 0)
+                denom_l = r.ue()
+                r.ue()                        # chroma_log2_weight_denom
+                wl = []
+                for _ in range(num_ref):
+                    if r.u1():
+                        wl.append((denom_l, r.se(), r.se()))
+                    else:
+                        wl.append(None)
+                    if r.u1():
+                        raise NotImplementedError("chroma weights")
+                self._wp = wl
         if nal_ref_idc:
             if idr:
                 r.u1()
@@ -642,6 +656,7 @@ class Decoder:
         nnz_l = np.zeros((sps.mb_h * 4, sps.mb_w * 4), np.int32)
         nnz_c = np.zeros((2, sps.mb_h * 2, sps.mb_w * 2), np.int32)
         qp_map = np.zeros((sps.mb_h, sps.mb_w), np.int32)
+        imode4 = np.full((sps.mb_h * 4, sps.mb_w * 4), 2, np.int32)
         if first_mb != 0:
             raise NotImplementedError("multi-slice")
         for mbidx in range(sps.mb_w * sps.mb_h):
@@ -659,8 +674,24 @@ class Decoder:
                 nnz_l[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 16
                 nnz_c[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 16
                 continue
-            if mb_type == 0:
-                raise NotImplementedError("I4x4 (coming)")
+            if mb_type == 0:                # I_4x4
+                modes = self._decode_i4_modes(r, imode4, mx, my)
+                chroma_mode = r.ue()
+                cbp_code = r.ue()
+                if cbp_code >= 48:
+                    raise ValueError("bad intra cbp code")
+                cbp = int(_CBP_FROM_GOLOMB_INTRA[cbp_code])
+                cbp_l, cbp_c = cbp & 15, cbp >> 4
+                if cbp_l and pps.transform_8x8:
+                    if r.u1():
+                        raise NotImplementedError("8x8 transform")
+                if cbp:
+                    qp += r.se()
+                qp_map[my, mx] = qp
+                self._decode_i4_mb(r, y, u, v, nnz_l, nnz_c, mx, my,
+                                   modes, chroma_mode, cbp_l, cbp_c, qp,
+                                   sps, pps)
+                continue
             if not 1 <= mb_type <= 24:
                 raise ValueError(f"bad I mb_type {mb_type} at mb {mbidx}")
             pred_mode = (mb_type - 1) % 4
@@ -729,6 +760,7 @@ class Decoder:
         filled4 = np.zeros((sps.mb_h * 4, sps.mb_w * 4), bool)  # decoded
         intra_map = np.zeros((sps.mb_h, sps.mb_w), bool)
         qp_map = np.zeros((sps.mb_h, sps.mb_w), np.int32)
+        imode4 = np.full((sps.mb_h * 4, sps.mb_w * 4), 2, np.int32)
         mbidx = 0
 
         def fill_mb(mx, my, mv, inter=True):
@@ -742,7 +774,7 @@ class Decoder:
             x0, y0 = mx * 16 + px, my * 16 + py
             pred = self._luma_mc(planes, x0, y0,
                                  int(mv[0]), int(mv[1]), bs=(ph, pw))
-            y[y0:y0 + ph, x0:x0 + pw] = pred
+            y[y0:y0 + ph, x0:x0 + pw] = self._wp_apply(pred)
             cx, cy, cw, ch = x0 // 2, y0 // 2, pw // 2, ph // 2
             u[cy:cy + ch, cx:cx + cw] = self._chroma_mc(
                 ru, cx, cy, int(mv[0]), int(mv[1]), bs=(ch, cw))
@@ -767,8 +799,22 @@ class Decoder:
             if mb_type >= 5:
                 # I16-in-P (spec: P-slice intra mb_type = value - 5)
                 icode = mb_type - 5
-                if icode == 0:
-                    raise NotImplementedError("I_4x4 in P")
+                if icode == 0:              # I_4x4 in P
+                    modes = self._decode_i4_modes(r, imode4, mx, my)
+                    chroma_mode = r.ue()
+                    cbp_code = r.ue()
+                    cbp = int(_CBP_FROM_GOLOMB_INTRA[cbp_code])
+                    cbp_l, cbp_c = cbp & 15, cbp >> 4
+                    if cbp:
+                        qp += r.se()
+                    qp_map[my, mx] = qp
+                    intra_map[my, mx] = True
+                    fill_mb(mx, my, 0, inter=False)
+                    self._decode_i4_mb(r, y, u, v, nnz_l, nnz_c, mx, my,
+                                       modes, chroma_mode, cbp_l, cbp_c,
+                                       qp, sps, pps)
+                    mbidx += 1
+                    continue
                 if icode == 25:
                     raise NotImplementedError("I_PCM in P")
                 if not 1 <= icode <= 24:
@@ -900,6 +946,239 @@ class Decoder:
                 py, px = my * 8 + by2 * 4, mx * 8 + bx2 * 4
                 plane[py:py + 4, px:px + 4] = np.clip(
                     plane[py:py + 4, px:px + 4] + res, 0, 255)
+
+    # in-MB 4x4 blocks (raster bx,by) whose above-right neighbor is
+    # unavailable by z-scan decoding order (spec 6.4.12.3)
+    _I4_TR_UNAVAIL = {(1, 1), (3, 1), (3, 2), (1, 3), (3, 3)}
+
+    @staticmethod
+    def _pred4x4(mode, left, top, tl, al, at):
+        """Intra_4x4 prediction, spec 8.3.1.2. left[4] downward, top[8]
+        (caller substitutes t[3] for unavailable top-right), tl scalar."""
+        p = np.zeros((4, 4), np.int64)
+        t = np.asarray(top, np.int64)
+        l_ = np.asarray(left, np.int64)
+        tl = int(tl)
+        xx = np.arange(4)[None, :]
+        yy = np.arange(4)[:, None]
+        if mode == 0:                      # Vertical
+            p[:] = t[:4][None, :]
+        elif mode == 1:                    # Horizontal
+            p[:] = l_[:, None]
+        elif mode == 2:                    # DC
+            if at and al:
+                p[:] = (t[:4].sum() + l_.sum() + 4) >> 3
+            elif at:
+                p[:] = (t[:4].sum() + 2) >> 2
+            elif al:
+                p[:] = (l_.sum() + 2) >> 2
+            else:
+                p[:] = 128
+        elif mode == 3:                    # Diagonal-down-left
+            for y_ in range(4):
+                for x_ in range(4):
+                    if x_ == 3 and y_ == 3:
+                        p[y_, x_] = (t[6] + 3 * t[7] + 2) >> 2
+                    else:
+                        s = x_ + y_
+                        p[y_, x_] = (t[s] + 2 * t[s + 1] + t[s + 2] + 2) \
+                            >> 2
+        elif mode == 4:                    # Diagonal-down-right
+            for y_ in range(4):
+                for x_ in range(4):
+                    if x_ > y_:
+                        s = x_ - y_
+                        a = tl if s - 2 == -2 else 0
+                        e = [tl, *t[:4]]       # e[i] = p[i-1,-1]
+                        p[y_, x_] = (e[s - 1] + 2 * e[s] + e[s + 1] + 2) \
+                            >> 2
+                    elif x_ < y_:
+                        s = y_ - x_
+                        e = [tl, *l_]
+                        p[y_, x_] = (e[s - 1] + 2 * e[s] + e[s + 1] + 2) \
+                            >> 2
+                    else:
+                        p[y_, x_] = (t[0] + 2 * tl + l_[0] + 2) >> 2
+        elif mode == 5:                    # Vertical-right
+            e = [tl, *t]                   # e[i+1] = t[i]; e[0] = tl
+            for y_ in range(4):
+                for x_ in range(4):
+                    z = 2 * x_ - y_
+                    if z >= 0 and z % 2 == 0:
+                        i = x_ - (y_ >> 1)
+                        p[y_, x_] = (e[i] + e[i + 1] + 1) >> 1
+                    elif z >= 0:
+                        i = x_ - (y_ >> 1)
+                        p[y_, x_] = (e[i - 1] + 2 * e[i] + e[i + 1] + 2) \
+                            >> 2
+                    elif z == -1:
+                        p[y_, x_] = (l_[0] + 2 * tl + t[0] + 2) >> 2
+                    else:
+                        e2 = [tl, *l_]     # e2[i+1] = p[-1, i]
+                        p[y_, x_] = (e2[y_] + 2 * e2[y_ - 1]
+                                     + e2[y_ - 2] + 2) >> 2
+        elif mode == 6:                    # Horizontal-down
+            e = [tl, *l_]
+            for y_ in range(4):
+                for x_ in range(4):
+                    z = 2 * y_ - x_
+                    if z >= 0 and z % 2 == 0:
+                        i = y_ - (x_ >> 1)
+                        p[y_, x_] = (e[i] + e[i + 1] + 1) >> 1
+                    elif z >= 0:
+                        i = y_ - (x_ >> 1)
+                        p[y_, x_] = (e[i - 1] + 2 * e[i] + e[i + 1] + 2) \
+                            >> 2
+                    elif z == -1:
+                        p[y_, x_] = (l_[0] + 2 * tl + t[0] + 2) >> 2
+                    else:
+                        e2 = [tl, *t]      # e2[i+1] = p[i, -1]
+                        p[y_, x_] = (e2[x_] + 2 * e2[x_ - 1]
+                                     + e2[x_ - 2] + 2) >> 2
+        elif mode == 7:                    # Vertical-left
+            for y_ in range(4):
+                for x_ in range(4):
+                    i = x_ + (y_ >> 1)
+                    if y_ % 2 == 0:
+                        p[y_, x_] = (t[i] + t[i + 1] + 1) >> 1
+                    else:
+                        p[y_, x_] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) \
+                            >> 2
+        else:                              # 8: Horizontal-up
+            for y_ in range(4):
+                for x_ in range(4):
+                    z = x_ + 2 * y_
+                    i = y_ + (x_ >> 1)
+                    if z > 5:
+                        p[y_, x_] = l_[3]
+                    elif z == 5:
+                        p[y_, x_] = (l_[2] + 3 * l_[3] + 2) >> 2
+                    elif z % 2 == 0:
+                        p[y_, x_] = (l_[i] + l_[i + 1] + 1) >> 1
+                    else:
+                        p[y_, x_] = (l_[i] + 2 * l_[i + 1] + l_[i + 2]
+                                     + 2) >> 2
+        return p
+
+    def _i4_block_neighbors(self, y, mx, my, bx, by, mbw):
+        """(left4, top8, tl, al, at) for global block (mx*4+bx, my*4+by)
+        from the decoded plane, spec availability + 8.3.1.2 top-right
+        substitution."""
+        gx, gy = mx * 4 + bx, my * 4 + by
+        al = gx > 0
+        at = gy > 0
+        px, py = gx * 4, gy * 4
+        left4 = y[py:py + 4, px - 1] if al else np.zeros(4, np.int64)
+        if at:
+            t03 = y[py - 1, px:px + 4]
+            if by == 0:
+                tr_ok = (bx < 3) or (mx < mbw - 1)
+            else:
+                tr_ok = (bx, by) not in self._I4_TR_UNAVAIL
+            if tr_ok and px + 8 <= y.shape[1]:
+                t47 = y[py - 1, px + 4:px + 8]
+            else:
+                t47 = np.full(4, t03[3], np.int64)
+            top8 = np.concatenate([t03, t47])
+        else:
+            top8 = np.zeros(8, np.int64)
+        tl = y[py - 1, px - 1] if (al and at) else 0
+        return left4, top8, tl, al, at
+
+    def _decode_i4_modes(self, r, imode4, mx, my):
+        """Parse 16 prev_flag/rem mode elements (z-scan); returns raster
+        [16] modes and updates the frame MPM grid."""
+        modes = np.zeros(16, np.int32)
+        for z in range(16):
+            bx, by = int(ZBLK_X[z]), int(ZBLK_Y[z])
+            gx, gy = mx * 4 + bx, my * 4 + by
+            if gx == 0 or gy == 0:
+                mpm = 2
+            else:
+                mpm = min(int(imode4[gy, gx - 1]), int(imode4[gy - 1, gx]))
+            if r.u1():
+                mode = mpm
+            else:
+                rem = r.u(3)
+                mode = rem + (1 if rem >= mpm else 0)
+            imode4[gy, gx] = mode
+            modes[by * 4 + bx] = mode
+        return modes
+
+    def _decode_i4_mb(self, r, y, u, v, nnz_l, nnz_c, mx, my, modes,
+                      chroma_mode, cbp_l, cbp_c, qp, sps, pps,
+                      luma_resid=None):
+        """I_4x4 MB: luma per-block residual parse (z-scan, cbp-gated,
+        16-coeff blocks) + sequential prediction/recon; chroma exactly as
+        I16. luma_resid [16,16] overrides parsing (CABAC path)."""
+        mbw = sps.mb_w
+        resid = np.zeros((16, 16), np.int64)
+        if luma_resid is not None:
+            resid = luma_resid
+        for z in range(16):
+            bx, by = int(ZBLK_X[z]), int(ZBLK_Y[z])
+            raster = by * 4 + bx
+            gx, gy = mx * 4 + bx, my * 4 + by
+            quad = (by >> 1) * 2 + (bx >> 1)
+            if luma_resid is None:
+                if cbp_l & (1 << quad):
+                    nc = self._nc(nnz_l, gx, gy)
+                    coeffs, tot = residual_block(r, nc, 16)
+                    resid[raster] = coeffs
+                    nnz_l[gy, gx] = tot
+                else:
+                    nnz_l[gy, gx] = 0
+            # recon must follow parse order (z-scan deps)
+            left4, top8, tl, al, at = self._i4_block_neighbors(
+                y, mx, my, bx, by, mbw)
+            pred = self._pred4x4(int(modes[raster]), left4, top8, tl,
+                                 al, at)
+            d = dequant4(resid[raster], qp)
+            res = idct4(d)
+            px, py = gx * 4, gy * 4
+            y[py:py + 4, px:px + 4] = np.clip(pred + res, 0, 255)
+        # chroma: identical syntax/recon to the I16 path
+        self._decode_chroma_intra(r, u, v, nnz_c, mx, my, chroma_mode,
+                                  cbp_c, qp, pps)
+
+    def _decode_chroma_intra(self, r, u, v, nnz_c, mx, my, chroma_mode,
+                             cbp_c, qp, pps):
+        qpc_idx = np.clip(qp + pps.chroma_qp_index_offset, 0, 51)
+        qpc = int(CHROMA_QP[qpc_idx])
+        dcvs = []
+        for ci in range(2):
+            if cbp_c:
+                dcs, _ = residual_block(r, -1, 4)
+            else:
+                dcs = np.zeros(4, np.int32)
+            dc2 = np.array([[dcs[0], dcs[1]], [dcs[2], dcs[3]]], np.int64)
+            H2 = np.array([[1, 1], [1, -1]], np.int64)
+            f2 = H2 @ dc2 @ H2
+            mf16 = int(np.array([10, 11, 13, 14, 16, 18])[qpc % 6]) * 16
+            dcvs.append(((f2 * mf16) << (qpc // 6)) >> 5)
+        cac = np.zeros((2, 4, 16), np.int64)
+        for ci in range(2):
+            for blk in range(4):
+                bx2, by2 = blk % 2, blk // 2
+                if cbp_c == 2:
+                    nc = self._nc(nnz_c[ci], mx * 2 + bx2, my * 2 + by2)
+                    coeffs, tot = residual_block(r, nc, 15)
+                    cac[ci, blk, 1:] = coeffs
+                    nnz_c[ci, my * 2 + by2, mx * 2 + bx2] = tot
+                else:
+                    nnz_c[ci, my * 2 + by2, mx * 2 + bx2] = 0
+        for ci, plane in ((0, u), (1, v)):
+            predc = self.predc(chroma_mode, plane, mx, my)
+            outc = np.zeros((8, 8), np.int64)
+            for blk in range(4):
+                bx2, by2 = blk % 2, blk // 2
+                d = dequant4(cac[ci, blk], qpc)
+                d[0, 0] = dcvs[ci][by2, bx2]
+                res = idct4(d)
+                outc[by2 * 4:by2 * 4 + 4, bx2 * 4:bx2 * 4 + 4] = \
+                    predc[by2 * 4:by2 * 4 + 4, bx2 * 4:bx2 * 4 + 4] + res
+            plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
+                np.clip(outc, 0, 255)
 
     def _nc(self, nnz, bx, by):
         has_a, has_b = bx > 0, by > 0
@@ -1035,6 +1314,16 @@ class Decoder:
                 (usef[my - 1, mx] and not np.any(mvf[my - 1, mx])):
             return np.zeros(2, np.int64)
         return self._mvp_match(mvf, usef, mx, my)
+
+    def _wp_apply(self, pred, ref_idx=0):
+        """Explicit weighted prediction, luma (spec 8.4.2.3.3)."""
+        wl = getattr(self, "_wp", None)
+        if not wl or wl[ref_idx] is None:
+            return pred
+        d, w, o = wl[ref_idx]
+        if d >= 1:
+            return np.clip(((pred * w + (1 << (d - 1))) >> d) + o, 0, 255)
+        return np.clip(pred * w + o, 0, 255)
 
     @staticmethod
     def _mvp_block4(mv4, use4, filled4, gx, gy, pw):
@@ -1700,7 +1989,8 @@ class Decoder:
                     filled40[s4] = True
                     pred = self._luma_mc(planes0, mx * 16, my * 16,
                                          int(mv[0]), int(mv[1]))
-                    y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = pred
+                    y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
+                        self._wp_apply(pred)
                     u[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
                         self._chroma_mc(ru0, mx * 8, my * 8,
                                         int(mv[0]), int(mv[1]))
@@ -1803,9 +2093,10 @@ class Decoder:
                             use0[my, mx] = True
                         x0, y0 = mx * 16 + px * 4, my * 16 + py * 4
                         lw, lh = pw * 4, ph * 4
-                        y[y0:y0 + lh, x0:x0 + lw] = self._luma_mc(
-                            planes0, x0, y0, int(mv[0]), int(mv[1]),
-                            bs=(lh, lw))
+                        y[y0:y0 + lh, x0:x0 + lw] = self._wp_apply(
+                            self._luma_mc(planes0, x0, y0,
+                                          int(mv[0]), int(mv[1]),
+                                          bs=(lh, lw)))
                         cx, cy = x0 // 2, y0 // 2
                         cw, chh = lw // 2, lh // 2
                         u[cy:cy + chh, cx:cx + cw] = self._chroma_mc(

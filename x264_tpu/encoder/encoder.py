@@ -120,7 +120,9 @@ def validate_parameters(p: P.Params) -> P.Params:
         p.bframe_pyramid = P.B_PYRAMID_NONE
         p.bframe_adaptive = P.B_ADAPT_NONE
     # round-1 feature gates
-    p.analyse.weighted_pred = 0   # weightp lands with the lookahead
+    if p.analyse.weighted_pred > 1:
+        p.analyse.weighted_pred = 1   # SMART's dup-ref trick not needed:
+        # weights apply directly on the single signaled ref
     # 8x8 transform unimplemented: must stay off until the mb-layer writes
     # transform_size_8x8_flag for inter MBs (spec 7.3.5)
     p.analyse.transform_8x8 = False
@@ -141,6 +143,19 @@ class Encoder:
         self.sps = sets.sps_init(self.p, self.p.sps_id)
         self.pps = sets.pps_init(self.p, self.sps, self.p.sps_id)
         self.mb_w, self.mb_h = self.p.mb_width, self.p.mb_height
+        # commit backend (SURVEY §2.5: one Pallas backend + the pure-JAX
+        # reference): 'auto' = Pallas on a real accelerator, XLA scan on
+        # CPU (Mosaic kernels don't lower there)
+        if self.p.tpu_backend == "pallas":
+            self.use_pallas = True
+        elif self.p.tpu_backend == "auto":
+            import jax
+            try:
+                self.use_pallas = jax.default_backend() not in ("cpu",)
+            except Exception:
+                self.use_pallas = False
+        else:
+            self.use_pallas = False
         self.frame_num = 0          # frame_num syntax element
         self.idr_pic_id = 0
         self.frames_in = 0          # pictures accepted

@@ -108,7 +108,7 @@ class FarmEncoder:
         if idr:
             self.frame_num = 0
             self.poc = 0
-            words, bits, recon, _ = self._i_step(y, u, v)
+            words, bits, recon, _, _ = self._i_step(y, u, v)
             ftype, ntype, ridc = (TYPE_IDR, nal_mod.NAL_SLICE_IDR,
                                   nal_mod.NAL_PRIORITY_HIGHEST)
         else:

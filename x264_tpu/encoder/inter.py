@@ -594,7 +594,7 @@ def mv_predictors_part(mv4, inter4, part_mode):
                                    "deblock", "a_off", "b_off", "cqpo",
                                    "decimate", "entropy", "intra_in_p",
                                    "partitions", "pir", "me_seeded",
-                                   "nr"))
+                                   "nr", "use_pallas", "i4"))
 def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
                          qp_mb, qpc_mb, slice_qp, lam,
                          pir_cap=None, pir_band=None,
@@ -602,7 +602,8 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
                          a_off=0, b_off=0, cqpo=0, decimate=True,
                          entropy=True, intra_in_p=True, partitions=False,
                          pir=False, me_seeded=False, nr=False,
-                         nr_offset=None):
+                         nr_offset=None, use_pallas=False, i4=False,
+                         wp_w=None, wp_o=None):
     """Fused P-frame device pass: ME -> intra-vs-inter decision ->
     MVP/skip -> MC -> transform (+ mixed wavefront commit when any MB
     goes intra) -> entropy -> packed payload. Returns (words, total_bits,
@@ -680,16 +681,36 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
                                                         mbw * 4, 2)
     satd_cost = jnp.sum(inter_cost)
 
+    # --- weighted prediction (spec 8.4.2.3.3, luma only): applied to the
+    # final interpolated prediction with denom 7; (128, 0) is an exact
+    # identity so the unweighted path shares the same graph (traced
+    # scalars -> no recompiles between weighted/unweighted frames) ---
+    if wp_w is not None:
+        pred_y = jnp.clip(((pred_y * wp_w + 64) >> 7) + wp_o, 0, 255)
+
     # --- intra candidate (mode decision from source neighbors) ---
     if intra_in_p:
         i16_mode, chroma_mode, _, i16_cost = decide_modes_full(y, u, v)
+        if i4:
+            from .intra import decide_modes_i4
+            i4_modes, i4_cost = decide_modes_i4(y)
+            i4_cost = i4_cost + lam * 24       # mode-bits bias
+            use_i4 = i4_cost < i16_cost
+            best_intra = jnp.minimum(i16_cost, i4_cost)
+        else:
+            i4_modes = None
+            use_i4 = jnp.zeros((mbh, mbw), bool)
+            best_intra = i16_cost
         # mb_type ue(6..29) + chroma mode vs inter's ue(0): ~12 bit bias
-        intra_cost = i16_cost.reshape(-1) + lam * 12
+        intra_cost = best_intra.reshape(-1) + lam * 12
         is_intra = (intra_cost < inter_cost).reshape(mbh, mbw)
+        i4_mask = is_intra & use_i4
     else:
         i16_mode = jnp.zeros((mbh, mbw), jnp.int32)
         chroma_mode = jnp.zeros((mbh, mbw), jnp.int32)
         is_intra = jnp.zeros((mbh, mbw), bool)
+        i4_mask = jnp.zeros((mbh, mbw), bool)
+        i4_modes = None
     if pir:
         # periodic intra refresh: force the sweep column band intra
         # (reference analyse.c:461-466 b_force_intra)
@@ -794,12 +815,16 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
     # decoded neighbors; runs only when some MB chose intra ---
     if intra_in_p:
         def commit_branch(_):
-            from .intra import _commit_scan as scan_fn
-            coeffs, rec = scan_fn(y, u, v, i16_mode, chroma_mode,
-                                  qp_mb, qpc_mb, mbw, mbh,
-                                  is_intra=is_intra,
-                                  inter_planes=(recon_y, recon_u,
-                                                recon_v))
+            from .intra import commit_dispatch
+            coeffs, rec = commit_dispatch(y, u, v, i16_mode, chroma_mode,
+                                          qp_mb, qpc_mb, mbw, mbh,
+                                          is_intra=is_intra,
+                                          inter_planes=(recon_y, recon_u,
+                                                        recon_v),
+                                          use_pallas=use_pallas,
+                                          i4_mask=(i4_mask if i4
+                                                   else None),
+                                          i4_modes=i4_modes)
             return coeffs, rec
 
         def skip_branch(_):
@@ -837,8 +862,10 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
         qnnz = sum(nnz_l[:, i] for i in idx)
         cbp_bits.append((qnnz > 0).astype(jnp.int32) << qd)
     cbp_luma = sum(cbp_bits)
-    # I16 MBs code cbp_luma as all-or-nothing 0/15
-    cbp_luma = jnp.where(is_intra_f,
+    # I16 MBs code cbp_luma as all-or-nothing 0/15; I4 MBs keep the
+    # per-quadrant bits (computed from the merged levels above)
+    is_i4_f = i4_mask.reshape(-1)
+    cbp_luma = jnp.where(is_intra_f & ~is_i4_f,
                          jnp.where(jnp.sum(nnz_l, axis=1) > 0, 15, 0),
                          cbp_luma)
     any_cac = (jnp.sum(jnp.sum(uac.reshape(n, 4, 16) != 0, axis=2), axis=1)
@@ -864,7 +891,9 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
             mbw=mbw, mbh=mbh, cap_words=cap_words,
             is_intra=is_intra_f, i16_mode=i16_mode.reshape(-1),
             chroma_mode=chroma_mode.reshape(-1), luma_dc=dc_blk,
-            part_mode=part_mode, mvd2=mvd2)
+            part_mode=part_mode, mvd2=mvd2,
+            is_i4=is_i4_f if i4 else None,
+            i4_modes=(i4_modes.reshape(-1, 16) if i4 else None))
     else:
         # decoder-carried QP: MBs that parse mb_qp_delta update QP_prev —
         # inter MBs with cbp>0, and every I16 MB (dqp always coded)
@@ -889,6 +918,9 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
             "chroma_mode": chroma_mode.reshape(-1),
             "luma_dc_z": dc_blk.reshape(n, 16)[:, zig],
             "part_mode": part_mode, "mvd2": mvd2,
+            "is_i4": is_i4_f,
+            "i4_modes": (i4_modes.reshape(-1, 16) if i4 else
+                         jnp.zeros((n, 16), jnp.int32)),
         }
         words, total_bits = decisions, None
     if deblock:
@@ -908,6 +940,7 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
     stats = {"nr_sums": nr_sums, "skip": jnp.sum(skip),
              "satd": satd_cost,
              "intra": jnp.sum(is_intra_f),
+             "i4": jnp.sum(is_i4_f),
              "p16x8": jnp.sum((part_mode == 1) & ~is_intra_f),
              "p8x16": jnp.sum((part_mode == 2) & ~is_intra_f),
              # colocated fields for B spatial direct (mvpred.c:290):
@@ -986,13 +1019,21 @@ def dispatch_pframe(enc, planes, ftype, qp, ref_tag=None, tree_off=None,
     me_range = min(enc.p.analyse.me_range, mc.PAD - 8)
     sh = enc._slice_header(ftype, qp)
     apply_ref_list_mod(enc, ref, sh)
+    # weighted prediction (x264 --weightp): fit on this frame vs its ref
+    wp = None
+    if enc.p.analyse.weighted_pred > 0:
+        wp = weightp_analyse(y, ref["y_pad"])
+        sh.weight_l0 = [wp]
+        if wp is not None:
+            enc.stats["weightp_frames"] = \
+                enc.stats.get("weightp_frames", 0) + 1
     # frame_num/poc transitions are owned by the orchestrator (encoder.py)
     materialize = (enc.p.analyse.psnr or enc.p.analyse.ssim
                    or enc.p.dump_yuv or enc.p.full_recon)
 
     def attempt(qp_try):
         from .frame_encode import build_qp_maps
-        from ..params import ANALYSE_PSUB16x16
+        from ..params import ANALYSE_I4x4, ANALYSE_PSUB16x16
         qp_mb, qpc_mb = build_qp_maps(enc, y, u, v, qp_try, tree_off)
         # SAD/SATD-domain lambda (reference x264_lambda_tab scale)
         lam = max(1, int(round(2.0 ** ((qp_try - 12) / 6.0))))
@@ -1035,7 +1076,14 @@ def dispatch_pframe(enc, planes, ftype, qp, ref_tag=None, tree_off=None,
             b_off=enc.p.deblocking_filter_beta * 2,
             cqpo=enc.p.analyse.chroma_qp_offset,
             entropy=not enc.p.cabac,
-            partitions=bool(enc.p.analyse.inter & ANALYSE_PSUB16x16))
+            partitions=bool(enc.p.analyse.inter & ANALYSE_PSUB16x16),
+            use_pallas=enc.use_pallas,
+            # I4-in-P: CAVLC only until the C++ CABAC writer grows the
+            # I_4x4 syntax
+            i4=bool(enc.p.analyse.intra & ANALYSE_I4x4
+                    and not enc.p.cabac),
+            wp_w=(jnp.asarray(wp[0], jnp.int32) if wp else None),
+            wp_o=(jnp.asarray(wp[1], jnp.int32) if wp else None))
         enc._pending_ref_fields = {"mvf": stats["mvf"],
                                    "mvf4": stats["mvf4"],
                                    "inter_mask": stats["inter_mask"]}
@@ -1081,3 +1129,51 @@ def encode_pframe(enc, planes, ftype, qp):
     """Synchronous P-frame encode."""
     finalize, _, _, _ = dispatch_pframe(enc, planes, ftype, qp)
     return finalize()
+
+
+@jax.jit
+def _weightp_stats(y, ref_y_pad):
+    """Luma weight-fit statistics of the current source vs the reference
+    reconstruction (analysis twin of x264_weights_analyse,
+    slicetype.c:284 — full-res recon in place of ref lowres). 4x4
+    subsampled; returns (mean_cur, mean_ref, cov, var) device scalars."""
+    H, W = y.shape
+    c = y[::4, ::4].astype(jnp.float32)
+    r = ref_y_pad[mc.PAD:mc.PAD + H:4,
+                  mc.PAD:mc.PAD + W:4].astype(jnp.float32)
+    mcur = jnp.mean(c)
+    mref = jnp.mean(r)
+    cov = jnp.mean((c - mcur) * (r - mref))
+    var = jnp.mean((r - mref) ** 2)
+    return mcur, mref, cov, var
+
+
+@jax.jit
+def _weightp_sads(y, ref_y_pad, w, o):
+    """Subsampled SAD of cur vs unweighted / weighted ref (denom 7)."""
+    H, W = y.shape
+    c = y[::4, ::4].astype(jnp.int32)
+    r = ref_y_pad[mc.PAD:mc.PAD + H:4,
+                  mc.PAD:mc.PAD + W:4].astype(jnp.int32)
+    rw = jnp.clip(((r * w + 64) >> 7) + o, 0, 255)
+    return (jnp.sum(jnp.abs(c - r)), jnp.sum(jnp.abs(c - rw)))
+
+
+def weightp_analyse(y, ref_y_pad):
+    """Decide the luma weight for one P frame: fit scale/offset from
+    plane statistics, keep only if the weighted SAD clearly beats the
+    unweighted one (reference slicetype.c:284 enable rule). Returns
+    (w, o) at denom 7 or None."""
+    mcur, mref, cov, var = [float(t) for t in _weightp_stats(y, ref_y_pad)]
+    scale = cov / max(var, 1.0)
+    w = int(round(scale * 128))
+    w = max(-127, min(127, w))
+    o = int(round(mcur - (w / 128.0) * mref))
+    o = max(-128, min(127, o))
+    if w == 128 and o == 0:
+        return None
+    sad_u, sad_w = [int(t) for t in _weightp_sads(
+        y, ref_y_pad, jnp.asarray(w, jnp.int32), jnp.asarray(o, jnp.int32))]
+    if sad_w * 100 >= sad_u * 98:          # demand a >=2% SAD win
+        return None
+    return (w, o)

@@ -86,6 +86,141 @@ def decide_modes(y, u, v):
     return i16_mode, chroma_mode, satd_cost
 
 
+# z-scan coding order of 4x4 luma blocks (spec figure 6-10)
+I4_ZX = np.array([0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3])
+I4_ZY = np.array([0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3])
+# in-MB blocks whose above-right 4x4 neighbor is unavailable per the
+# z-scan decoding-order rule (spec 6.4.12.3): raster (bx,by) pairs
+_I4_TR_UNAVAIL_INMB = {(1, 1), (3, 1), (3, 2), (1, 3), (3, 3)}
+
+
+def _i4_block_avail(bx, by):
+    """Static availability kind of block (bx,by)'s above-right neighbor:
+    'real' (in-MB or above-MB, always decoded), 'lane' (depends on the
+    MB's above availability), 'none' (substituted t[3] per 8.3.1.2).
+    Block (3,0)'s above-right lives in the above-RIGHT MB which shares
+    our 1:1 wavefront diagonal — treated as 'none' and modes DDL/VL are
+    banned there (encoder-side choice; substitution never signaled)."""
+    if by == 0:
+        return "none" if bx == 3 else "lane"
+    return "none" if (bx, by) in _I4_TR_UNAVAIL_INMB else "real"
+
+
+@jax.jit
+def decide_modes_i4(y):
+    """Batched I4x4 mode decision from SOURCE neighbors (the two-phase
+    approximation; exact recon happens in the wavefront commit).
+
+    Returns (modes [mbh, mbw, 16] raster-block spec modes,
+    cost [mbh, mbw] summed luma SATD — compare against I16's)."""
+    from ..ops.predict import predict_4x4_all, predict_4x4_mode_valid
+    H, W = y.shape
+    mbh, mbw = H // 16, W // 16
+    H4, W4 = mbh * 4, mbw * 4
+    yi = y.astype(jnp.int32)
+    pad = jnp.pad(yi, ((1, 0), (1, 4)), mode="edge")  # top row + left col
+    blocks = _mb_tiles(y, 4).astype(jnp.int32)        # [H4, W4, 4, 4]
+    r4 = jnp.arange(4)
+    by4 = jnp.arange(H4)[:, None]
+    bx4 = jnp.arange(W4)[None, :]
+    top8 = pad[by4[..., None] * 4 + 1 - 1,
+               bx4[..., None] * 4 + 1 + jnp.arange(8)[None, None, :]]
+    left4 = pad[by4[..., None] * 4 + 1 + r4[None, None, :],
+                bx4[..., None] * 4 + 1 - 1]
+    tl = pad[by4 * 4, bx4 * 4]
+    al = jnp.broadcast_to(bx4 > 0, (H4, W4))
+    at = jnp.broadcast_to(by4 > 0, (H4, W4))
+    atl = al & at
+    # above-right availability per the static in-MB kinds + frame edges
+    kind = np.zeros((4, 4), np.int32)     # 0 none, 1 lane(at), 2 real
+    for bbx in range(4):
+        for bby in range(4):
+            k = _i4_block_avail(bbx, bby)
+            kind[bby, bbx] = {"none": 0, "lane": 1, "real": 2}[k]
+    kind_g = jnp.asarray(np.tile(kind, (mbh, mbw)))
+    tr_ok = jnp.where(kind_g == 2, True,
+                      jnp.where(kind_g == 1, at, False))
+    # spec 8.3.1.2 substitution: unavailable top-right -> t[3]
+    sub = jnp.broadcast_to(top8[..., 3:4], top8.shape[:-1] + (4,))
+    top8 = jnp.concatenate(
+        [top8[..., :4], jnp.where(tr_ok[..., None], top8[..., 4:], sub)],
+        axis=-1)
+    preds = predict_4x4_all(left4, top8, tl, al, at)   # [H4,W4,9,4,4]
+    costs = pixel.satd(preds, blocks[:, :, None])      # [H4,W4,9]
+    valid = predict_4x4_mode_valid(al, at, atl)
+    # encoder-side ban: block (3,0) of each MB may not use DDL/VL (their
+    # real above-right pixels live in the above-right MB, which is on the
+    # same wavefront diagonal)
+    ban = np.zeros((4, 4, 9), bool)
+    ban[0, 3, 3] = ban[0, 3, 7] = True
+    valid = valid & ~jnp.asarray(np.tile(ban, (mbh, mbw, 1)))
+    costs = jnp.where(valid, costs, 1 << 28)
+    modes = jnp.argmin(costs, axis=-1).astype(jnp.int32)  # [H4,W4]
+    best = jnp.min(costs, axis=-1)
+    # -> per-MB raster-block layout + summed cost
+    modes_mb = modes.reshape(mbh, 4, mbw, 4).transpose(0, 2, 1, 3) \
+        .reshape(mbh, mbw, 16)
+    cost_mb = best.reshape(mbh, 4, mbw, 4).transpose(0, 2, 1, 3) \
+        .reshape(mbh, mbw, 16).sum(-1)
+    return modes_mb, cost_mb
+
+
+def _i4_commit_mb(src, left16, top16, tl_mb, al, at, modes16, qp):
+    """Exact I4x4 reconstruction of one wavefront strip of MBs
+    (vectorized over the [mbh] lanes; 16 sequential z-scan block steps).
+
+    src [mbh,16,16] int32; left16/top16 [mbh,16] true decoded MB edges;
+    tl_mb [mbh]; al/at [mbh] MB-level availability; modes16 [mbh,16]
+    raster-block modes; qp [mbh].
+    Returns (lv [mbh,16,4,4] raster full 16-coeff blocks, recon)."""
+    from ..ops.predict import predict_4x4_all
+    mbh = src.shape[0]
+    rec = jnp.zeros((mbh, 16, 16), jnp.int32)
+    lv_out = [None] * 16
+    for z in range(16):
+        bx, by = int(I4_ZX[z]), int(I4_ZY[z])
+        if bx == 0:
+            left4 = left16[:, by * 4:by * 4 + 4]
+        else:
+            left4 = rec[:, by * 4:by * 4 + 4, bx * 4 - 1]
+        row = top16 if by == 0 else rec[:, by * 4 - 1, :]
+        t03 = row[:, bx * 4:bx * 4 + 4]
+        kind = _i4_block_avail(bx, by)
+        if kind == "real":
+            t47 = row[:, bx * 4 + 4:bx * 4 + 8]
+        elif kind == "lane":                 # above MB row (by == 0)
+            t47r = row[:, bx * 4 + 4:bx * 4 + 8]
+            subv = jnp.broadcast_to(t03[:, 3:4], t03.shape)
+            t47 = jnp.where(at[:, None], t47r, subv)
+        else:
+            t47 = jnp.broadcast_to(t03[:, 3:4], t03.shape)
+        top8 = jnp.concatenate([t03, t47], axis=-1)
+        if bx > 0 and by > 0:
+            tl = rec[:, by * 4 - 1, bx * 4 - 1]
+        elif bx == 0 and by == 0:
+            tl = tl_mb
+        elif by == 0:
+            tl = top16[:, bx * 4 - 1]
+        else:
+            tl = left16[:, by * 4 - 1]
+        al_b = al if bx == 0 else jnp.ones_like(al)
+        at_b = at if by == 0 else jnp.ones_like(at)
+        preds = predict_4x4_all(left4, top8, tl, al_b, at_b)  # [mbh,9,4,4]
+        mode = modes16[:, by * 4 + bx]
+        pred = _onehot_mode(preds, mode, 9)
+        res = src[:, by * 4:by * 4 + 4,
+                  bx * 4:bx * 4 + 4].astype(jnp.int32) - pred
+        w = dct.dct4x4(res[:, None])                  # [mbh,1,4,4]
+        lv = quant.quant4x4(w, qp[:, None], True)
+        d = quant.dequant4x4(lv, qp[:, None])
+        rb = jnp.clip(pred + dct.idct4x4(d)[:, 0], 0, 255)
+        rec = jax.lax.dynamic_update_slice(
+            rec, rb, (0, by * 4, bx * 4))
+        lv_out[by * 4 + bx] = lv[:, 0]
+    lv = jnp.stack(lv_out, axis=1)                    # [mbh,16,4,4] raster
+    return lv, rec
+
+
 # ------------------------------------------------------------------ commit
 def _gather_edges(pad, mbx, mby, s):
     """From a padded plane [(H+1),(W+1)] gather top [L,s], left [L,s],
@@ -170,7 +305,8 @@ def _onehot_mode(preds, mode, n_modes):
 
 
 def _commit_scan(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
-                 mbw, mbh, is_intra=None, inter_planes=None):
+                 mbw, mbh, is_intra=None, inter_planes=None,
+                 i4_mask=None, i4_modes=None):
     """Wavefront commit in SKEWED layout (ops/skew.py): exact recon with
     true decoded neighbors, every diagonal step static-shaped dynamic-slice
     work — no gathers or scatters (they cost ~10ns/element on TPU).
@@ -178,6 +314,10 @@ def _commit_scan(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
     Mixed-frame mode (is_intra + inter_planes given, the intra-in-P path,
     analyse.c:2939): non-intra MBs take their tiles from the precomputed
     inter reconstruction; intra MBs predict from the true mixed recon.
+
+    I4x4 (i4_mask [mbh,mbw] + i4_modes [mbh,mbw,16]): those intra MBs
+    reconstruct via the 16-step z-scan inner loop instead of I16; their
+    full 16-coeff blocks ride in the "ac" slot with dc = 0.
 
     Returns (coeff dict of raster [N, ...] tensors, recon planes)."""
     from ..ops import skew
@@ -202,6 +342,12 @@ def _commit_scan(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
         ci_sk = jnp.stack(
             [skew.skew_plane(inter_planes[1].astype(jnp.int16), 8, P),
              skew.skew_plane(inter_planes[2].astype(jnp.int16), 8, P)])
+    with_i4 = i4_mask is not None
+    if with_i4:
+        i4_sk = skew.skew_mb(i4_mask.astype(jnp.int32), P)
+        i4m_sk = jnp.stack(
+            [skew.skew_mb(i4_modes[:, :, k].astype(jnp.int32), P)
+             for k in range(16)], axis=-1)       # [mbh, D+P, 16]
     lanes = jnp.arange(mbh, dtype=jnp.int32)
 
     def step(carry, d):
@@ -244,6 +390,16 @@ def _commit_scan(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
         preds = predict.predict_16x16_all(left, top, tl, al, at)
         pred = _onehot_mode(preds, mode, 4)
         dc_lv, ac_lv, recon = _encode_luma_i16(src, pred, qp)
+        if with_i4:
+            i4lane = jax.lax.dynamic_slice(
+                i4_sk, (0, d + P), (mbh, 1))[:, 0] > 0
+            m16 = jax.lax.dynamic_slice(
+                i4m_sk, (0, d + P, 0), (mbh, 1, 16)).reshape(mbh, 16)
+            lv4, rec4 = _i4_commit_mb(src, left, top, tl, al, at, m16, qp)
+            il3 = i4lane[:, None, None]
+            recon = jnp.where(il3, rec4, recon)
+            ac_lv = jnp.where(i4lane[:, None, None, None], lv4, ac_lv)
+            dc_lv = jnp.where(il3, 0, dc_lv)
         if mixed:
             recon = jnp.where(ilane[:, None, None], recon,
                               yi.astype(recon.dtype))
@@ -293,56 +449,95 @@ def _commit_scan(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
     return coeffs, recon
 
 
-@partial(jax.jit, static_argnames=("mbw", "mbh"))
-def commit_i16x16(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
-                  *, mbw, mbh):
-    """All-intra wavefront commit (I frames). See _commit_scan."""
+def commit_dispatch(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
+                    mbw, mbh, is_intra=None, inter_planes=None,
+                    use_pallas=False, i4_mask=None, i4_modes=None):
+    """Backend switch for the wavefront commit: the XLA lax.scan twin or
+    the fused Pallas kernel (ops/pallas/commit.py, bit-exact, ~1.5x
+    faster on v5e). `use_pallas` is static (params.tpu_backend). The
+    Pallas kernel covers I16-only frames; I4x4 falls back to the scan."""
+    if use_pallas and i4_mask is None:
+        from ..ops.pallas.commit import commit_i16_pallas
+        return commit_i16_pallas(y, u, v, i16_mode, chroma_mode, qp_mb,
+                                 qpc_mb, mbw=mbw, mbh=mbh,
+                                 is_intra=is_intra,
+                                 inter_planes=inter_planes)
     return _commit_scan(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
-                        mbw, mbh)
+                        mbw, mbh, is_intra=is_intra,
+                        inter_planes=inter_planes,
+                        i4_mask=i4_mask, i4_modes=i4_modes)
+
+
+@partial(jax.jit, static_argnames=("mbw", "mbh", "use_pallas"))
+def commit_i16x16(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
+                  *, mbw, mbh, use_pallas=False):
+    """All-intra wavefront commit (I frames). See _commit_scan."""
+    return commit_dispatch(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
+                           mbw, mbh, use_pallas=use_pallas)
 
 
 @partial(jax.jit, static_argnames=("mbw", "mbh", "cap_words", "deblock",
-                                   "a_off", "b_off", "cqpo"))
+                                   "a_off", "b_off", "cqpo", "use_pallas",
+                                   "i4"))
 def encode_iframe_device(y, u, v, qp_mb, qpc_mb, slice_qp, *, mbw, mbh,
                          cap_words, deblock=False, a_off=0, b_off=0,
-                         cqpo=0):
+                         cqpo=0, use_pallas=False, i4=False):
     """Fused device pass: mode decision + wavefront commit + CAVLC entropy +
     bit packing (+ in-loop deblock) — the whole frame in one dispatch. Only
-    the packed slice payload (and recon, for the DPB) leaves the chip."""
+    the packed slice payload (and recon, for the DPB) leaves the chip.
+
+    i4=True adds the I_4x4 candidate (analyse.c:668): per-MB choose
+    I16x16 vs I4x4 by SATD + lambda*24 mode-bits bias."""
     from ..entropy.cavlc_jax import encode_i16x16_frame_dev
-    i16_mode, chroma_mode, satd_cost = decide_modes(y, u, v)
-    coeffs, recon = commit_i16x16(y, u, v, i16_mode, chroma_mode, qp_mb,
-                                  qpc_mb, mbw=mbw, mbh=mbh)
-    if deblock:
-        from ..ops.deblock import deblock_frame
-        bs = jnp.full((mbh, mbw, 4, 4), 3, jnp.int32)
-        bs = bs.at[:, :, 0, :].set(4)     # all-intra: MB edges strong
-        recon = deblock_frame(
-            recon[0], recon[1], recon[2], bs, bs, qp_mb,
-            mbw=mbw, mbh=mbh,
-            a_off=a_off, b_off=b_off, chroma_qp_offset=cqpo)
+    i16_mode, chroma_mode, satd_cost, i16_cost = decide_modes_full(y, u, v)
+    if i4:
+        lam = jnp.maximum(
+            1, jnp.round(2.0 ** ((slice_qp - 12) / 6.0))).astype(jnp.int32)
+        i4_modes, i4_cost = decide_modes_i4(y)
+        i4_mask = (i4_cost + lam * 24) < i16_cost
+        coeffs, recon = commit_dispatch(
+            y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb, mbw, mbh,
+            use_pallas=use_pallas, i4_mask=i4_mask, i4_modes=i4_modes)
+    else:
+        i4_mask = i4_modes = None
+        coeffs, recon = commit_i16x16(y, u, v, i16_mode, chroma_mode,
+                                      qp_mb, qpc_mb, mbw=mbw, mbh=mbh,
+                                      use_pallas=use_pallas)
     dc_blk = coeffs["dc"]
     ac_blk = coeffs["ac"]
     cdc_blk = jnp.stack([coeffs["udc"], coeffs["vdc"]], axis=1)
     cac_blk = jnp.stack([coeffs["uac"], coeffs["vac"]], axis=1)
     qp_flat = qp_mb.reshape(-1)
-    words, total_bits = encode_i16x16_frame_dev(
+    words, total_bits, eff_qp = encode_i16x16_frame_dev(
         i16_mode.reshape(-1), chroma_mode.reshape(-1), qp_flat,
         slice_qp, dc_blk, ac_blk, cdc_blk, cac_blk,
-        mbw=mbw, mbh=mbh, cap_words=cap_words)
-    return words, total_bits, recon, satd_cost
+        mbw=mbw, mbh=mbh, cap_words=cap_words,
+        is_i4=(i4_mask.reshape(-1) if i4 else None),
+        i4_modes=(i4_modes.reshape(-1, 16) if i4 else None))
+    if deblock:
+        from ..ops.deblock import deblock_frame
+        bs = jnp.full((mbh, mbw, 4, 4), 3, jnp.int32)
+        bs = bs.at[:, :, 0, :].set(4)     # all-intra: MB edges strong
+        recon = deblock_frame(
+            recon[0], recon[1], recon[2], bs, bs,
+            eff_qp.reshape(mbh, mbw), mbw=mbw, mbh=mbh,
+            a_off=a_off, b_off=b_off, chroma_qp_offset=cqpo)
+    n_i4 = (jnp.sum(i4_mask) if i4 else jnp.asarray(0, jnp.int32))
+    return words, total_bits, recon, satd_cost, n_i4
 
 
 @partial(jax.jit, static_argnames=("mbw", "mbh", "deblock", "a_off",
-                                   "b_off", "cqpo"))
+                                   "b_off", "cqpo", "use_pallas"))
 def analyze_iframe_device(y, u, v, qp_mb, qpc_mb, *, mbw, mbh,
-                          deblock=False, a_off=0, b_off=0, cqpo=0):
+                          deblock=False, a_off=0, b_off=0, cqpo=0,
+                          use_pallas=False):
     """Device pass for the CABAC path: decide + commit + deblock, returning
     zigzagged levels for the host CABAC writer (native/cabac.cpp) instead
     of running the device CAVLC stage."""
     i16_mode, chroma_mode, satd_cost = decide_modes(y, u, v)
     coeffs, recon = commit_i16x16(y, u, v, i16_mode, chroma_mode, qp_mb,
-                                  qpc_mb, mbw=mbw, mbh=mbh)
+                                  qpc_mb, mbw=mbw, mbh=mbh,
+                                  use_pallas=use_pallas)
     if deblock:
         from ..ops.deblock import deblock_frame
         bs = jnp.full((mbh, mbw, 4, 4), 3, jnp.int32)
@@ -416,7 +611,8 @@ def dispatch_iframe_cabac(enc, planes, ftype, qp, tree_off=None):
             deblock=enc.p.deblocking_filter,
             a_off=enc.p.deblocking_filter_alphac0 * 2,
             b_off=enc.p.deblocking_filter_beta * 2,
-            cqpo=enc.p.analyse.chroma_qp_offset)
+            cqpo=enc.p.analyse.chroma_qp_offset,
+            use_pallas=enc.use_pallas)
         enc._pending_ref_fields = {
             "mvf": np.zeros((mbh, mbw, 2), np.int32),
             "inter_mask": np.zeros((mbh, mbw), bool)}
@@ -509,13 +705,16 @@ def dispatch_iframe(enc, planes, ftype, qp, tree_off=None):
         qp_mb, qpc_mb = build_qp_maps(enc, y, u, v, qp_try, tree_off)
         cap_bpm = cap_bytes_per_mb(qp_try)
         cap_words = (mbw * mbh * cap_bpm) // 4
-        words, total_bits, recon, satd_cost = encode_iframe_device(
+        from ..params import ANALYSE_I4x4
+        words, total_bits, recon, satd_cost, n_i4 = encode_iframe_device(
             y, u, v, qp_mb, qpc_mb, qp_try,
             mbw=mbw, mbh=mbh, cap_words=cap_words,
             deblock=enc.p.deblocking_filter,
             a_off=enc.p.deblocking_filter_alphac0 * 2,
             b_off=enc.p.deblocking_filter_beta * 2,
-            cqpo=enc.p.analyse.chroma_qp_offset)
+            cqpo=enc.p.analyse.chroma_qp_offset,
+            use_pallas=enc.use_pallas,
+            i4=bool(enc.p.analyse.intra & ANALYSE_I4x4))
         enc._pending_ref_fields = {
             "mvf": np.zeros((mbh, mbw, 2), np.int32),
             "inter_mask": np.zeros((mbh, mbw), bool)}

@@ -306,26 +306,47 @@ def _nc_grid_dev(nnz_tiles, mbh: int, mbw: int, bs: int):
 @partial(jax.jit, static_argnames=("mbw", "mbh", "cap_words"))
 def encode_i16x16_frame_dev(i16_mode, chroma_mode, qp_flat, slice_qp,
                             dc_blk, ac_blk, cdc_blk, cac_blk,
-                            *, mbw: int, mbh: int, cap_words: int):
-    """Full I16x16 MB-layer entropy on device.
+                            *, mbw: int, mbh: int, cap_words: int,
+                            is_i4=None, i4_modes=None):
+    """Full I-slice MB-layer entropy on device (I16x16 + I_4x4).
 
     dc_blk [N,4,4] (hadamard-domain levels, raster), ac_blk [N,16,4,4]
-    (raster blocks, pos0 zeroed), cdc_blk [N,2,2,2], cac_blk [N,2,4,4,4].
-    Returns (words, total_bits)."""
+    (raster blocks; I16 rows pos0-zeroed AC, I4 rows full 16-coeff
+    levels), cdc_blk [N,2,2,2], cac_blk [N,2,4,4,4]. is_i4 [N] bool +
+    i4_modes [N,16] raster-block spec modes enable I_4x4 MBs (mb_type
+    ue(0), per-block MPM mode coding per spec 8.3.1.1, cbp ue with the
+    intra golomb map, dqp only when cbp != 0).
+    Returns (words, total_bits, eff_qp) — eff_qp is the decoder-carried
+    per-MB QP (I4 MBs without residual inherit), for deblock."""
     n = mbw * mbh
+    if is_i4 is None:
+        is_i4 = jnp.zeros((n,), bool)
+        i4_modes = jnp.zeros((n, 16), jnp.int32)
     zig = jnp.asarray(ZIGZAG4_FRAME)
     dc_z = dc_blk.reshape(n, 16)[:, zig]
     ac_z = ac_blk.reshape(n, 16, 16)[:, :, zig]
     cdc = cdc_blk.reshape(n, 2, 4)                      # raster 2x2 scan
     cac_z = cac_blk.reshape(n, 2, 4, 16)[:, :, :, zig]
 
+    # mixed nnz grid: I16 rows count the 15 AC coeffs, I4 rows all 16
     nnz_ac = jnp.sum(ac_z[:, :, 1:] != 0, axis=2).astype(jnp.int32)
-    nc_l = _nc_grid_dev(nnz_ac, mbh, mbw, 4)
+    nnz_full = jnp.sum(ac_z != 0, axis=2).astype(jnp.int32)
+    nnz_mixed = jnp.where(is_i4[:, None], nnz_full, nnz_ac)
+    nc_l = _nc_grid_dev(nnz_mixed, mbh, mbw, 4)
     dc_codes, dc_lens, _, dc_ov = residual_blocks_dev(dc_z, nc_l[:, 0])
     ac_codes, ac_lens, _, ac_ov = residual_blocks_dev(
         ac_z[:, :, 1:].reshape(n * 16, 15), nc_l.reshape(-1))
     ac_codes = ac_codes.reshape(n, 16, BLOCK_SLOTS)
     ac_lens = ac_lens.reshape(n, 16, BLOCK_SLOTS)
+    l16_codes, l16_lens, _, l16_ov = residual_blocks_dev(
+        ac_z.reshape(n * 16, 16), nc_l.reshape(-1))
+    l16_codes = l16_codes.reshape(n, 16, BLOCK_SLOTS)
+    l16_lens = l16_lens.reshape(n, 16, BLOCK_SLOTS)
+    i43 = is_i4[:, None, None]
+    ac_codes = jnp.where(i43, l16_codes, ac_codes)
+    ac_lens = jnp.where(i43, l16_lens, ac_lens)
+    ac_ov = jnp.where(is_i4[:, None], l16_ov.reshape(n, 16),
+                      ac_ov.reshape(n, 16))
     cdc_codes, cdc_lens, _, cdc_ov = residual_blocks_dev(
         cdc.reshape(n * 2, 4), jnp.zeros(n * 2, jnp.int32), chroma_dc=True)
     cdc_codes = cdc_codes.reshape(n, 2, BLOCK_SLOTS)
@@ -338,30 +359,60 @@ def encode_i16x16_frame_dev(i16_mode, chroma_mode, qp_flat, slice_qp,
         cac_z[:, :, :, 1:].reshape(n * 8, 15), nc_c.reshape(-1))
     cac_codes = cac_codes.reshape(n, 8, BLOCK_SLOTS)
     cac_lens = cac_lens.reshape(n, 8, BLOCK_SLOTS)
-    lvl_over = (jnp.any(dc_ov) | jnp.any(ac_ov) | jnp.any(cdc_ov)
-                | jnp.any(cac_ov))
+    lvl_over = (jnp.any(dc_ov & ~is_i4[:, None].reshape(n, 1))
+                | jnp.any(ac_ov) | jnp.any(cdc_ov) | jnp.any(cac_ov))
 
-    cbp_luma = jnp.sum(nnz_ac, axis=1) > 0
+    cbp_luma16 = jnp.sum(nnz_ac, axis=1) > 0
+    # per-quadrant cbp bits for I4 (full-coeff counts)
+    blk_r = jnp.arange(16)
+    quad = (blk_r // 4 // 2) * 2 + (blk_r % 4) // 2     # raster -> 8x8 id
+    cbp4 = jnp.zeros((n,), jnp.int32)
+    for qd in range(4):
+        qnnz = jnp.sum(jnp.where(jnp.asarray(quad == qd)[None, :],
+                                 nnz_full, 0), axis=1)
+        cbp4 = cbp4 | jnp.where(qnnz > 0, 1 << qd, 0)
     any_cac = jnp.sum(nnz_cac.reshape(n, 8), axis=1) > 0
     any_cdc = jnp.sum(cdc != 0, axis=(1, 2)) > 0
     cbp_chroma = jnp.where(any_cac, 2, jnp.where(any_cdc, 1, 0))
-    mb_type = 1 + i16_mode + 4 * cbp_chroma + 12 * cbp_luma
+    mb_type = jnp.where(
+        is_i4, 0, 1 + i16_mode + 4 * cbp_chroma + 12 * cbp_luma16)
 
-    h_codes = jnp.zeros((n, 3), jnp.uint32)
-    h_lens = jnp.zeros((n, 3), jnp.int32)
+    m_codes, m_lens = _i4_mode_codes_dev(is_i4, i4_modes, mbh, mbw)
+
+    # ---- header slots: mb_type, 16 modes, chroma_mode, cbp, dqp ----
+    h_codes = jnp.zeros((n, 20), jnp.uint32)
+    h_lens = jnp.zeros((n, 20), jnp.int32)
     c, l = ue_dev(mb_type)                       # noqa: E741
     h_codes = h_codes.at[:, 0].set(c)
     h_lens = h_lens.at[:, 0].set(l)
+    h_codes = h_codes.at[:, 1:17].set(m_codes)
+    h_lens = h_lens.at[:, 1:17].set(m_lens)
     c, l = ue_dev(chroma_mode)                   # noqa: E741
-    h_codes = h_codes.at[:, 1].set(c)
-    h_lens = h_lens.at[:, 1].set(l)
-    prev_qp = jnp.concatenate(
-        [jnp.full((1,), slice_qp, qp_flat.dtype), qp_flat[:-1]])
-    c, l = se_dev(qp_flat - prev_qp)             # noqa: E741
-    h_codes = h_codes.at[:, 2].set(c)
-    h_lens = h_lens.at[:, 2].set(l)
+    h_codes = h_codes.at[:, 17].set(c)
+    h_lens = h_lens.at[:, 17].set(l)
+    c, l = ue_dev(lut(V.CBP_TO_GOLOMB_INTRA,     # noqa: E741
+                      cbp_chroma * 16 + cbp4))
+    h_codes = h_codes.at[:, 18].set(c)
+    h_lens = h_lens.at[:, 18].set(jnp.where(is_i4, l, 0))
+    # dqp: always for I16; only with residual for I4 (decoder-carried
+    # qp chain skips dqp-less MBs)
+    has_dqp = (~is_i4) | (cbp4 > 0) | (cbp_chroma > 0)
+    idxs = jnp.arange(n, dtype=jnp.int32)
+    last_d = jax.lax.cummax(jnp.where(has_dqp, idxs, -1))
+    prev_d = jnp.concatenate([jnp.full((1,), -1, jnp.int32), last_d[:-1]])
+    prev_qp = jnp.where(prev_d >= 0, qp_flat[jnp.maximum(prev_d, 0)],
+                        slice_qp)
+    eff_qp = jnp.where(has_dqp, qp_flat, prev_qp)
+    c, l = se_dev(jnp.where(has_dqp, qp_flat - prev_qp, 0))  # noqa: E741
+    h_codes = h_codes.at[:, 19].set(c)
+    h_lens = h_lens.at[:, 19].set(jnp.where(has_dqp, l, 0))
 
-    ac_lens = jnp.where(cbp_luma[:, None, None], ac_lens, 0)
+    # ---- gating ----
+    dc_lens = jnp.where(is_i4[:, None], 0, dc_lens)
+    qbit = (cbp4[:, None] >> jnp.asarray(quad)[None, :]) & 1
+    luma_on = jnp.where(is_i4[:, None], qbit > 0,
+                        cbp_luma16[:, None])
+    ac_lens = jnp.where(luma_on[:, :, None], ac_lens, 0)
     cdc_lens = jnp.where((cbp_chroma > 0)[:, None, None], cdc_lens, 0)
     cac_lens = jnp.where((cbp_chroma == 2)[:, None, None], cac_lens, 0)
 
@@ -379,8 +430,35 @@ def encode_i16x16_frame_dev(i16_mode, chroma_mode, qp_flat, slice_qp,
         ac_lens.reshape(n, -1),
         cdc_lens.reshape(n, -1),
         cac_lens.reshape(n, -1)], axis=1)
-    return pack_mb_stream(codes, lens, cap_words // n, cap_words,
-                          force_over=lvl_over)
+    words, total_bits = pack_mb_stream(codes, lens, cap_words // n,
+                                       cap_words, force_over=lvl_over)
+    return words, total_bits, eff_qp
+
+
+def _i4_mode_codes_dev(is_i4, i4_modes, mbh, mbw):
+    """(codes, lens) [N,16] in z-scan emission order for the 16
+    prev_intra4x4_pred_mode_flag / rem elements (spec 8.3.1.1 MPM)."""
+    n = mbh * mbw
+    i4_mb_grid = is_i4.reshape(mbh, mbw)
+    mode_grid = i4_modes.reshape(mbh, mbw, 4, 4) \
+        .transpose(0, 2, 1, 3).reshape(mbh * 4, mbw * 4)
+    mode_grid = jnp.where(
+        jnp.repeat(jnp.repeat(i4_mb_grid, 4, 0), 4, 1), mode_grid, 2)
+    mA = jnp.pad(mode_grid, ((0, 0), (1, 0)), constant_values=2)[:, :-1]
+    mB = jnp.pad(mode_grid, ((1, 0), (0, 0)), constant_values=2)[:-1, :]
+    av_a = jnp.arange(mbw * 4)[None, :] > 0
+    av_b = jnp.arange(mbh * 4)[:, None] > 0
+    mpm_grid = jnp.where(av_a & av_b, jnp.minimum(mA, mB), 2)
+    mpm = mpm_grid.reshape(mbh, 4, mbw, 4).transpose(0, 2, 1, 3) \
+        .reshape(n, 16)
+    m = i4_modes
+    flag = m == mpm
+    rem = m - (m > mpm).astype(m.dtype)
+    m_codes = jnp.where(flag, 1, rem).astype(jnp.uint32)
+    m_lens = jnp.where(is_i4[:, None], jnp.where(flag, 1, 4), 0) \
+        .astype(jnp.int32)
+    zorder = jnp.asarray(LUMA4x4_RASTER)
+    return m_codes[:, zorder], m_lens[:, zorder]
 
 
 @partial(jax.jit, static_argnames=("mbw", "mbh", "cap_words"))
@@ -389,7 +467,8 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
                               *, mbw: int, mbh: int, cap_words: int,
                               is_intra=None, i16_mode=None,
                               chroma_mode=None, luma_dc=None,
-                              part_mode=None, mvd2=None):
+                              part_mode=None, mvd2=None,
+                              is_i4=None, i4_modes=None):
     """P-slice MB layer on device (P_L0_16x16/16x8/8x16 + P_Skip +
     I16-in-P, 1 ref).
 
@@ -406,6 +485,9 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
     if part_mode is None:
         part_mode = jnp.zeros((n,), jnp.int32)
         mvd2 = jnp.zeros((n, 2), jnp.int32)
+    if is_i4 is None:
+        is_i4 = jnp.zeros((n,), bool)
+        i4_modes = jnp.zeros((n, 16), jnp.int32)
     zig = jnp.asarray(ZIGZAG4_FRAME)
     luma_z = luma_lv.reshape(n, 16, 16)[:, :, zig]
     cdc = cdc_blk.reshape(n, 2, 4)
@@ -441,12 +523,13 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
         luma_z[:, :, 1:].reshape(n * 16, 15), nc_l.reshape(-1))
     l15_codes = l15_codes.reshape(n, 16, BLOCK_SLOTS)
     l15_lens = l15_lens.reshape(n, 16, BLOCK_SLOTS)
-    ii3 = is_intra[:, None, None]
+    is_i16 = is_intra & ~is_i4
+    ii3 = is_i16[:, None, None]
     l_codes = jnp.where(ii3, l15_codes, l_codes)
     l_lens = jnp.where(ii3, l15_lens, l_lens)
-    l_ov = jnp.where(is_intra[:, None],
+    l_ov = jnp.where(is_i16[:, None],
                      l15_ov.reshape(n, 16), l_ov.reshape(n, 16))
-    dc_lens = jnp.where(is_intra[:, None], dc_lens, 0)
+    dc_lens = jnp.where(is_i16[:, None], dc_lens, 0)
     cdc_codes, cdc_lens, _, cdc_ov = residual_blocks_dev(
         cdc.reshape(n * 2, 4), jnp.zeros(n * 2, jnp.int32), chroma_dc=True)
     cdc_codes = cdc_codes.reshape(n, 2, BLOCK_SLOTS)
@@ -460,18 +543,18 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
     cac_codes = cac_codes.reshape(n, 8, BLOCK_SLOTS)
     cac_lens = cac_lens.reshape(n, 8, BLOCK_SLOTS)
 
-    # ---- header elements: run, mb_type, mvd_x|chroma_mode, mvd_y|dqp,
-    # mvd2_x, mvd2_y (partitioned inter only), cbp, qp_delta (intra MBs
-    # use the first three slots only) ----
-    h_codes = jnp.zeros((n, 8), jnp.uint32)
-    h_lens = jnp.zeros((n, 8), jnp.int32)
+    # ---- header elements: run, mb_type, m0..m15 (I4 mode elements,
+    # z-scan), mvd_x|chroma_mode, mvd_y|dqp(I16), mvd2_x, mvd2_y
+    # (partitioned inter only), cbp(inter/I4), qp_delta(inter/I4) ----
+    h_codes = jnp.zeros((n, 24), jnp.uint32)
+    h_lens = jnp.zeros((n, 24), jnp.int32)
     c, l = ue_dev(run)                          # noqa: E741
     h_codes = h_codes.at[:, 0].set(c)
     h_lens = h_lens.at[:, 0].set(l)
-    # carried-QP chain: inter MBs with residual + every I16 MB (dqp
+    # carried-QP chain: inter/I4 MBs with residual + every I16 MB (dqp
     # always coded for I16) update the decoder's QP
     has_resid = (((cbp_luma > 0) | (cbp_chroma > 0)) & coded) \
-        | (is_intra & coded)
+        | (is_i16 & coded)
     idxs = jnp.arange(n, dtype=jnp.int32)
     last_r = jax.lax.cummax(jnp.where(has_resid, idxs, -1))
     prev_r = jnp.concatenate([jnp.full((1,), -1, jnp.int32), last_r[:-1]])
@@ -479,35 +562,45 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
                         slice_qp)
     dqp = qp_flat - prev_qp
     eff_qp = jnp.where(has_resid, qp_flat, prev_qp)
-    # mb_type: inter ue(part_mode) (0=16x16/1=16x8/2=8x16); intra
-    # ue(5 + I16 code) (spec table 7-13)
+    # mb_type: inter ue(part_mode) (0=16x16/1=16x8/2=8x16); I4 ue(5);
+    # I16 ue(6 + I16 code) (spec table 7-13)
     i16_code = 6 + i16_mode + 4 * cbp_chroma \
         + 12 * (cbp_luma > 0).astype(jnp.int32)
-    c_i, l_i = ue_dev(i16_code)
+    i_code = jnp.where(is_i4, 5, i16_code)
+    c_i, l_i = ue_dev(i_code)
     c, l = ue_dev(part_mode)                    # noqa: E741
     h_codes = h_codes.at[:, 1].set(jnp.where(is_intra, c_i, c))
     h_lens = h_lens.at[:, 1].set(jnp.where(is_intra, l_i, l))
+    m_codes, m_lens = _i4_mode_codes_dev(is_i4, i4_modes, mbh, mbw)
+    h_codes = h_codes.at[:, 2:18].set(m_codes)
+    h_lens = h_lens.at[:, 2:18].set(
+        jnp.where(coded[:, None], m_lens, 0))
     c_cm, l_cm = ue_dev(chroma_mode)
     c, l = se_dev(mvd[:, 0])                    # noqa: E741
-    h_codes = h_codes.at[:, 2].set(jnp.where(is_intra, c_cm, c))
-    h_lens = h_lens.at[:, 2].set(jnp.where(is_intra, l_cm, l))
+    h_codes = h_codes.at[:, 18].set(jnp.where(is_intra, c_cm, c))
+    h_lens = h_lens.at[:, 18].set(jnp.where(is_intra, l_cm, l))
     c_dq, l_dq = se_dev(jnp.where(has_resid, dqp, 0))
     c, l = se_dev(mvd[:, 1])                    # noqa: E741
-    h_codes = h_codes.at[:, 3].set(jnp.where(is_intra, c_dq, c))
-    h_lens = h_lens.at[:, 3].set(jnp.where(is_intra, l_dq, l))
+    h_codes = h_codes.at[:, 19].set(jnp.where(is_intra, c_dq, c))
+    h_lens = h_lens.at[:, 19].set(
+        jnp.where(is_i4, 0, jnp.where(is_intra, l_dq, l)))
     # second-partition mvd (16x8/8x16 only; 1 ref so no ref_idx)
     part2 = (part_mode > 0) & ~is_intra
-    for comp, slot in ((0, 4), (1, 5)):
+    for comp, slot in ((0, 20), (1, 21)):
         c, l = se_dev(mvd2[:, comp])            # noqa: E741
         h_codes = h_codes.at[:, slot].set(c)
         h_lens = h_lens.at[:, slot].set(jnp.where(part2, l, 0))
+    # cbp: inter golomb map for inter MBs, intra map for I4, none for I16
     c, l = ue_dev(lut(V.CBP_TO_GOLOMB_INTER,              # noqa: E741
                       cbp_chroma * 16 + cbp_luma))
-    h_codes = h_codes.at[:, 6].set(c)
-    h_lens = h_lens.at[:, 6].set(jnp.where(is_intra, 0, l))
-    h_codes = h_codes.at[:, 7].set(c_dq)
-    h_lens = h_lens.at[:, 7].set(
-        jnp.where(is_intra, 0, jnp.where(has_resid, l_dq, 0)))
+    c4, l4 = ue_dev(lut(V.CBP_TO_GOLOMB_INTRA,
+                        cbp_chroma * 16 + cbp_luma))
+    h_codes = h_codes.at[:, 22].set(jnp.where(is_i4, c4, c))
+    h_lens = h_lens.at[:, 22].set(
+        jnp.where(is_i4, l4, jnp.where(is_intra, 0, l)))
+    h_codes = h_codes.at[:, 23].set(c_dq)
+    h_lens = h_lens.at[:, 23].set(
+        jnp.where(is_i16, 0, jnp.where(has_resid, l_dq, 0)))
 
     # ---- gating ----
     coded3 = coded[:, None, None]

@@ -31,6 +31,11 @@ class SliceHeader:
     ref_pic_list_mod_l0: list = field(default_factory=list)  # (op, arg)
     mmco: list = field(default_factory=list)                 # (op, args...)
     cabac_init_idc: int = 0
+    # weighted prediction (pred_weight_table, spec 7.3.3.2): per-l0-ref
+    # (w, o) luma pairs or None for unity; denom fixed at 7 (x264's
+    # starting denom, slicetype.c:284). Chroma stays unweighted.
+    weight_denom_luma: int = 7
+    weight_l0: list = field(default_factory=list)   # [(w, o) | None]
     # deblocking
     disable_deblocking_filter_idc: int = 0
     alpha_c0_offset: int = 0      # in units of 2 (stored as offset_div2*2)
@@ -72,8 +77,21 @@ def slice_header_write(sh: SliceHeader, nal_ref_idc: int) -> BitWriter:
         if sh.slice_type == SLICE_TYPE_B:
             bw.write1(0)
     if sh.pps.weighted_pred and sh.slice_type == SLICE_TYPE_P:
-        # pred_weight_table: weightp TODO — emit unity table
-        raise NotImplementedError("weighted prediction table")
+        # pred_weight_table (spec 7.3.3.2): luma (w, o) per l0 ref;
+        # chroma always unweighted (chroma_weight_l0_flag = 0)
+        weights = sh.weight_l0 or [None] * sh.num_ref_idx_l0_active
+        any_w = any(w is not None for w in weights)
+        bw.write_ue(sh.weight_denom_luma if any_w else 0)
+        bw.write_ue(0)                       # chroma_log2_weight_denom
+        for entry in weights:
+            if entry is None:
+                bw.write1(0)                 # luma_weight_l0_flag
+            else:
+                w, o = entry
+                bw.write1(1)
+                bw.write_se(w)
+                bw.write_se(o)
+            bw.write1(0)                     # chroma_weight_l0_flag
     if nal_ref_idc:
         if sh.idr:
             bw.write1(0)   # no_output_of_prior_pics

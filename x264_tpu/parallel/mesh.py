@@ -67,9 +67,10 @@ def make_sharded_intra_step(mesh: Mesh, width: int, band_mb_rows: int):
     def band_encode(y, u, v, qp, qpc, slice_qp):
         # local shapes: [b, nb, bandH, W]
         def one(y1, u1, v1, q1, qc1, sq1):
-            return encode_iframe_device(y1, u1, v1, q1, qc1, sq1,
-                                        mbw=mbw, mbh=band_mb_rows,
-                                        cap_words=cap_words)
+            w, tb, rec, satd, _ = encode_iframe_device(
+                y1, u1, v1, q1, qc1, sq1, mbw=mbw, mbh=band_mb_rows,
+                cap_words=cap_words)
+            return w, tb, rec, satd
         return jax.vmap(jax.vmap(one))(y, u, v, qp, qpc, slice_qp)
 
     pspec = P("stream", "band")
