@@ -21,6 +21,7 @@ def main():
     size = sys.argv[1] if len(sys.argv) > 1 else "1920x1080"
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     W, H = map(int, size.split("x"))
+    W, H = -(-W // 16) * 16, -(-H // 16) * 16   # mb-align like the encoder
     mbw, mbh = W // 16, H // 16
 
     from x264_tpu.encoder.intra import _commit_scan
