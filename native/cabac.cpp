@@ -17,9 +17,10 @@
 // residual tensors to this serial writer (SURVEY §7.1: "C++ host code for
 // the serial entropy stage").
 //
-// Coverage: I slices with I16x16 MBs; P slices with P_Skip, P_L0_16x16,
-// P_L0_L0_16x8/8x16 and I16x16 MBs (intra-in-P); B slices with B_Skip,
-// B_Direct/L0/L1/BI 16x16. Grows with the encoder's mode set.
+// Coverage: I slices with I16x16 and I_4x4 MBs; P slices with P_Skip,
+// P_L0_16x16, P_L0_L0_16x8/8x16, I16x16 and I_4x4 MBs (intra-in-P);
+// B slices with B_Skip, B_Direct/L0/L1/BI 16x16. Grows with the
+// encoder's mode set.
 
 #include <cstdint>
 #include <cstdlib>
@@ -241,6 +242,10 @@ struct Slice {
     // current *partition*, which with 16x8/8x16 may be the other
     // partition of the same MB. [list][comp][mbh*4 * mbw*4]
     uint8_t *amvd4[2][2];
+    // per-4x4 Intra_4x4 pred mode grid for MPM derivation (spec 8.3.1.1);
+    // blocks of non-I4 MBs hold DC (2), matching the device twin
+    // (entropy/cavlc_jax.py _i4_mode_codes_dev)
+    uint8_t *i4m;
     int intra_in_p_base = 17;
 
     MBInfo &mb(int x, int y) { return mbs[y * mbw + x]; }
@@ -406,6 +411,70 @@ void write_i16x16(Slice &S, int x, int y, int in_p, int i16_mode,
     me.coded = 1;
 }
 
+void write_cbp_dqp_residual(Slice &S, int x, int y, MBInfo &me, int cbp_l,
+                            int cbp_c, int qp, const int16_t *lraw,
+                            const int16_t *cdc, const int16_t *cac,
+                            int intra = 0);
+
+void write_chroma_pred_mode(Slice &S, int x, int y, int chroma_mode) {
+    int ctx = 0;
+    if (x > 0 && S.mb(x - 1, y).coded && S.mb(x - 1, y).cpm != 0) ctx++;
+    if (y > 0 && S.mb(x, y - 1).coded && S.mb(x, y - 1).cpm != 0) ctx++;
+    S.cb.decision(64 + ctx, chroma_mode > 0);
+    if (chroma_mode > 0) {
+        S.cb.decision(64 + 3, chroma_mode > 1);
+        if (chroma_mode > 1) S.cb.decision(64 + 3, chroma_mode > 2);
+    }
+}
+
+void write_i4x4(Slice &S, int x, int y, int in_p, const uint8_t *modes,
+                int chroma_mode, int cbp_l, int cbp_c, int qp,
+                const int16_t *lraw, const int16_t *cdc,
+                const int16_t *cac) {
+    // I_4x4 MB: mb_type, 16 prev/rem pred modes (spec 8.3.1.1 MPM,
+    // 9.3.3.1.1.10 ctx 68/69), chroma mode, cbp-coded residual (cat 2
+    // LumaLevel4x4 with intra availability defaults). `modes` is raster
+    // block order within the MB; `lraw` z-scan zigzagged blocks.
+    Cabac &cb = S.cb;
+    MBInfo &me = S.mb(x, y);
+    if (in_p) {
+        cb.decision(14, 1);                  // intra prefix in P
+        cb.decision(S.intra_in_p_base + 0, 0);   // I_NxN suffix '0'
+    } else {
+        int ctx = 0;
+        if (x > 0 && S.mb(x - 1, y).coded && S.mb(x - 1, y).not_i4x4) ctx++;
+        if (y > 0 && S.mb(x, y - 1).coded && S.mb(x, y - 1).not_i4x4) ctx++;
+        cb.decision(3 + ctx, 0);             // I_NxN
+    }
+    // (transform_size_8x8_flag absent: high profile not signaled)
+    int gw = S.mbw * 4;
+    for (int b = 0; b < 16; b++) {           // z-scan coding order
+        int gx = x * 4 + ZX[b], gy = y * 4 + ZY[b];
+        int mode = modes[ZY[b] * 4 + ZX[b]];
+        int mpm = 2;                         // edge -> DC (8.3.1.1)
+        if (gx > 0 && gy > 0) {
+            int a = S.i4m[gy * gw + gx - 1];
+            int bb = S.i4m[(gy - 1) * gw + gx];
+            mpm = a < bb ? a : bb;
+        }
+        if (mode == mpm) {
+            cb.decision(68, 1);              // prev_intra4x4_pred_mode
+        } else {
+            cb.decision(68, 0);
+            int rem = mode - (mode > mpm);
+            cb.decision(69, rem & 1);        // FL, LSB first (9.3.2.5)
+            cb.decision(69, (rem >> 1) & 1);
+            cb.decision(69, (rem >> 2) & 1);
+        }
+        S.i4m[gy * gw + gx] = (uint8_t)mode;
+    }
+    write_chroma_pred_mode(S, x, y, chroma_mode);
+    me.cpm = (uint8_t)chroma_mode;
+    write_cbp_dqp_residual(S, x, y, me, cbp_l, cbp_c, qp, lraw, cdc, cac,
+                           /*intra=*/1);
+    me.dc_nnz[0] = 0;                        // no luma DC block
+}
+
 void write_mvd_part(Slice &S, int x, int y, int list, const int16_t *mvd,
                     int px, int py, int pw, int ph) {
     // mvd components for one partition: ctxIdxInc from the |mvd| sum of
@@ -451,7 +520,8 @@ void write_mvd_list(Slice &S, MBInfo &, int x, int y, int list,
 
 void write_cbp_dqp_residual(Slice &S, int x, int y, MBInfo &me, int cbp_l,
                             int cbp_c, int qp, const int16_t *lraw,
-                            const int16_t *cdc, const int16_t *cac) {
+                            const int16_t *cdc, const int16_t *cac,
+                            int intra) {
     Cabac &cb = S.cb;
     // ---- cbp ----
     {
@@ -487,8 +557,8 @@ void write_cbp_dqp_residual(Slice &S, int x, int y, MBInfo &me, int cbp_l,
         int quad = (by >> 1) * 2 + (bx >> 1);
         int gx = x * 4 + bx, gy = y * 4 + by;
         if (cbp_l & (1 << quad)) {
-            int nza = S.nzl(gx - 1, gy, 0);
-            int nzb = S.nzl(gx, gy - 1, 0);
+            int nza = S.nzl(gx - 1, gy, intra);
+            int nzb = S.nzl(gx, gy - 1, intra);
             uint8_t nnz;
             write_cbf_and_residual(S, x, y, 2, lraw + b * 16, 16, nza, nzb,
                                    &nnz);
@@ -499,29 +569,29 @@ void write_cbp_dqp_residual(Slice &S, int x, int y, MBInfo &me, int cbp_l,
     }
     for (int pl = 0; pl < 2 && cbp_c; pl++) {
         int nza = x > 0 ? (S.mb(x - 1, y).coded
-                               ? S.mb(x - 1, y).dc_nnz[1 + pl] : 0)
-                        : 0;
+                               ? S.mb(x - 1, y).dc_nnz[1 + pl] : intra)
+                        : intra;
         int nzb = y > 0 ? (S.mb(x, y - 1).coded
-                               ? S.mb(x, y - 1).dc_nnz[1 + pl] : 0)
-                        : 0;
+                               ? S.mb(x, y - 1).dc_nnz[1 + pl] : intra)
+                        : intra;
         write_cbf_and_residual(S, x, y, 3, cdc + pl * 4, 4, nza, nzb,
                                &me.dc_nnz[1 + pl]);
     }
     for (int pl = 0; pl < 2 && cbp_c == 2; pl++)
         for (int b = 0; b < 4; b++) {
             int gx = x * 2 + (b & 1), gy = y * 2 + (b >> 1);
-            int nza = S.nzc(pl, gx - 1, gy, 0);
-            int nzb = S.nzc(pl, gx, gy - 1, 0);
+            int nza = S.nzc(pl, gx - 1, gy, intra);
+            int nzb = S.nzc(pl, gx, gy - 1, intra);
             uint8_t nnz;
             write_cbf_and_residual(S, x, y, 4,
                                    cac + (pl * 4 + b) * 16 + 1, 15,
                                    nza, nzb, &nnz);
             S.nnz_c[(pl * S.mbh * 2 + gy) * S.mbw * 2 + gx] = nnz;
         }
-    me.intra = 0;
+    me.intra = (uint8_t)intra;
     me.i16 = 0;
-    me.not_i4x4 = 1;
-    me.cpm = 0;
+    me.not_i4x4 = (uint8_t)!intra;
+    if (!intra) me.cpm = 0;
     me.cbp_l = (uint8_t)cbp_l;
     me.cbp_c = (uint8_t)cbp_c;
     me.coded = 1;
@@ -613,7 +683,9 @@ int cabac_encode_slice(
     int slice_type,               // 0=P, 1=B, 2=I
     int mbw, int mbh, int slice_qp,
     const uint8_t *skip,          // [n] P_Skip flags
-    const uint8_t *is_intra,      // [n] I16x16 flag (1 in I slices)
+    const uint8_t *is_intra,      // [n] intra flag (1 in I slices)
+    const uint8_t *is_i4,         // [n] intra MB is I_4x4 (else I16x16)
+    const uint8_t *i4_modes,      // [n*16] I4 pred modes, raster blocks
     const uint8_t *i16_mode,      // [n]
     const uint8_t *chroma_mode,   // [n]
     const uint8_t *cbp_luma,      // [n] 0..15
@@ -648,6 +720,8 @@ int cabac_encode_slice(
     S.mbs = (MBInfo *)std::calloc(n, sizeof(MBInfo));
     S.nnz_l = (uint8_t *)std::calloc(mbh * 4 * mbw * 4, 1);
     S.nnz_c = (uint8_t *)std::calloc(2 * mbh * 2 * mbw * 2, 1);
+    S.i4m = (uint8_t *)std::malloc(mbh * 4 * mbw * 4);
+    std::memset(S.i4m, 2, mbh * 4 * mbw * 4);   // non-I4 blocks -> DC
     uint8_t *amvd_buf = (uint8_t *)std::calloc(4 * mbh * 4 * mbw * 4, 1);
     for (int li = 0; li < 2; li++)
         for (int ci = 0; ci < 2; ci++)
@@ -684,7 +758,12 @@ int cabac_encode_slice(
                     continue;
                 }
             }
-            if (is_intra[i]) {
+            if (is_intra[i] && is_i4 && is_i4[i]) {
+                write_i4x4(S, x, y, slice_type == 0, i4_modes + i * 16,
+                           chroma_mode[i], cbp_luma[i], cbp_chroma[i],
+                           qp[i], luma_ac + i * 16 * 16,
+                           chroma_dc + i * 8, chroma_ac + i * 8 * 16);
+            } else if (is_intra[i]) {
                 write_i16x16(S, x, y, slice_type == 0, i16_mode[i],
                              chroma_mode[i], cbp_luma[i], cbp_chroma[i],
                              qp[i], luma_dc + i * 16,
@@ -711,6 +790,7 @@ int cabac_encode_slice(
         std::free(S.mbs);
         std::free(S.nnz_l);
         std::free(S.nnz_c);
+        std::free(S.i4m);
         std::free(amvd_buf);
         return written;
     }
@@ -718,6 +798,7 @@ overflow:
     std::free(S.mbs);
     std::free(S.nnz_l);
     std::free(S.nnz_c);
+    std::free(S.i4m);
     std::free(amvd_buf);
     return -1;
 }

@@ -1533,6 +1533,12 @@ class Decoder:
                 pred[by4 * 4:by4 * 4 + 4, bx4 * 4:bx4 * 4 + 4] + res
         y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
             np.clip(out, 0, 255)
+        self._recon_chroma_arrays(u, v, mx, my, chroma_mode, qp, cdc, cac)
+
+    def _recon_chroma_arrays(self, u, v, mx, my, chroma_mode, qp, cdc,
+                             cac):
+        """Intra chroma recon from coefficient arrays (I16 and I4)."""
+        pps = self.pps
         qpc = int(CHROMA_QP[np.clip(qp + pps.chroma_qp_index_offset,
                                     0, 51)])
         H2 = np.array([[1, 1], [1, -1]], np.int64)
@@ -1554,6 +1560,25 @@ class Decoder:
                     predc[by2 * 4:by2 * 4 + 4, bx2 * 4:bx2 * 4 + 4] + res
             plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
                 np.clip(outc, 0, 255)
+
+    def _recon_i4_arrays(self, y, u, v, mx, my, modes, chroma_mode, qp,
+                         luma, cdc, cac):
+        """I_4x4 reconstruction from CABAC-decoded coefficient arrays.
+        luma [16 raster, 16] scan-order 16-coeff blocks; recon follows
+        z-scan so each block's neighbors are final (spec 8.3.1)."""
+        mbw = self.sps.mb_w
+        for z in range(16):
+            bx, by = int(ZBLK_X[z]), int(ZBLK_Y[z])
+            raster = by * 4 + bx
+            left4, top8, tl, al, at = self._i4_block_neighbors(
+                y, mx, my, bx, by, mbw)
+            pred = self._pred4x4(int(modes[raster]), left4, top8, tl,
+                                 al, at)
+            d = dequant4(luma[raster], qp)
+            res = idct4(d)
+            px, py = (mx * 4 + bx) * 4, (my * 4 + by) * 4
+            y[py:py + 4, px:px + 4] = np.clip(pred + res, 0, 255)
+        self._recon_chroma_arrays(u, v, mx, my, chroma_mode, qp, cdc, cac)
 
     def _b_refs(self):
         """(l0, l1) reference entries for the current B picture: l0 =
@@ -1745,6 +1770,8 @@ class Decoder:
         use40 = np.zeros((mbh * 4, mbw * 4), bool)
         filled40 = np.zeros((mbh * 4, mbw * 4), bool)
         mode_map = np.zeros((mbh, mbw), np.int32)
+        # Intra_4x4 pred-mode grid for MPM (8.3.1.1); non-I4 blocks = DC
+        c_i4m = np.full((mbh * 4, mbw * 4), 2, np.int64)
         last_qp = slice_qp
         state = {"last_dqp": 0}
 
@@ -1877,6 +1904,118 @@ class Decoder:
                     cac[pl, blk, 1:] = coeffs
                     nnz_c[pl, gy, gx] = tot
             return chroma_mode, qp, dc_scan, ac, cdc, cac
+
+        def read_i4_modes(mx, my):
+            """16 prev/rem pred-mode elements (z-scan, ctx 68/69)."""
+            modes = np.zeros(16, np.int32)
+            for z in range(16):
+                bx, by = int(ZBLK_X[z]), int(ZBLK_Y[z])
+                gx, gy = mx * 4 + bx, my * 4 + by
+                if gx == 0 or gy == 0:
+                    mpm = 2
+                else:
+                    mpm = min(int(c_i4m[gy, gx - 1]),
+                              int(c_i4m[gy - 1, gx]))
+                if cb.decision(68):
+                    mode = mpm
+                else:
+                    rem = cb.decision(69) | (cb.decision(69) << 1) \
+                        | (cb.decision(69) << 2)
+                    mode = rem + (1 if rem >= mpm else 0)
+                c_i4m[gy, gx] = mode
+                modes[by * 4 + bx] = mode
+            return modes
+
+        def read_chroma_pred_mode(mx, my):
+            ctx = 64
+            if mx > 0 and c_coded[my, mx - 1] and c_cpm[my, mx - 1] != 0:
+                ctx += 1
+            if my > 0 and c_coded[my - 1, mx] and c_cpm[my - 1, mx] != 0:
+                ctx += 1
+            chroma_mode = 0
+            if cb.decision(ctx):
+                chroma_mode = 1 + cb.decision(64 + 3)
+                if chroma_mode == 2:
+                    chroma_mode += cb.decision(64 + 3)
+            return chroma_mode
+
+        def read_i4_payload(mx, my):
+            """cbp + dqp + I4 residual (cat 2 luma with intra nnz
+            defaults, chroma 3/4 with intra defaults)."""
+            cl = (c_cbp_l[my, mx - 1] | (c_cbp_c[my, mx - 1] << 4)) \
+                if mx > 0 and c_coded[my, mx - 1] else -1
+            ct = (c_cbp_l[my - 1, mx] | (c_cbp_c[my - 1, mx] << 4)) \
+                if my > 0 and c_coded[my - 1, mx] else -1
+            b0 = cb.decision(76 - ((cl >> 1) & 1) - ((ct >> 1) & 2))
+            b1 = cb.decision(76 - b0 - ((ct >> 2) & 2))
+            b2 = cb.decision(76 - ((cl >> 3) & 1) - 2 * b0)
+            b3 = cb.decision(76 - b2 - 2 * b1)
+            cbp_l = b0 | (b1 << 1) | (b2 << 2) | (b3 << 3)
+            ca = 0 if cl == -1 else cl & 0x30
+            cbb = 0 if ct == -1 else ct & 0x30
+            ctx = (1 if ca else 0) + 2 * (1 if cbb else 0)
+            cbp_c = 0
+            if cb.decision(77 + ctx):
+                ctx = 4 + (1 if ca == 0x20 else 0) \
+                    + 2 * (1 if cbb == 0x20 else 0)
+                cbp_c = 1 + cb.decision(77 + ctx)
+            dqp = read_dqp(cbp_l or cbp_c)
+            qp = (qp_state["last_qp"] + dqp) % 52
+            qp_state["last_qp"] = qp
+            luma = np.zeros((16, 16), np.int64)
+            for bz in range(16):
+                bx4, by4 = int(ZBLK_X[bz]), int(ZBLK_Y[bz])
+                raster = by4 * 4 + bx4
+                quad = (by4 >> 1) * 2 + (bx4 >> 1)
+                gx, gy = mx * 4 + bx4, my * 4 + by4
+                if cbp_l & (1 << quad):
+                    coeffs, tot = read_cbf_res(
+                        2, 16, gx, gy, nzl(gx - 1, gy, 1),
+                        nzl(gx, gy - 1, 1))
+                    luma[raster] = coeffs
+                    nnz_l[gy, gx] = tot
+                else:
+                    nnz_l[gy, gx] = 0
+            cdc = np.zeros((2, 4), np.int64)
+            for pl in range(2):
+                if not cbp_c:
+                    c_dcnnz[my, mx, 1 + pl] = 0
+                    continue
+                nza = (c_dcnnz[my, mx - 1, 1 + pl]
+                       if c_coded[my, mx - 1] else 1) if mx > 0 else 1
+                nzb = (c_dcnnz[my - 1, mx, 1 + pl]
+                       if c_coded[my - 1, mx] else 1) if my > 0 else 1
+                cdc[pl], dnz = read_cbf_res(3, 4, 0, 0, nza, nzb)
+                c_dcnnz[my, mx, 1 + pl] = dnz
+            cac = np.zeros((2, 4, 16), np.int64)
+            for pl in range(2):
+                for blk in range(4):
+                    gx, gy = mx * 2 + (blk & 1), my * 2 + (blk >> 1)
+                    if cbp_c != 2:
+                        nnz_c[pl, gy, gx] = 0
+                        continue
+                    coeffs, tot = read_cbf_res(
+                        4, 15, gx, gy, nzc(pl, gx - 1, gy, 1),
+                        nzc(pl, gx, gy - 1, 1))
+                    cac[pl, blk, 1:] = coeffs
+                    nnz_c[pl, gy, gx] = tot
+            return cbp_l, cbp_c, qp, luma, cdc, cac
+
+        def decode_i4_mb(mx, my):
+            """Full I_4x4 MB (modes, chroma mode, payload, recon) +
+            neighbor cache update; shared by the I and P bodies."""
+            modes = read_i4_modes(mx, my)
+            chroma_mode = read_chroma_pred_mode(mx, my)
+            cbp_l, cbp_c, qp, luma, cdc, cac = read_i4_payload(mx, my)
+            self._recon_i4_arrays(y, u, v, mx, my, modes, chroma_mode,
+                                  qp, luma, cdc, cac)
+            intra_map[my, mx] = True
+            c_not_i4x4[my, mx] = False
+            c_cpm[my, mx] = chroma_mode
+            c_cbp_l[my, mx] = cbp_l
+            c_cbp_c[my, mx] = cbp_c
+            c_dcnnz[my, mx, 0] = 0
+            return qp
 
         def read_inter_payload(mx, my):
             """cbp + dqp + inter residual (cat 2/3/4)."""
@@ -2021,7 +2160,13 @@ class Decoder:
                 if my > 0 and c_coded[my - 1, mx] and c_not_i4x4[my - 1, mx]:
                     ctx += 1
                 if cb.decision(ctx) == 0:
-                    raise NotImplementedError("I_4x4 CABAC")
+                    qp = decode_i4_mb(mx, my)
+                    c_coded[my, mx] = True
+                    qp_map[my, mx] = qp
+                    mode_map[my, mx] = 9
+                    if cb.terminal() != (1 if mbidx == n - 1 else 0):
+                        raise ValueError("end_of_slice desync")
+                    continue
                 if cb.terminal():
                     raise NotImplementedError("I_PCM CABAC")
                 cbp_l = 15 * cb.decision(3 + 3)
@@ -2043,7 +2188,14 @@ class Decoder:
             elif slice_type == 0:
                 if cb.decision(14):         # intra in P
                     if cb.decision(17) == 0:
-                        raise NotImplementedError("I_4x4 in P")
+                        qp = decode_i4_mb(mx, my)
+                        c_coded[my, mx] = True
+                        qp_map[my, mx] = qp
+                        filled40[my * 4:my * 4 + 4,
+                                 mx * 4:mx * 4 + 4] = True
+                        if cb.terminal() != (1 if mbidx == n - 1 else 0):
+                            raise ValueError("end_of_slice desync")
+                        continue
                     if cb.terminal():
                         raise NotImplementedError("I_PCM in P")
                     cbp_l = 15 * cb.decision(17 + 1)

@@ -896,9 +896,10 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
             i4_modes=(i4_modes.reshape(-1, 16) if i4 else None))
     else:
         # decoder-carried QP: MBs that parse mb_qp_delta update QP_prev —
-        # inter MBs with cbp>0, and every I16 MB (dqp always coded)
+        # inter MBs with cbp>0, every I16 MB (dqp always coded), and I4
+        # MBs only with residual
         has_resid = (((cbp_luma > 0) | (cbp_chroma > 0)) & ~skip) \
-            | is_intra_f
+            | (is_intra_f & ~is_i4_f)
         idxs = jnp.arange(n, dtype=jnp.int32)
         last_r = jax.lax.cummax(jnp.where(has_resid, idxs, -1))
         prev_r = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
@@ -972,7 +973,9 @@ def cabac_finalize_pframe(enc, decisions, qp_mb, slice_qp, sh,
         d["luma_dc_z"].astype(np.int16), luma,
         d["cdc"].astype(np.int16), d["cac_z"].reshape(n, 8, 16),
         model=0, mvd1=d["mvd2"].astype(np.int16),
-        part_mode=d["part_mode"].astype(np.uint8))
+        part_mode=d["part_mode"].astype(np.uint8),
+        is_i4=d["is_i4"].astype(np.uint8),
+        i4_modes=d["i4_modes"].astype(np.uint8))
     sh.cabac_init_idc = 0
     return finalize_slice_cabac(enc, payload, sh, nal_mod.NAL_SLICE,
                                 nal_mod.NAL_PRIORITY_HIGH)
@@ -1078,10 +1081,7 @@ def dispatch_pframe(enc, planes, ftype, qp, ref_tag=None, tree_off=None,
             entropy=not enc.p.cabac,
             partitions=bool(enc.p.analyse.inter & ANALYSE_PSUB16x16),
             use_pallas=enc.use_pallas,
-            # I4-in-P: CAVLC only until the C++ CABAC writer grows the
-            # I_4x4 syntax
-            i4=bool(enc.p.analyse.intra & ANALYSE_I4x4
-                    and not enc.p.cabac),
+            i4=bool(enc.p.analyse.intra & ANALYSE_I4x4),
             wp_w=(jnp.asarray(wp[0], jnp.int32) if wp else None),
             wp_o=(jnp.asarray(wp[1], jnp.int32) if wp else None))
         enc._pending_ref_fields = {"mvf": stats["mvf"],

@@ -527,26 +527,55 @@ def encode_iframe_device(y, u, v, qp_mb, qpc_mb, slice_qp, *, mbw, mbh,
 
 
 @partial(jax.jit, static_argnames=("mbw", "mbh", "deblock", "a_off",
-                                   "b_off", "cqpo", "use_pallas"))
-def analyze_iframe_device(y, u, v, qp_mb, qpc_mb, *, mbw, mbh,
+                                   "b_off", "cqpo", "use_pallas", "i4"))
+def analyze_iframe_device(y, u, v, qp_mb, qpc_mb, slice_qp, *, mbw, mbh,
                           deblock=False, a_off=0, b_off=0, cqpo=0,
-                          use_pallas=False):
+                          use_pallas=False, i4=False):
     """Device pass for the CABAC path: decide + commit + deblock, returning
     zigzagged levels for the host CABAC writer (native/cabac.cpp) instead
-    of running the device CAVLC stage."""
-    i16_mode, chroma_mode, satd_cost = decide_modes(y, u, v)
-    coeffs, recon = commit_i16x16(y, u, v, i16_mode, chroma_mode, qp_mb,
-                                  qpc_mb, mbw=mbw, mbh=mbh,
-                                  use_pallas=use_pallas)
+    of running the device CAVLC stage. With i4, the per-MB I_4x4 candidate
+    is added (analyse.c:668) and the deblock qp map follows the
+    decoder-carried chain (dqp is only signaled for I4 MBs with
+    residual)."""
+    i16_mode, chroma_mode, satd_cost, i16_cost = decide_modes_full(y, u, v)
+    if i4:
+        lam = jnp.maximum(
+            1, jnp.round(2.0 ** ((slice_qp - 12) / 6.0))).astype(jnp.int32)
+        i4_modes, i4_cost = decide_modes_i4(y)
+        i4_mask = (i4_cost + lam * 24) < i16_cost
+        coeffs, recon = commit_dispatch(
+            y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb, mbw, mbh,
+            use_pallas=use_pallas, i4_mask=i4_mask, i4_modes=i4_modes)
+    else:
+        i4_mask = jnp.zeros((mbh, mbw), bool)
+        i4_modes = jnp.zeros((mbh, mbw, 16), jnp.int32)
+        coeffs, recon = commit_i16x16(y, u, v, i16_mode, chroma_mode,
+                                      qp_mb, qpc_mb, mbw=mbw, mbh=mbh,
+                                      use_pallas=use_pallas)
+    n = mbw * mbh
+    # decoder-carried qp chain (mirrors entropy/cavlc_jax.py): dqp is
+    # always signaled for I16 MBs, only with residual for I4 MBs
+    qp_flat = qp_mb.reshape(-1)
+    luma_any = (coeffs["ac"].reshape(n, -1) != 0).any(axis=1)
+    chroma_any = ((coeffs["udc"].reshape(n, -1) != 0).any(axis=1)
+                  | (coeffs["vdc"].reshape(n, -1) != 0).any(axis=1)
+                  | (coeffs["uac"].reshape(n, -1) != 0).any(axis=1)
+                  | (coeffs["vac"].reshape(n, -1) != 0).any(axis=1))
+    has_dqp = (~i4_mask.reshape(-1)) | luma_any | chroma_any
+    idxs = jnp.arange(n, dtype=jnp.int32)
+    last_d = jax.lax.cummax(jnp.where(has_dqp, idxs, -1))
+    prev_d = jnp.concatenate([jnp.full((1,), -1, jnp.int32), last_d[:-1]])
+    prev_qp = jnp.where(prev_d >= 0, qp_flat[jnp.maximum(prev_d, 0)],
+                        slice_qp)
+    eff_qp = jnp.where(has_dqp, qp_flat, prev_qp)
     if deblock:
         from ..ops.deblock import deblock_frame
         bs = jnp.full((mbh, mbw, 4, 4), 3, jnp.int32)
         bs = bs.at[:, :, 0, :].set(4)
         recon = deblock_frame(
-            recon[0], recon[1], recon[2], bs, bs, qp_mb,
-            mbw=mbw, mbh=mbh,
+            recon[0], recon[1], recon[2], bs, bs,
+            eff_qp.reshape(mbh, mbw), mbw=mbw, mbh=mbh,
             a_off=a_off, b_off=b_off, chroma_qp_offset=cqpo)
-    n = mbw * mbh
     zig = jnp.asarray(ZIGZAG4_FRAME)
     dc_z = coeffs["dc"].reshape(n, 16)[:, zig]
     ac_z = coeffs["ac"].reshape(n, 16, 16)[:, :, zig]
@@ -554,7 +583,8 @@ def analyze_iframe_device(y, u, v, qp_mb, qpc_mb, *, mbw, mbh,
     cac = jnp.stack([coeffs["uac"], coeffs["vac"]],
                     axis=1).reshape(n, 2, 4, 16)[:, :, :, zig]
     return (i16_mode.reshape(-1), chroma_mode.reshape(-1), dc_z, ac_z,
-            cdc, cac, recon, satd_cost)
+            cdc, cac, recon, satd_cost, i4_mask.reshape(-1),
+            i4_modes.reshape(n, 16))
 
 
 def finalize_slice_cabac(enc, payload: bytes, sh, nal_type, ref_idc):
@@ -566,7 +596,8 @@ def finalize_slice_cabac(enc, payload: bytes, sh, nal_type, ref_idc):
 
 
 def cabac_finalize_iframe(enc, mode_m, mode_c, dc_z, ac_z, cdc, cac,
-                          qp_mb, slice_qp, sh, nal_type, ref_idc):
+                          qp_mb, slice_qp, sh, nal_type, ref_idc,
+                          is_i4=None, i4_modes=None):
     """Host tail of a CABAC I frame: transfer levels, run the C++ writer."""
     from ..entropy.cabac_host import encode_slice_cabac
     from ..entropy.cavlc import LUMA4x4_RASTER
@@ -577,6 +608,14 @@ def cabac_finalize_iframe(enc, mode_m, mode_c, dc_z, ac_z, cdc, cac,
     cacn = np.asarray(cac, np.int16)
     cdcn = np.asarray(cdc, np.int16)
     cbp_luma = np.where((ac[:, :, 1:] != 0).any(axis=(1, 2)), 15, 0)
+    if is_i4 is not None:
+        is_i4 = np.asarray(is_i4, np.uint8)
+        # I4 MBs: per-8x8-quad cbp over the full 16-coeff blocks
+        # (z-scan groups 4 consecutive blocks per quad)
+        quad_nz = (ac != 0).any(axis=2).reshape(n, 4, 4).any(axis=2)
+        cbp_i4 = (quad_nz.astype(np.int32)
+                  << np.arange(4)[None, :]).sum(axis=1)
+        cbp_luma = np.where(is_i4 > 0, cbp_i4, cbp_luma)
     any_cac = (cacn[:, :, :, 1:] != 0).any(axis=(1, 2, 3))
     any_cdc = (cdcn != 0).any(axis=(1, 2))
     cbp_chroma = np.where(any_cac, 2, np.where(any_cdc, 1, 0))
@@ -587,7 +626,10 @@ def cabac_finalize_iframe(enc, mode_m, mode_c, dc_z, ac_z, cdc, cac,
         cbp_luma, cbp_chroma, np.asarray(qp_mb).reshape(-1),
         np.zeros((n, 2), np.int16),
         np.asarray(dc_z, np.int16), ac, cdcn,
-        cacn.reshape(n, 8, 16))
+        cacn.reshape(n, 8, 16),
+        is_i4=is_i4,
+        i4_modes=(np.asarray(i4_modes, np.uint8)
+                  if i4_modes is not None else None))
     return finalize_slice_cabac(enc, payload, sh, nal_type, ref_idc)
 
 
@@ -605,14 +647,16 @@ def dispatch_iframe_cabac(enc, planes, ftype, qp, tree_off=None):
     def attempt(qp_try):
         from .frame_encode import build_qp_maps
         qp_mb, qpc_mb = build_qp_maps(enc, y, u, v, qp_try, tree_off)
+        from ..params import ANALYSE_I4x4
         (mode_m, mode_c, dc_z, ac_z, cdc, cac, recon,
-         satd_cost) = analyze_iframe_device(
-            y, u, v, qp_mb, qpc_mb, mbw=mbw, mbh=mbh,
+         satd_cost, is_i4, i4_modes) = analyze_iframe_device(
+            y, u, v, qp_mb, qpc_mb, qp_try, mbw=mbw, mbh=mbh,
             deblock=enc.p.deblocking_filter,
             a_off=enc.p.deblocking_filter_alphac0 * 2,
             b_off=enc.p.deblocking_filter_beta * 2,
             cqpo=enc.p.analyse.chroma_qp_offset,
-            use_pallas=enc.use_pallas)
+            use_pallas=enc.use_pallas,
+            i4=bool(enc.p.analyse.intra & ANALYSE_I4x4))
         enc._pending_ref_fields = {
             "mvf": np.zeros((mbh, mbw, 2), np.int32),
             "inter_mask": np.zeros((mbh, mbw), bool)}
@@ -621,7 +665,8 @@ def dispatch_iframe_cabac(enc, planes, ftype, qp, tree_off=None):
             sh.qp = qp_try
             nals = cabac_finalize_iframe(
                 enc, mode_m, mode_c, dc_z, ac_z, cdc, cac, qp_mb, qp_try,
-                sh, nal_type, nal_mod.NAL_PRIORITY_HIGHEST)
+                sh, nal_type, nal_mod.NAL_PRIORITY_HIGHEST,
+                is_i4=is_i4, i4_modes=i4_modes)
             rec = [np.asarray(r) for r in recon] if materialize \
                 else list(recon)
             enc.rc.end(ftype, sum(len(n.payload) * 8 for n in nals),

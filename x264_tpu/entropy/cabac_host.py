@@ -48,7 +48,8 @@ def _load():
     lib.cabac_encode_slice.argtypes = [
         u8, u8, u8, u8, u8,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        u8, u8, u8, u8, u8, u8, i8, u8, u8, i16, i16, i16, i16, i16, i16,
+        u8, u8, u8, u8, u8, u8, u8, u8, i8, u8, u8,
+        i16, i16, i16, i16, i16, i16,
         u8, ctypes.c_int]
     _lib = lib
     return lib
@@ -81,7 +82,7 @@ def encode_slice_cabac(slice_type, mbw: int, mbh: int,
                        chroma_mode, cbp_luma, cbp_chroma, qp_mb, mvd,
                        luma_dc, luma_ac, chroma_dc, chroma_ac,
                        model: int = 0, bmode=None, mvd1=None,
-                       part_mode=None) -> bytes:
+                       part_mode=None, is_i4=None, i4_modes=None) -> bytes:
     """Write one slice's CABAC mb layer. Residual arrays are zigzagged;
     luma blocks in z-scan coding order. Returns the payload bytes
     (cabac-aligned slice data, to append after the slice header)."""
@@ -103,6 +104,9 @@ def encode_slice_cabac(slice_type, mbw: int, mbh: int,
 
     skip = u8c(skip)
     is_intra = u8c(is_intra)
+    is_i4 = u8c(is_i4 if is_i4 is not None else np.zeros(n))
+    i4_modes = u8c(i4_modes if i4_modes is not None
+                   else np.zeros((n, 16)))
     i16_mode = u8c(i16_mode)
     chroma_mode = u8c(chroma_mode)
     cbp_luma = u8c(cbp_luma)
@@ -127,6 +131,7 @@ def encode_slice_cabac(slice_type, mbw: int, mbh: int,
         _ptr(_TRANS_LPS, ctypes.c_uint8),
         st, mbw, mbh, slice_qp,
         _ptr(skip, ctypes.c_uint8), _ptr(is_intra, ctypes.c_uint8),
+        _ptr(is_i4, ctypes.c_uint8), _ptr(i4_modes, ctypes.c_uint8),
         _ptr(i16_mode, ctypes.c_uint8), _ptr(chroma_mode, ctypes.c_uint8),
         _ptr(cbp_luma, ctypes.c_uint8), _ptr(cbp_chroma, ctypes.c_uint8),
         _ptr(qp_mb, ctypes.c_int8), _ptr(bmode, ctypes.c_uint8),
