@@ -225,12 +225,45 @@ def motion_search_seeded(padded_ref, y_src, lam, me_range: int,
             jnp.zeros((mbh, mbw, 2), jnp.int32))
     (_, lmv), _ = jax.lax.scan(lstep, init, jnp.asarray(loffsets))
 
-    # ---- stage 2: full-res +-M refine around the 2x-upscaled seed ----
+    # ---- stage 2: full-res +-M refine around the 2x-upscaled seed,
+    # scanned over the (2M+1)^2 static offsets (compiles once) ----
     seed = jnp.clip(2 * lmv, -(R - M), R - M)          # [mbh,mbw,2]
     WIN = 16 + 2 * M
     win = mb_windows_ref(padded_ref[None], seed - M, bs=16, win=WIN,
                          pad=mc.PAD)[:, :, 0].astype(jnp.int16)
     tiles = _mb_tiles(y_src, 16).astype(jnp.int16)     # [mbh,mbw,16,16]
+    roffs = np.array([(dx, dy) for dy in range(-M, M + 1)
+                      for dx in range(-M, M + 1)], np.int32)
+
+    def rstep(best, off):
+        dx, dy = off[0], off[1]
+        cand_mv = seed + off[None, None, :]
+        sl = jax.lax.dynamic_slice(win, (0, 0, M + dy, M + dx),
+                                   (mbh, mbw, 16, 16))
+        ad = jnp.abs(sl - tiles).reshape(mbh, mbw, 2, 8, 2, 8)
+        quad = ad.sum(axis=5, dtype=jnp.int16) \
+            .sum(axis=3, dtype=jnp.int32)              # [mbh,mbw,2,2]
+        mvcost = lam * (_mv_cost_bits(cand_mv[..., 0] * 4)
+                        + _mv_cost_bits(cand_mv[..., 1] * 4))
+        if pir_cap is not None:
+            mvcost = mvcost + jnp.where(cand_mv[..., 0] > pir_cap,
+                                        1 << 28, 0)
+        cand = {"16x16": quad.sum(axis=(2, 3)) + mvcost}
+        if shapes:
+            cand["16x8"] = quad.sum(axis=3) + mvcost[..., None]
+            cand["8x16"] = quad.sum(axis=2) + mvcost[..., None]
+        new = {}
+        for key, cost in cand.items():
+            bc, bm = best[key]
+            better = cost < bc
+            bc = jnp.where(better, cost, bc)
+            bm = jnp.where(better[..., None],
+                           jnp.broadcast_to(
+                               cand_mv[:, :, None, :]
+                               if cost.ndim == 3 else cand_mv,
+                               bm.shape), bm)
+            new[key] = (bc, bm)
+        return new, None
 
     best = {"16x16": (jnp.full((mbh, mbw), 1 << 30, jnp.int32),
                       jnp.zeros((mbh, mbw, 2), jnp.int32))}
@@ -238,35 +271,7 @@ def motion_search_seeded(padded_ref, y_src, lam, me_range: int,
         for key in ("16x8", "8x16"):
             best[key] = (jnp.full((mbh, mbw, 2), 1 << 30, jnp.int32),
                          jnp.zeros((mbh, mbw, 2, 2), jnp.int32))
-    for dy in range(-M, M + 1):
-        for dx in range(-M, M + 1):
-            cand_mv = seed + jnp.asarray([dx, dy], jnp.int32)
-            ad = jnp.abs(win[:, :, M + dy:M + dy + 16,
-                             M + dx:M + dx + 16] - tiles) \
-                .reshape(mbh, mbw, 2, 8, 2, 8)
-            quad = ad.sum(axis=5, dtype=jnp.int16) \
-                .sum(axis=3, dtype=jnp.int32)          # [mbh,mbw,2,2]
-            mvcost = lam * (_mv_cost_bits(cand_mv[..., 0] * 4)
-                            + _mv_cost_bits(cand_mv[..., 1] * 4))
-            if pir_cap is not None:
-                mvcost = mvcost + jnp.where(cand_mv[..., 0] > pir_cap,
-                                            1 << 28, 0)
-            cand = {"16x16": quad.sum(axis=(2, 3)) + mvcost}
-            if shapes:
-                cand["16x8"] = quad.sum(axis=3) + mvcost[..., None]
-                cand["8x16"] = quad.sum(axis=2) + mvcost[..., None]
-            new = {}
-            for key, cost in cand.items():
-                bc, bm = best[key]
-                better = cost < bc
-                bc = jnp.where(better, cost, bc)
-                bm = jnp.where(better[..., None],
-                               jnp.broadcast_to(
-                                   cand_mv[:, :, None, :]
-                                   if cost.ndim == 3 else cand_mv,
-                                   bm.shape), bm)
-                new[key] = (bc, bm)
-            best = new
+    best, _ = jax.lax.scan(rstep, best, jnp.asarray(roffs))
     if not shapes:
         return best["16x16"][1]
     return {"16x16": best["16x16"][1], "16x8": best["16x8"][1],
@@ -277,118 +282,154 @@ SUBPEL_MARG = 2      # window margin: covers qpel radius 3 interp taps
 SUBPEL_WIN = 24
 
 
+def _subpel_cand_table(radius: int) -> np.ndarray:
+    """Static per-candidate parameters of the +-radius qpel grid, one row
+    per candidate: (qdx, qdy, p0, p1, oy0, ix, iy, ox1, avg). Consumed by
+    the scanned refine core (_subpel_refine_scan) so the 49-candidate loop
+    compiles ONCE instead of being Python-unrolled (r3 verdict: the 5x
+    unrolled copies dominated the 546s XLA compile)."""
+    cands = [(0, 0)] + [(qdx, qdy)
+                        for qdy in range(-radius, radius + 1)
+                        for qdx in range(-radius, radius + 1)
+                        if (qdx, qdy) != (0, 0)]
+    rows = []
+    for qdx, qdy in cands:
+        fx, fy = qdx & 3, qdy & 3
+        ix, iy = qdx >> 2, qdy >> 2
+        q = fy * 4 + fx
+        p0 = int(mc.HPEL_REF0[q])
+        p1 = int(mc.HPEL_REF1[q])
+        oy0 = iy + (1 if fy == 3 else 0)
+        ox1 = ix + (1 if fx == 3 else 0)
+        rows.append((qdx, qdy, p0, p1, oy0, ix, iy, ox1,
+                     1 if (q & 5) else 0))
+    return np.asarray(rows, np.int32)
+
+
+def _satd16_map(pred, src):
+    """Per-4x4-block SATD of [..., 16, 16] tiles -> [..., 16] (raster
+    block order), so partition lanes can sum masked subsets."""
+    d = pred - src.astype(jnp.int32)
+    lead = d.shape[:-2]
+    dd = d.reshape(lead + (4, 4, 4, 4)).swapaxes(-3, -2) \
+        .reshape(lead + (16, 4, 4))
+    h = jnp.asarray(np.array([[1, 1, 1, 1], [1, -1, 1, -1],
+                              [1, 1, -1, -1], [1, -1, -1, 1]], np.int32))
+    t = jnp.einsum("ij,...jk,lk->...il", h, dd, h,
+                   preferred_element_type=jnp.int32)
+    return jnp.sum(jnp.abs(t), axis=(-1, -2)) >> 1
+
+
+def _subpel_refine_scan(win, tiles, mv_fp, lam, masks, radius: int = 3):
+    """Scanned qpel-grid refine over L partition lanes at once
+    (reference refine_subpel me.c:865, re-expressed as ONE lax.scan over
+    the static candidate table — the TPU form of the half/quarter ladder).
+
+    win   [L, n, 4, 24, 24] int32 hpel windows (one per lane, extracted at
+          that lane's own full-pel winner);
+    tiles [n, 16, 16] source MB tiles;
+    mv_fp [L, n, 2] full-pel MVs;
+    masks [L, 16] float 0/1 over raster 4x4 blocks — which blocks belong
+          to the lane's partition rectangle (cost is summed over them).
+
+    Returns (best_q [L,n,2], best_pred [L,n,16,16], best_cost [L,n])."""
+    L, n = win.shape[:2]
+    M = SUBPEL_MARG
+    tab = jnp.asarray(_subpel_cand_table(radius))
+    maskb = masks.astype(jnp.int32)[:, None, :]            # [L,1,16]
+
+    def step(carry, t):
+        bc, bq, bp = carry
+        qdx, qdy, p0, p1, oy0, ix, iy, ox1, avg = (t[k] for k in range(9))
+        s0 = jax.lax.dynamic_slice(
+            win, (0, 0, p0, M + oy0, M + ix), (L, n, 1, 16, 16))[:, :, 0]
+        s1 = jax.lax.dynamic_slice(
+            win, (0, 0, p1, M + iy, M + ox1), (L, n, 1, 16, 16))[:, :, 0]
+        predq = jnp.where(avg > 0, (s0 + s1 + 1) >> 1, s0)
+        mvq = mv_fp * 4 + jnp.stack([qdx, qdy])[None, None, :]
+        satd4 = _satd16_map(predq, tiles[None])            # [L,n,16]
+        cost = jnp.sum(satd4 * maskb, axis=-1) + lam * (
+            _mv_cost_bits(mvq[..., 0]) + _mv_cost_bits(mvq[..., 1]))
+        better = cost < bc
+        bc = jnp.where(better, cost, bc)
+        bq = jnp.where(better[..., None], mvq, bq)
+        bp = jnp.where(better[..., None, None], predq, bp)
+        return (bc, bq, bp), None
+
+    init = (jnp.full((L, n), 1 << 30, jnp.int32),
+            mv_fp * 4,
+            win[:, :, 0, M:M + 16, M:M + 16])
+    (bc, bq, bp), _ = jax.lax.scan(step, init, tab)
+    return bq, bp, bc
+
+
+def _subpel_windows(hpel, mv_c, me_range: int):
+    """Per-MB 24x24 hpel windows at mv_c [mbh,mbw,2] -> [n,4,24,24]."""
+    from ..ops.warp import mb_windows_auto
+    mbh, mbw = mv_c.shape[:2]
+    win = mb_windows_auto(hpel, mv_c - SUBPEL_MARG, bs=16,
+                          lo=-me_range - SUBPEL_MARG,
+                          hi=me_range - SUBPEL_MARG,
+                          win=SUBPEL_WIN, pad=mc.PAD)
+    return win.reshape(mbh * mbw, 4, SUBPEL_WIN, SUBPEL_WIN) \
+        .astype(jnp.int32)
+
+
 def subpel_refine_mc(hpel, y_src, mv_c, lam, me_range: int,
                      radius: int = 3):
     """Exhaustive qpel refinement around the ESA full-pel winner + final
-    luma MC, gather-free: per-MB hpel windows come from the Pallas warp
-    (ops/warp.py), every qpel candidate is then a static window slice/avg
-    (reference refine_subpel me.c:865; this evaluates the full +-radius
-    qpel grid, a superset of the half-then-quarter ladder).
+    luma MC (reference refine_subpel me.c:865; evaluates the full
+    +-radius qpel grid, a superset of the half-then-quarter ladder).
 
     Returns (mvq [n,2] qpel, pred [n,16,16] int32, cost [n] — per-MB
     best SATD+mv-bits cost, for the intra-vs-inter decision)."""
-    from ..ops.warp import mb_windows_auto
     H, W = y_src.shape
     mbh, mbw = H // 16, W // 16
     n = mbh * mbw
     tiles = _mb_tiles(y_src, 16).reshape(n, 16, 16)
-    win = mb_windows_auto(hpel, mv_c - SUBPEL_MARG, bs=16,
-                          lo=-me_range - SUBPEL_MARG,
-                          hi=me_range - SUBPEL_MARG,
-                          win=SUBPEL_WIN, pad=mc.PAD)
-    win = win.reshape(n, 4, SUBPEL_WIN, SUBPEL_WIN).astype(jnp.int32)
-    mv_fp = mv_c.reshape(n, 2)
-    M = SUBPEL_MARG
-
-    best_cost = jnp.full((n,), 1 << 30, jnp.int32)
-    best_q = mv_fp * 4
-    best_pred = win[:, 0, M:M + 16, M:M + 16]
-    cands = [(0, 0)] + [(qdx, qdy)
-                        for qdy in range(-radius, radius + 1)
-                        for qdx in range(-radius, radius + 1)
-                        if (qdx, qdy) != (0, 0)]
-    for qdx, qdy in cands:
-        fx, fy = qdx & 3, qdy & 3
-        ix, iy = qdx >> 2, qdy >> 2
-        q = fy * 4 + fx
-        p0 = int(mc.HPEL_REF0[q])
-        p1 = int(mc.HPEL_REF1[q])
-        oy0 = iy + (1 if fy == 3 else 0)
-        s0 = win[:, p0, M + oy0:M + oy0 + 16, M + ix:M + ix + 16]
-        if q & 5:
-            ox1 = ix + (1 if fx == 3 else 0)
-            s1 = win[:, p1, M + iy:M + iy + 16, M + ox1:M + ox1 + 16]
-            predq = (s0 + s1 + 1) >> 1
-        else:
-            predq = s0
-        mvq = mv_fp * 4 + jnp.asarray([qdx, qdy], jnp.int32)[None, :]
-        cost = _satd16(predq, tiles) + lam * (
-            _mv_cost_bits(mvq[:, 0]) + _mv_cost_bits(mvq[:, 1]))
-        better = cost < best_cost
-        best_cost = jnp.where(better, cost, best_cost)
-        best_q = jnp.where(better[:, None], mvq, best_q)
-        best_pred = jnp.where(better[:, None, None], predq, best_pred)
-    return best_q, best_pred, best_cost
+    win = _subpel_windows(hpel, mv_c, me_range)[None]
+    mv_fp = mv_c.reshape(1, n, 2)
+    masks = jnp.ones((1, 16), jnp.int32)
+    bq, bp, bc = _subpel_refine_scan(win, tiles, mv_fp, lam, masks,
+                                     radius)
+    return bq[0], bp[0], bc[0]
 
 
-def subpel_refine_part(hpel, y_src, mv_c, lam, me_range: int,
-                       r0: int, ph: int, c0: int, pw: int,
-                       radius: int = 3):
-    """Qpel refinement + MC for one rectangular partition of every MB
-    (reference refine_subpel per-partition calls, me.c:865).
+# raster 4x4-block membership masks for the 5 refine lanes:
+# 16x16, 16x8-top, 16x8-bottom, 8x16-left, 8x16-right
+_PART_MASKS = np.zeros((5, 16), np.int32)
+for _b in range(16):
+    _by, _bx = _b // 4, _b % 4
+    _PART_MASKS[0, _b] = 1
+    _PART_MASKS[1, _b] = 1 if _by < 2 else 0
+    _PART_MASKS[2, _b] = 1 if _by >= 2 else 0
+    _PART_MASKS[3, _b] = 1 if _bx < 2 else 0
+    _PART_MASKS[4, _b] = 1 if _bx >= 2 else 0
 
-    mv_c [mbh,mbw,2] full-pel MV of THIS partition; (r0,c0,ph,pw) its
-    pixel rectangle inside the MB. The hpel window is extracted at the
-    MB origin with the partition's own MV, then the partition subrange
-    is sliced out of it statically.
 
-    Returns (mvq [n,2], pred [n,ph,pw] int32, cost [n])."""
-    from ..ops.warp import mb_windows_auto
+def subpel_refine_all(hpel, y_src, mvs, lam, me_range: int,
+                      radius: int = 3):
+    """Qpel refinement of the 16x16 winner AND the four 16x8/8x16 half
+    partitions in ONE scanned pass (5 lanes; reference per-partition
+    refine_subpel calls, me.c:865 / analyse.c:1255+).
+
+    mvs: dict from motion_search(shapes=True).
+    Returns (mvq16 [n,2], pred16 [n,16,16], cost16 [n],
+             q_parts [4,n,2], pred_parts (p_t,p_b,p_l,p_r), cost_parts
+             [4,n])."""
     H, W = y_src.shape
     mbh, mbw = H // 16, W // 16
     n = mbh * mbw
-    tiles = _mb_tiles(y_src, 16).reshape(n, 16, 16)[:, r0:r0 + ph,
-                                                    c0:c0 + pw]
-    win = mb_windows_auto(hpel, mv_c - SUBPEL_MARG, bs=16,
-                          lo=-me_range - SUBPEL_MARG,
-                          hi=me_range - SUBPEL_MARG,
-                          win=SUBPEL_WIN, pad=mc.PAD)
-    win = win.reshape(n, 4, SUBPEL_WIN, SUBPEL_WIN).astype(jnp.int32)
-    mv_fp = mv_c.reshape(n, 2)
-    M = SUBPEL_MARG
-
-    best_cost = jnp.full((n,), 1 << 30, jnp.int32)
-    best_q = mv_fp * 4
-    best_pred = win[:, 0, M + r0:M + r0 + ph, M + c0:M + c0 + pw]
-    cands = [(0, 0)] + [(qdx, qdy)
-                        for qdy in range(-radius, radius + 1)
-                        for qdx in range(-radius, radius + 1)
-                        if (qdx, qdy) != (0, 0)]
-    for qdx, qdy in cands:
-        fx, fy = qdx & 3, qdy & 3
-        ix, iy = qdx >> 2, qdy >> 2
-        q = fy * 4 + fx
-        p0 = int(mc.HPEL_REF0[q])
-        p1 = int(mc.HPEL_REF1[q])
-        oy0 = iy + (1 if fy == 3 else 0)
-        ra = M + r0 + oy0
-        ca = M + c0 + ix
-        s0 = win[:, p0, ra:ra + ph, ca:ca + pw]
-        if q & 5:
-            ox1 = ix + (1 if fx == 3 else 0)
-            s1 = win[:, p1, M + r0 + iy:M + r0 + iy + ph,
-                     M + c0 + ox1:M + c0 + ox1 + pw]
-            predq = (s0 + s1 + 1) >> 1
-        else:
-            predq = s0
-        mvq = mv_fp * 4 + jnp.asarray([qdx, qdy], jnp.int32)[None, :]
-        cost = _satd_rect(predq, tiles) + lam * (
-            _mv_cost_bits(mvq[:, 0]) + _mv_cost_bits(mvq[:, 1]))
-        better = cost < best_cost
-        best_cost = jnp.where(better, cost, best_cost)
-        best_q = jnp.where(better[:, None], mvq, best_q)
-        best_pred = jnp.where(better[:, None, None], predq, best_pred)
-    return best_q, best_pred, best_cost
+    tiles = _mb_tiles(y_src, 16).reshape(n, 16, 16)
+    lane_mvs = [mvs["16x16"], mvs["16x8"][:, :, 0], mvs["16x8"][:, :, 1],
+                mvs["8x16"][:, :, 0], mvs["8x16"][:, :, 1]]
+    win = jnp.stack([_subpel_windows(hpel, m, me_range) for m in lane_mvs])
+    mv_fp = jnp.stack([m.reshape(n, 2) for m in lane_mvs])
+    bq, bp, bc = _subpel_refine_scan(win, tiles, mv_fp, lam,
+                                     jnp.asarray(_PART_MASKS), radius)
+    pred_parts = (bp[1, :, 0:8, :], bp[2, :, 8:16, :],
+                  bp[3, :, :, 0:8], bp[4, :, :, 8:16])
+    return bq[0], bp[0], bc[0], bq[1:], pred_parts, bc[1:]
 
 
 def _satd_rect(pred, src):
@@ -630,22 +671,22 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
         mvs = motion_search(ref_y_pad, ref_hpel, y, lam, me_range,
                             shapes=partitions,
                             pir_cap=pir_cap if pir else None)
-    mv_c = mvs["16x16"] if partitions else mvs
-    mvq, pred_y, inter_cost = subpel_refine_mc(ref_hpel, y, mv_c, lam,
-                                               me_range)
-    mv_field = mvq.reshape(mbh, mbw, 2)
-
-    if partitions:
-        # --- P_16x8 / P_8x16 candidates (analyse.c:1255+): each half
-        # gets its own qpel refinement + MC around its full-pel winner ---
-        q_t, p_t, c_t = subpel_refine_part(
-            ref_hpel, y, mvs["16x8"][:, :, 0], lam, me_range, 0, 8, 0, 16)
-        q_b, p_b, c_b = subpel_refine_part(
-            ref_hpel, y, mvs["16x8"][:, :, 1], lam, me_range, 8, 8, 0, 16)
-        q_l, p_l, c_l = subpel_refine_part(
-            ref_hpel, y, mvs["8x16"][:, :, 0], lam, me_range, 0, 16, 0, 8)
-        q_r, p_r, c_r = subpel_refine_part(
-            ref_hpel, y, mvs["8x16"][:, :, 1], lam, me_range, 0, 16, 8, 8)
+    if not partitions:
+        mvq, pred_y, inter_cost = subpel_refine_mc(ref_hpel, y, mvs, lam,
+                                                   me_range)
+        mv_field = mvq.reshape(mbh, mbw, 2)
+    else:
+        # --- 16x16 + P_16x8 / P_8x16 candidates (analyse.c:1255+): all
+        # five lanes refined in ONE scanned pass around their own
+        # full-pel winners ---
+        (mvq, pred_y, inter_cost, q_parts, pred_parts,
+         c_parts) = subpel_refine_all(ref_hpel, y, mvs, lam, me_range)
+        q_t, q_b, q_l, q_r = (q_parts[0], q_parts[1], q_parts[2],
+                              q_parts[3])
+        p_t, p_b, p_l, p_r = pred_parts
+        c_t, c_b, c_l, c_r = (c_parts[0], c_parts[1], c_parts[2],
+                              c_parts[3])
+        mv_field = mvq.reshape(mbh, mbw, 2)
         # mb_type bit bias: ue(1)/ue(2) = 3 bits vs ue(0) = 1
         cost_168 = c_t + c_b + lam * 2
         cost_816 = c_l + c_r + lam * 2

@@ -167,7 +167,14 @@ def decide_modes_i4(y):
 
 def _i4_commit_mb(src, left16, top16, tl_mb, al, at, modes16, qp):
     """Exact I4x4 reconstruction of one wavefront strip of MBs
-    (vectorized over the [mbh] lanes; 16 sequential z-scan block steps).
+    (vectorized over the [mbh] lanes; 16 sequential z-scan block steps
+    as a lax.fori_loop — compiled ONCE, not unrolled into the wavefront
+    scan body; r3 verdict compile-time item).
+
+    All neighbor reads go through one extension buffer `ext`
+    [mbh, 17, 21]: row 0 = top16 (+4 spill cols), col 0 = left16,
+    [0,0] = tl_mb, interior = progressive recon — so every z step uses
+    the same dynamic-slice pattern regardless of block position.
 
     src [mbh,16,16] int32; left16/top16 [mbh,16] true decoded MB edges;
     tl_mb [mbh]; al/at [mbh] MB-level availability; modes16 [mbh,16]
@@ -175,50 +182,56 @@ def _i4_commit_mb(src, left16, top16, tl_mb, al, at, modes16, qp):
     Returns (lv [mbh,16,4,4] raster full 16-coeff blocks, recon)."""
     from ..ops.predict import predict_4x4_all
     mbh = src.shape[0]
-    rec = jnp.zeros((mbh, 16, 16), jnp.int32)
-    lv_out = [None] * 16
-    for z in range(16):
-        bx, by = int(I4_ZX[z]), int(I4_ZY[z])
-        if bx == 0:
-            left4 = left16[:, by * 4:by * 4 + 4]
-        else:
-            left4 = rec[:, by * 4:by * 4 + 4, bx * 4 - 1]
-        row = top16 if by == 0 else rec[:, by * 4 - 1, :]
-        t03 = row[:, bx * 4:bx * 4 + 4]
-        kind = _i4_block_avail(bx, by)
-        if kind == "real":
-            t47 = row[:, bx * 4 + 4:bx * 4 + 8]
-        elif kind == "lane":                 # above MB row (by == 0)
-            t47r = row[:, bx * 4 + 4:bx * 4 + 8]
-            subv = jnp.broadcast_to(t03[:, 3:4], t03.shape)
-            t47 = jnp.where(at[:, None], t47r, subv)
-        else:
-            t47 = jnp.broadcast_to(t03[:, 3:4], t03.shape)
-        top8 = jnp.concatenate([t03, t47], axis=-1)
-        if bx > 0 and by > 0:
-            tl = rec[:, by * 4 - 1, bx * 4 - 1]
-        elif bx == 0 and by == 0:
-            tl = tl_mb
-        elif by == 0:
-            tl = top16[:, bx * 4 - 1]
-        else:
-            tl = left16[:, by * 4 - 1]
-        al_b = al if bx == 0 else jnp.ones_like(al)
-        at_b = at if by == 0 else jnp.ones_like(at)
+    ext = jnp.zeros((mbh, 17, 21), jnp.int32)
+    ext = ext.at[:, 0, 0].set(tl_mb)
+    ext = ext.at[:, 0, 1:17].set(top16)
+    # spill cols 17:21 feed only substituted ('none') top-right reads
+    ext = ext.at[:, 0, 17:21].set(top16[:, 15:16])
+    ext = ext.at[:, 1:17, 0].set(left16)
+    zx = jnp.asarray(I4_ZX.astype(np.int32))
+    zy = jnp.asarray(I4_ZY.astype(np.int32))
+    # above-right availability kind per raster block (0 none/1 lane/2 real)
+    kind_r = np.zeros(16, np.int32)
+    for r in range(16):
+        kind_r[r] = {"none": 0, "lane": 1,
+                     "real": 2}[_i4_block_avail(r % 4, r // 4)]
+    kind_t = jnp.asarray(kind_r)
+    lv_all = jnp.zeros((mbh, 16, 4, 4), jnp.int32)
+
+    def body(z, carry):
+        ext, lv_all = carry
+        bx, by = zx[z], zy[z]
+        r = by * 4 + bx                       # raster block index
+        c4, r4 = bx * 4, by * 4
+        left4 = jax.lax.dynamic_slice(ext, (0, r4 + 1, c4),
+                                      (mbh, 4, 1))[:, :, 0]
+        top8r = jax.lax.dynamic_slice(ext, (0, r4, c4 + 1),
+                                      (mbh, 1, 8))[:, 0]
+        tl = jax.lax.dynamic_slice(ext, (0, r4, c4), (mbh, 1, 1))[:, 0, 0]
+        kind = kind_t[r]
+        tr_ok = jnp.where(kind == 2, True, jnp.where(kind == 1, at, False))
+        sub = jnp.broadcast_to(top8r[:, 3:4], (mbh, 4))
+        top8 = jnp.concatenate(
+            [top8r[:, :4], jnp.where(tr_ok[:, None], top8r[:, 4:], sub)],
+            axis=-1)
+        al_b = jnp.where(bx > 0, True, al)
+        at_b = jnp.where(by > 0, True, at)
         preds = predict_4x4_all(left4, top8, tl, al_b, at_b)  # [mbh,9,4,4]
-        mode = modes16[:, by * 4 + bx]
+        mode = jax.lax.dynamic_slice(modes16, (0, r), (mbh, 1))[:, 0]
         pred = _onehot_mode(preds, mode, 9)
-        res = src[:, by * 4:by * 4 + 4,
-                  bx * 4:bx * 4 + 4].astype(jnp.int32) - pred
+        srcb = jax.lax.dynamic_slice(src, (0, r4, c4), (mbh, 4, 4))
+        res = srcb.astype(jnp.int32) - pred
         w = dct.dct4x4(res[:, None])                  # [mbh,1,4,4]
         lv = quant.quant4x4(w, qp[:, None], True)
         d = quant.dequant4x4(lv, qp[:, None])
         rb = jnp.clip(pred + dct.idct4x4(d)[:, 0], 0, 255)
-        rec = jax.lax.dynamic_update_slice(
-            rec, rb, (0, by * 4, bx * 4))
-        lv_out[by * 4 + bx] = lv[:, 0]
-    lv = jnp.stack(lv_out, axis=1)                    # [mbh,16,4,4] raster
-    return lv, rec
+        ext = jax.lax.dynamic_update_slice(ext, rb, (0, r4 + 1, c4 + 1))
+        lv_all = jax.lax.dynamic_update_slice(
+            lv_all, lv, (0, r, 0, 0))
+        return ext, lv_all
+
+    ext, lv_all = jax.lax.fori_loop(0, 16, body, (ext, lv_all))
+    return lv_all, ext[:, 1:17, 1:17]
 
 
 # ------------------------------------------------------------------ commit
