@@ -153,7 +153,9 @@ def worker(w, h):
 
     frames = synth_clip(N_FRAMES, W, H)
 
-    def encode_once(qp, timed):
+    compile_s = [None]
+
+    def make_params(qp):
         p = param_default_preset("medium")
         p.width, p.height = W, H
         p.cabac = False
@@ -162,20 +164,29 @@ def worker(w, h):
         p.rc.qp_constant = qp
         p.analyse.psnr = False
         p.analyse.ssim = False
-        enc = Encoder(p)
-        if timed:   # warmup (compiles I and P paths)
-            enc.encode(Picture(frames[0], pts=0))
-            enc.encode(Picture(frames[1], pts=1))
+        return p
+
+    def encode_once(qp, timed):
+        if timed:
+            # warmup in a THROWAWAY encoder instance, fully drained, so
+            # no warmup NALs can leak into the measured stream (r3
+            # verdict weak item 2); the measured encoder below reuses
+            # the in-process compiled programs
+            t0 = time.time()
+            warm = Encoder(make_params(qp))
+            warm.encode(Picture(frames[0], pts=0))
+            warm.encode(Picture(frames[1], pts=1))
+            warm.encode(Picture(frames[2], pts=2))
+            while warm.delayed_frames():
+                warm.encode(None)
+            compile_s[0] = round(time.time() - t0, 1)
+        enc = Encoder(make_params(qp))
         n_bench = N_FRAMES
         t0 = time.time()
         total_bytes = 0
         nals_all = []
         for i in range(n_bench):
-            # first benched frame is a forced IDR so the measured stream
-            # is independently decodable (warmup NALs are discarded)
-            pic = Picture(frames[i], pts=i + 2)
-            if i == 0:
-                pic.i_type = 1            # TYPE_IDR
+            pic = Picture(frames[i], pts=i)
             nals, out = enc.encode(pic)
             nals_all += nals
             total_bytes += sum(len(n.payload) + 4 for n in nals)
@@ -300,6 +311,7 @@ def worker(w, h):
         "vs_baseline": round(best / scale / TARGET_FPS, 4),
         "mode": mode,
         "resolution": f"{W}x{H}",
+        "compile_s": compile_s[0],
         "single_stream_fps": round(fps / scale, 3),
         "measured_fps": round(fps, 3),
         "kbps": round(kbps, 1),

@@ -569,7 +569,7 @@ class Decoder:
         first_mb = r.ue()
         slice_type = r.ue() % 5
         r.ue()  # pps id
-        r.u(sps.log2_max_frame_num)
+        self._cur_fn = r.u(sps.log2_max_frame_num)
         if idr:
             r.ue()  # idr_pic_id
             self._prev_poc_lsb = self._prev_poc_msb = 0
@@ -603,7 +603,10 @@ class Decoder:
                 if slice_type == 1:
                     r.ue()                  # num_ref_idx_l1_active -1
             if r.u1():                      # ref_pic_list_modification l0
-                raise NotImplementedError("ref list modification")
+                # spec 8.2.4.3: reorder l0 by pic_num ops; the encoder
+                # emits these after invalidate_reference re-references an
+                # older frame (inter.py apply_ref_list_mod)
+                self._apply_ref_list_mod_l0(r)
             if slice_type == 1 and r.u1():  # ref_pic_list_modification l1
                 raise NotImplementedError("ref list modification l1")
             if pps.weighted_pred and slice_type == 0:
@@ -720,6 +723,7 @@ class Decoder:
         if getattr(self, "_is_ref", True):
             self._ref = (y.copy(), u.copy(), v.copy())
             entry = {"poc": getattr(self, "_cur_poc", 0),
+                     "fn": getattr(self, "_cur_fn", 0),
                      "planes": self._ref}
             # colocated fields for B spatial direct (mvpred.c:290)
             entry.update(getattr(self, "_pending_fields", None) or {})
@@ -736,6 +740,40 @@ class Decoder:
             .astype(np.uint8),
             v[top // 2:(H - bot) // 2, left // 2:(W - right) // 2]
             .astype(np.uint8)))
+
+    def _apply_ref_list_mod_l0(self, r: BitReader):
+        """ref_pic_list_modification for list0 (spec 7.3.3.1 / 8.2.4.3):
+        short-term pic_num reordering ops. Only l0[0] matters here
+        (num_ref_idx_l0_active == 1 in emitted streams): the selected
+        entry becomes self._ref for this slice's P MC."""
+        sps = self.sps
+        max_fn = 1 << sps.log2_max_frame_num
+        cur_fn = getattr(self, "_cur_fn", 0)
+        # initial list: short-term refs by descending FrameNumWrap
+        def wrap(fn):
+            return fn - max_fn if fn > cur_fn else fn
+        lst = sorted(self._refs, key=lambda e: -wrap(e.get("fn", 0)))
+        pred = cur_fn
+        out = []
+        while True:
+            idc = r.ue()
+            if idc == 3:
+                break
+            if idc not in (0, 1):
+                raise NotImplementedError(f"list-mod idc {idc}")
+            diff = r.ue() + 1
+            pic_num = (pred - diff) % max_fn if idc == 0 \
+                else (pred + diff) % max_fn
+            pred = pic_num
+            match = [e for e in lst if e.get("fn", 0) % max_fn == pic_num]
+            if not match:
+                raise ValueError(f"list-mod: pic_num {pic_num} not in DPB")
+            out.append(match[0])
+        for e in lst:
+            if not any(e is o for o in out):
+                out.append(e)
+        if out:
+            self._ref = out[0]["planes"]
 
     def _decode_p_body(self, r: BitReader, qp: int, num_ref: int):
         """P slice MB layer: P_Skip / P_L0_16x16 (+I16x16 when emitted)."""

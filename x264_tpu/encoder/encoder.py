@@ -272,6 +272,7 @@ class Encoder:
             self.frame_num = 0
             self._idr_display_base = idx
             self._dpb.clear()
+            self._last_ref_fn = None    # decoder DPB resets at IDR
         self.poc = 2 * (idx - self._idr_display_base)
 
         qp = self._decide_qp(ftype, pic, idx)
@@ -283,6 +284,10 @@ class Encoder:
         else:
             finalize, retry, recon_dev, ref_fwd = self._dispatch_frame(
                 planes, ftype, qp, pic, tree_off)
+            # this frame is now the decoder's most recent reference — the
+            # default list0[0] the NEXT frame's ref choice is compared
+            # against (apply_ref_list_mod, encoder.c:3485-3583 analogue)
+            self._last_ref_fn = self.frame_num
             # reference pictures advance frame_num (spec 7.4.3)
             self.frame_num = (self.frame_num + 1) % (
                 1 << self.sps.log2_max_frame_num)
@@ -550,13 +555,20 @@ class Encoder:
         keep = [r for r in self._dpb if r["tag"] < pts]
         dropped = len(self._dpb) - len(keep)
         self._dpb = keep
+        if dropped and self.sps.num_ref_frames < 2:
+            # survivor would be outside the decoder's 1-frame sliding
+            # window: the only conformant recovery is an IDR
+            self._dpb = []
         if not self._dpb:
+            # nothing valid left: force a recovery IDR
+            # (reference encoder.c:3485-3497)
             self.last_keyframe = -(1 << 30)
-        if keep:
-            # the surviving entry is older than the decoder's default
-            # list0[0] assumption; until ref_pic_list_mod is wired the
-            # safest conformant action is a recovery IDR as well
-            self.last_keyframe = -(1 << 30)
+        # else: the next P re-references the newest SURVIVING entry; it is
+        # older than the decoder's default list0[0] (the corrupt frame is
+        # still in the decoder DPB), so dispatch_pframe emits
+        # ref_pic_list_modification_l0 (apply_ref_list_mod). The survivor
+        # stays inside the decoder's sliding window because
+        # sps.num_ref_frames >= 2 covers the retained pipe entries.
         return 0 if dropped or not self._dpb else -1
 
     def close(self) -> dict:

@@ -59,14 +59,30 @@ class FarmEncoder:
                   cqpo=self.p.analyse.chroma_qp_offset)
 
         def i_step(y, u, v):
+            from ..params import ANALYSE_I4x4
             return intra.encode_iframe_device(
-                y, u, v, self.qp_mb, self.qpc_mb, self.qp, **kw)
+                y, u, v, self.qp_mb, self.qpc_mb, self.qp,
+                i4=bool(self.p.analyse.intra & ANALYSE_I4x4), **kw)
 
-        def p_step(y, u, v, ry, rhp, rcuv):
+        # feature parity with the single-stream dispatch (dispatch_pframe
+        # flags; r3 verdict weak item 6: the farm silently ran a lighter
+        # config than the number it was compared against). weightp is the
+        # one exception (host per-stream fit; identity weights passed).
+        from ..params import ANALYSE_I4x4, ANALYSE_PSUB16x16
+        wp_id = (jnp.full((streams,), 128, jnp.int32),
+                 jnp.zeros((streams,), jnp.int32))
+
+        def p_step(y, u, v, ry, rhp, rcuv, wp_w, wp_o):
             return inter.encode_pframe_device(
                 y, u, v, ry, rhp, rcuv, self.qp_mb, self.qpc_mb,
                 self.qp, self.lam, me_range=self.me_range,
-                decimate=self.p.analyse.dct_decimate, **kw)
+                decimate=self.p.analyse.dct_decimate,
+                me_seeded=self.p.analyse.me_method <= 2,
+                partitions=bool(self.p.analyse.inter & ANALYSE_PSUB16x16),
+                i4=bool(self.p.analyse.intra & ANALYSE_I4x4),
+                wp_w=wp_w, wp_o=wp_o, **kw)
+
+        self._wp_id = wp_id
 
         def dpb_prep(recon_y, recon_u, recon_v):
             y_pad = mc.pad_plane(recon_y)
@@ -87,6 +103,9 @@ class FarmEncoder:
             nal_mod.nal_encode(nal_mod.NAL_PPS,
                                nal_mod.NAL_PRIORITY_HIGHEST,
                                sets.pps_write(self.pps)),
+            nal_mod.nal_encode(nal_mod.NAL_SEI,
+                               nal_mod.NAL_PRIORITY_DISPOSABLE,
+                               sets.sei_version(self.p)),
         ]
 
     def _slice_header(self, ftype):
@@ -114,7 +133,7 @@ class FarmEncoder:
         else:
             words, bits, recon, _ = self._p_step(
                 y, u, v, self._dpb["y_pad"], self._dpb["hpel"],
-                self._dpb["cuv"])
+                self._dpb["cuv"], self._wp_id[0], self._wp_id[1])
             ftype, ntype, ridc = (TYPE_P, nal_mod.NAL_SLICE,
                                   nal_mod.NAL_PRIORITY_HIGH)
         y_pad, hpel, cuv = self._dpb_prep(recon[0], recon[1], recon[2])
