@@ -139,3 +139,88 @@ def test_weightp_identity_not_emitted():
     enc = Encoder(make_params(weighted=1))
     run_encoder(enc, frames)
     assert enc.stats.get("weightp_frames", 0) == 0
+
+
+def test_pir_sweep_conformant():
+    """Periodic intra refresh (reference encoder.c:3626-3660): after the
+    initial IDR every frame is P; the intra column band sweeps across the
+    frame each keyint; sweep restarts emit a recovery-point SEI and are
+    flagged keyframes; streams decode bit-exact in both oracles."""
+    n = 10
+    frames = moving_frames(n, seed=7)
+    p = make_params()
+    p.intra_refresh = True
+    p.keyint_max = 4
+    enc = Encoder(p)
+    stream = annexb_bytes(enc.headers())
+    recons, types, keyflags = [], [], []
+
+    def take(nals, out):
+        nonlocal stream
+        stream += annexb_bytes(nals)
+        if out is not None:
+            recons.append(out.recon)
+            types.append(out.i_type)
+            keyflags.append(out.b_keyframe)
+    for i, f in enumerate(frames):
+        take(*enc.encode(Picture(f, pts=i)))
+    while enc.delayed_frames():
+        take(*enc.encode(None))
+    # only the very first frame is IDR; all keyint boundaries become
+    # sweep-restart P frames
+    assert types[0] == 1 and all(t == 3 for t in types[1:]), types
+    # sweep restarts every keyint: frames 4 and 8 are recovery points
+    assert keyflags[0] and keyflags[4] and keyflags[8], keyflags
+    assert not any(keyflags[i] for i in (1, 2, 3, 5, 6, 7, 9)), keyflags
+    assert b"\x06" in stream  # SEI NALs present (recovery point)
+    decoded = refdec.Decoder().decode(stream)
+    assert len(decoded) == n
+    for i in range(n):
+        for c in range(3):
+            np.testing.assert_array_equal(decoded[i][c], recons[i][c],
+                                          err_msg=f"frame {i} plane {c}")
+    if _ensure_avdec():
+        open("/tmp/pir.264", "wb").write(stream)
+        r = subprocess.run([AVDEC, "/tmp/pir.264", "/tmp/pir.yuv"],
+                           capture_output=True, text=True)
+        assert "err=0" in (r.stderr + r.stdout), r.stderr
+        raw = open("/tmp/pir.yuv", "rb").read()
+        fs = W * H * 3 // 2
+        assert len(raw) == n * fs
+        for i in range(n):
+            av_y = np.frombuffer(raw[i * fs:i * fs + W * H],
+                                 np.uint8).reshape(H, W)
+            np.testing.assert_array_equal(
+                recons[i][0], av_y, err_msg=f"frame {i}: libavcodec")
+
+
+def test_pir_intra_refresh_api_queues_sweep():
+    """x264_encoder_intra_refresh under PIR: the queued refresh restarts
+    the column sweep at the next opportunity instead of forcing IDR."""
+    frames = moving_frames(8, seed=9)
+    p = make_params()
+    p.intra_refresh = True
+    p.keyint_max = 6
+    enc = Encoder(p)
+    stream = annexb_bytes(enc.headers())
+    types, keyflags = [], []
+
+    def take(nals, out):
+        nonlocal stream
+        stream += annexb_bytes(nals)
+        if out is not None:
+            types.append(out.i_type)
+            keyflags.append(out.b_keyframe)
+    for i, f in enumerate(frames):
+        if i == 3:
+            enc.intra_refresh()
+        take(*enc.encode(Picture(f, pts=i)))
+    while enc.delayed_frames():
+        take(*enc.encode(None))
+    assert types[0] == 1 and all(t == 3 for t in types[1:]), types
+    # the queued refresh fires once the current sweep completes — a
+    # restart must happen strictly before the natural keyint boundary
+    # would have been hit a second time
+    assert any(keyflags[1:6]), keyflags
+    decoded = refdec.Decoder().decode(stream)
+    assert len(decoded) == len(frames)

@@ -72,7 +72,8 @@ def frame_redispatch(enc, job):
         return frame_encode.dispatch_frame(enc, job["planes"],
                                            job["ftype"], job["qp"],
                                            ref_tag=job["ref_tag"],
-                                           tree_off=job.get("tree_off"))
+                                           tree_off=job.get("tree_off"),
+                                           pir=job.get("pir"))
     finally:
         enc.frame_num, enc.poc = saved
 
@@ -95,7 +96,14 @@ def validate_parameters(p: P.Params) -> P.Params:
         if p.rc.qp_constant < 0:
             p.rc.qp_constant = 23 + p.qp_bd_offset
         qp = p.rc.qp_constant
-        p.rc.qp_min = p.rc.qp_max = qp
+        # per-slice-type CQP (reference validate_parameters: qp_min/max
+        # span the I/P/B constants; I frames run ~qp-3 via ip_factor —
+        # clamping all types to qp cost 1.8 dB on every I frame)
+        import math as _math
+        qp_i = int(round(qp - 6.0 * _math.log2(max(p.rc.ip_factor, 0.01))))
+        qp_b = int(round(qp + 6.0 * _math.log2(max(p.rc.pb_factor, 0.01))))
+        p.rc.qp_min = max(0, min(qp, qp_i, qp_b))
+        p.rc.qp_max = min(qp_max_spec, max(qp, qp_i, qp_b))
         p.rc.aq_mode = P.AQ_NONE
         p.rc.mb_tree = False
     p.frame_reference = max(1, min(p.frame_reference, P.REF_MAX))
@@ -108,6 +116,12 @@ def validate_parameters(p: P.Params) -> P.Params:
     if p.keyint_max == 1:
         p.scenecut_threshold = 0
         p.intra_refresh = False
+    if p.intra_refresh:
+        # PIR constraints (reference encoder.c:1087-1098): single ref;
+        # B frames additionally unsupported here until the sweep handles
+        # bi-directional reference geometry
+        p.frame_reference = 1
+        p.bframe = 0
     p.rc.lookahead = max(0, min(p.rc.lookahead, P.LOOKAHEAD_MAX))
     p.rc.lookahead = min(p.rc.lookahead, p.keyint_max)
     # MB-tree drives per-MB offsets from the lookahead; until the ABR/VBV
@@ -172,6 +186,13 @@ class Encoder:
         self._max_refs = 2 if self.p.bframe > 0 else 1
         self._pipe: list = []       # in-flight frame jobs (frame-threads)
         self._pipe_depth = 1 if self.p.threads != 1 else 0
+        # periodic-intra-refresh sweep state (reference encoder.c:3626:
+        # f_pir_position / i_frames_since_pir / b_queued_intra_refresh);
+        # pos == mb_w means "no active sweep", prev_end is the most
+        # recent reference's refreshed end column (its MV-cap boundary)
+        self._pir_state = {"pos": float(self.mb_w), "since": 0,
+                           "prev_end": 0}
+        self._queued_refresh = False
         self._idr_display_base = 0
         self._coding_out = 0        # frames dispatched (coding order)
         self._closed = False
@@ -262,10 +283,53 @@ class Encoder:
             return [], None
         return self._finalize_job(self._pipe.pop(0))
 
+    def _pir_advance(self, ftype, idx):
+        """Advance the periodic-intra-refresh sweep for one frame
+        (reference encoder.c:3626-3660): keyframes become P frames that
+        restart the refresh column sweep; returns (ftype, pir_geom,
+        is_recovery_point). pir_geom = (start_col, end_col, ref_end) for
+        dispatch_pframe, or None when PIR contributes nothing."""
+        st = self._pir_state
+        mbw = self.mb_w
+        force = False
+        if ftype in (TYPE_IDR, TYPE_I):
+            if not self._dpb:
+                # nothing decodable to sweep over: a real IDR, which
+                # refreshes everything (reference encoder.c:3628-3634)
+                st.update(pos=float(mbw), since=0, prev_end=0)
+                return ftype, None, False
+            ftype = TYPE_P
+            force = True
+        keyint = max(self.p.keyint_max, 1)
+        inc = max((mbw - 1) / keyint, 1.0)
+        pos = st["pos"]
+        since = st["since"] + 1
+        recovery = False
+        if force or since >= keyint or (self._queued_refresh
+                                        and pos + 0.5 >= mbw):
+            pos, since = 0.0, 0
+            self._queued_refresh = False
+            recovery = True
+            self.last_keyframe = idx
+        start_col = int(pos + 0.5)
+        pos += inc
+        end_col = int(pos + 0.5)
+        if end_col >= mbw - 1:
+            pos = float(mbw)
+            end_col = mbw - 1
+        ref_end = st["prev_end"]
+        st.update(pos=pos, since=since, prev_end=end_col)
+        return ftype, (start_col, end_col,
+                       ref_end if ref_end > 0 else None), recovery
+
     def _enqueue_frame(self, planes, ftype, pic, idx, ref_fwd=None,
                        ref_bwd=None, tree_off=None) -> None:
         """Dispatch one frame in coding order and append its job
         (reference slices_write dispatch, encoder.c:3885)."""
+        pir_geom = None
+        recovery = False
+        if self.p.intra_refresh:
+            ftype, pir_geom, recovery = self._pir_advance(ftype, idx)
         is_idr = ftype == TYPE_IDR
         if is_idr:
             self.last_keyframe = idx
@@ -283,7 +347,7 @@ class Encoder:
                 self, planes, qp, ref_fwd, ref_bwd)
         else:
             finalize, retry, recon_dev, ref_fwd = self._dispatch_frame(
-                planes, ftype, qp, pic, tree_off)
+                planes, ftype, qp, pic, tree_off, pir=pir_geom)
             # this frame is now the decoder's most recent reference — the
             # default list0[0] the NEXT frame's ref choice is compared
             # against (apply_ref_list_mod, encoder.c:3485-3583 analogue)
@@ -304,7 +368,8 @@ class Encoder:
                "dts": dts, "ftype": ftype, "is_idr": is_idr, "qp": qp,
                "planes": planes, "tag": tag, "pre_state": pre_state,
                "ref_tag": ref_fwd, "ref_bwd": ref_bwd,
-               "tree_off": tree_off}
+               "tree_off": tree_off, "pir": pir_geom,
+               "recovery": recovery}
         self._pipe.append(job)
 
     def _finalize_job(self, job) -> tuple[list, PicOut]:
@@ -317,6 +382,14 @@ class Encoder:
             nals, recon = finalize()
         except PayloadOverflow:
             nals, recon, qp = self._overflow_reencode(job)
+        if job.get("recovery"):
+            # sweep-restart frame: a recovery point the stream can be
+            # joined at (reference encoder.c:3744: time_to_recovery =
+            # min(mb_w-1, keyint) + bframe - 1)
+            ttr = min(self.mb_w - 1, self.p.keyint_max) - 1
+            nals = [nal_mod.nal_encode(
+                nal_mod.NAL_SEI, nal_mod.NAL_PRIORITY_DISPOSABLE,
+                sets.sei_recovery_point(max(ttr, 0)))] + nals
         if self.sps.nal_hrd_parameters:
             # HRD SEIs (reference encoder.c:3723-3767): buffering period
             # at every IDR, picture timing on every AU; delays in ticks
@@ -354,7 +427,7 @@ class Encoder:
             from .intra import aud_nal
             nals = [aud_nal(ftype)] + nals
         out = PicOut(pts=pts, dts=job.get("dts", pts), i_type=ftype,
-                     b_keyframe=is_idr, qp=qp,
+                     b_keyframe=is_idr or bool(job.get("recovery")), qp=qp,
                      recon=[r[:self.p.height, :self.p.width] if i == 0 else
                             r[:self._chroma_h(), :self._chroma_w()]
                             for i, r in enumerate(recon)] if recon else None)
@@ -425,11 +498,12 @@ class Encoder:
         return self.rc.start(ftype, pic.forced_qp, frame_idx=idx)
 
     # -------------------------------------------------------- frame encode
-    def _dispatch_frame(self, planes, ftype, qp, pic, tree_off=None):
+    def _dispatch_frame(self, planes, ftype, qp, pic, tree_off=None,
+                        pir=None):
         """Returns (finalize_fn, retry_fn, recon_dev, ref_tag)."""
         from . import frame_encode
         return frame_encode.dispatch_frame(self, planes, ftype, qp,
-                                           tree_off=tree_off)
+                                           tree_off=tree_off, pir=pir)
 
     def _overflow_reencode(self, job):
         """Device CAVLC buffer overflow: re-encode the frame at higher QP
@@ -541,10 +615,13 @@ class Encoder:
 
     def intra_refresh(self) -> None:
         """Queue an intra refresh (reference x264_encoder_intra_refresh,
-        x264.h:985). The PIR column sweep needs intra-in-P (next
-        milestone); until then the refresh is honored as an immediate
-        recovery point: the next frame is coded IDR."""
-        self.last_keyframe = -(1 << 30)
+        encoder.c:3280): with --intra-refresh on, the next P frame after
+        the current sweep completes restarts the column sweep; without
+        PIR, the next frame is coded IDR."""
+        if self.p.intra_refresh:
+            self._queued_refresh = True
+        else:
+            self.last_keyframe = -(1 << 30)
 
     def invalidate_reference(self, pts: int) -> int:
         """Mark reconstructed frames with pts >= `pts` unusable

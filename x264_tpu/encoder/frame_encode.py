@@ -12,7 +12,8 @@ from ..entropy import nal as nal_mod
 from ..entropy.slice_hdr import slice_header_write
 
 
-def dispatch_frame(enc, planes, ftype, qp, ref_tag=None, tree_off=None):
+def dispatch_frame(enc, planes, ftype, qp, ref_tag=None, tree_off=None,
+                   pir=None):
     """Returns (finalize_fn, retry_fn(qp)->(finalize, recon), recon_dev,
     ref_tag) — ref_tag is the DPB tag this frame references (None for
     intra), used to re-dispatch against the same reference after an
@@ -31,7 +32,7 @@ def dispatch_frame(enc, planes, ftype, qp, ref_tag=None, tree_off=None):
     if ftype == TYPE_P:
         from . import inter
         return inter.dispatch_pframe(enc, planes, ftype, qp, ref_tag,
-                                     tree_off=tree_off)
+                                     tree_off=tree_off, pir=pir)
     raise NotImplementedError("B frames dispatch via bframe.py")
 
 
