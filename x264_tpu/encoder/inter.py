@@ -687,9 +687,11 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
         c_t, c_b, c_l, c_r = (c_parts[0], c_parts[1], c_parts[2],
                               c_parts[3])
         mv_field = mvq.reshape(mbh, mbw, 2)
-        # mb_type bit bias: ue(1)/ue(2) = 3 bits vs ue(0) = 1
-        cost_168 = c_t + c_b + lam * 2
-        cost_816 = c_l + c_r + lam * 2
+        # partition costs are the sum of the per-half ME costs (each
+        # already carrying lambda*mvbits), no mb-type bias in SATD mode
+        # (analyse.c mb_analyse_inter_p16x8: i_cost16x8 = me[0]+me[1])
+        cost_168 = c_t + c_b
+        cost_816 = c_l + c_r
         part_mode = jnp.argmin(
             jnp.stack([inter_cost, cost_168, cost_816]), axis=0) \
             .astype(jnp.int32)                                    # [n]
@@ -729,21 +731,26 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
     if wp_w is not None:
         pred_y = jnp.clip(((pred_y * wp_w + 64) >> 7) + wp_o, 0, 255)
 
-    # --- intra candidate (mode decision from source neighbors) ---
+    # --- intra candidate (mode decision from source neighbors); costs
+    # carry the reference's mode-signalling bits (analyse.c:730,866,173)
+    # at per-MB lambda so AQ steers the decision (ratecontrol_mb_qp) ---
     if intra_in_p:
-        i16_mode, chroma_mode, _, i16_cost = decide_modes_full(y, u, v)
+        lam_mb = jnp.maximum(
+            1, jnp.round(2.0 ** ((qp_mb - 12) / 6.0))).astype(jnp.int32)
+        i16_mode, chroma_mode, _, i16_cost = decide_modes_full(
+            y, u, v, lam=lam_mb)
         if i4:
             from .intra import decide_modes_i4
-            i4_modes, i4_cost = decide_modes_i4(y)
-            i4_cost = i4_cost + lam * 24       # mode-bits bias
+            i4_modes, i4_cost = decide_modes_i4(y, lam=lam_mb)
             use_i4 = i4_cost < i16_cost
             best_intra = jnp.minimum(i16_cost, i4_cost)
         else:
             i4_modes = None
             use_i4 = jnp.zeros((mbh, mbw), bool)
             best_intra = i16_cost
-        # mb_type ue(6..29) + chroma mode vs inter's ue(0): ~12 bit bias
-        intra_cost = best_intra.reshape(-1) + lam * 12
+        # direct SATD-domain comparison like analyse.c:3220
+        # (COPY2_IF_LT on i_cost vs i_satd_i16x16/i_satd_i4x4)
+        intra_cost = best_intra.reshape(-1)
         is_intra = (intra_cost < inter_cost).reshape(mbh, mbw)
         i4_mask = is_intra & use_i4
     else:

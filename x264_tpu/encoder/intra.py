@@ -39,11 +39,17 @@ def _mb_tiles(plane, s):
 
 # ---------------------------------------------------------------- decision
 @jax.jit
-def decide_modes_full(y, u, v):
+def decide_modes_full(y, u, v, lam=None):
     """Batched I16x16 + chroma mode decision from source neighbors.
 
+    lam: optional per-MB (or scalar) lambda; when given, each candidate
+    carries its mode-signalling bit cost like the reference
+    (analyse.c:730: SATD + lambda*bs_size_ue(mode); analyse.c:632 for
+    chroma) so the P/B intra-vs-inter comparison sees real bit biases
+    instead of invented constants.
+
     Returns (i16_mode [mbh, mbw], chroma_mode [mbh, mbw], satd_total,
-    luma_cost [mbh, mbw] — per-MB best-mode luma SATD, used by the P/B
+    luma_cost [mbh, mbw] — per-MB best-mode luma cost, used by the P/B
     intra-vs-inter decision, analyse.c:2939)."""
     mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
 
@@ -63,6 +69,10 @@ def decide_modes_full(y, u, v):
     ty, top_y, left_y, tl_y = neighbors(y, 16)
     preds = predict.predict_16x16_all(left_y, top_y, tl_y, al, at)
     costs = pixel.satd(preds, ty[:, :, None])             # [mbh,mbw,4]
+    if lam is not None:
+        # ue() sizes of spec modes [V,H,DC,Plane] = [1,3,3,5] bits
+        ue16 = jnp.asarray(np.array([1, 3, 3, 5], np.int32))
+        costs = costs + jnp.asarray(lam)[..., None] * ue16
     valid = predict.predict_16x16_mode_valid(al, at, at & al)
     costs = jnp.where(valid, costs, 1 << 28)
     i16_mode = jnp.argmin(costs, axis=-1).astype(jnp.int32)
@@ -72,6 +82,11 @@ def decide_modes_full(y, u, v):
     pu = predict.predict_chroma_all(left_u, top_u, tl_u, al, at)
     pv = predict.predict_chroma_all(left_v, top_v, tl_v, al, at)
     ccosts = pixel.satd(pu, tu[:, :, None]) + pixel.satd(pv, tv[:, :, None])
+    if lam is not None:
+        # chroma_pred_mode ue(): spec order [DC,H,V,Plane] -> our stack
+        # order matches predict_chroma_all; mode k costs ue(k)
+        uec = jnp.asarray(np.array([1, 3, 3, 5], np.int32))
+        ccosts = ccosts + jnp.asarray(lam)[..., None] * uec
     cvalid = predict.predict_chroma_mode_valid(al, at, at & al)
     ccosts = jnp.where(cvalid, ccosts, 1 << 28)
     chroma_mode = jnp.argmin(ccosts, axis=-1).astype(jnp.int32)
@@ -107,12 +122,19 @@ def _i4_block_avail(bx, by):
 
 
 @jax.jit
-def decide_modes_i4(y):
+def decide_modes_i4(y, lam=None):
     """Batched I4x4 mode decision from SOURCE neighbors (the two-phase
     approximation; exact recon happens in the wavefront commit).
 
+    lam: optional per-MB [mbh,mbw] (or scalar) lambda. When given, mode
+    selection and the returned cost follow the reference
+    (analyse.c:866,173): per-block +3*lambda when the mode is not the
+    most-probable mode (MPM approximated from the first-pass neighbor
+    winners), plus the lambda*(24+16) I_4x4 base cost. Without lam the
+    cost is raw summed SATD (legacy).
+
     Returns (modes [mbh, mbw, 16] raster-block spec modes,
-    cost [mbh, mbw] summed luma SATD — compare against I16's)."""
+    cost [mbh, mbw] — compare against I16's)."""
     from ..ops.predict import predict_4x4_all, predict_4x4_mode_valid
     H, W = y.shape
     mbh, mbw = H // 16, W // 16
@@ -155,6 +177,19 @@ def decide_modes_i4(y):
     ban[0, 3, 3] = ban[0, 3, 7] = True
     valid = valid & ~jnp.asarray(np.tile(ban, (mbh, mbw, 1)))
     costs = jnp.where(valid, costs, 1 << 28)
+    if lam is not None:
+        lam4 = jnp.broadcast_to(
+            jnp.repeat(jnp.repeat(jnp.asarray(lam)
+                                  * jnp.ones((mbh, mbw), jnp.int32),
+                                  4, axis=0), 4, axis=1), (H4, W4))
+        # pass 1: raw winners seed the neighbor modes for the MPM
+        modes0 = jnp.argmin(costs, axis=-1).astype(jnp.int32)
+        lm = jnp.where(al, jnp.roll(modes0, 1, axis=1), 2)
+        tm = jnp.where(at, jnp.roll(modes0, 1, axis=0), 2)
+        mpm = jnp.where(al & at, jnp.minimum(lm, tm), 2)
+        # pass 2: +3*lambda for every non-MPM mode (analyse.c:173)
+        costs = costs + jnp.where(
+            jnp.arange(9) == mpm[..., None], 0, 3 * lam4[..., None])
     modes = jnp.argmin(costs, axis=-1).astype(jnp.int32)  # [H4,W4]
     best = jnp.min(costs, axis=-1)
     # -> per-MB raster-block layout + summed cost
@@ -162,6 +197,10 @@ def decide_modes_i4(y):
         .reshape(mbh, mbw, 16)
     cost_mb = best.reshape(mbh, 4, mbw, 4).transpose(0, 2, 1, 3) \
         .reshape(mbh, mbw, 16).sum(-1)
+    if lam is not None:
+        # I_4x4 base: lambda*(24 JVT SATD0 + 16 base predmode bits)
+        cost_mb = cost_mb + 40 * (jnp.asarray(lam)
+                                  * jnp.ones((mbh, mbw), jnp.int32))
     return modes_mb, cost_mb
 
 
@@ -500,14 +539,16 @@ def encode_iframe_device(y, u, v, qp_mb, qpc_mb, slice_qp, *, mbw, mbh,
     the packed slice payload (and recon, for the DPB) leaves the chip.
 
     i4=True adds the I_4x4 candidate (analyse.c:668): per-MB choose
-    I16x16 vs I4x4 by SATD + lambda*24 mode-bits bias."""
+    I16x16 vs I4x4 by SATD + reference mode-bit costs (per-MB lambda,
+    so AQ offsets steer the decision like ratecontrol_mb_qp does)."""
     from ..entropy.cavlc_jax import encode_i16x16_frame_dev
-    i16_mode, chroma_mode, satd_cost, i16_cost = decide_modes_full(y, u, v)
+    lam_mb = jnp.maximum(
+        1, jnp.round(2.0 ** ((qp_mb - 12) / 6.0))).astype(jnp.int32)
+    i16_mode, chroma_mode, satd_cost, i16_cost = decide_modes_full(
+        y, u, v, lam=lam_mb)
     if i4:
-        lam = jnp.maximum(
-            1, jnp.round(2.0 ** ((slice_qp - 12) / 6.0))).astype(jnp.int32)
-        i4_modes, i4_cost = decide_modes_i4(y)
-        i4_mask = (i4_cost + lam * 24) < i16_cost
+        i4_modes, i4_cost = decide_modes_i4(y, lam=lam_mb)
+        i4_mask = i4_cost < i16_cost
         coeffs, recon = commit_dispatch(
             y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb, mbw, mbh,
             use_pallas=use_pallas, i4_mask=i4_mask, i4_modes=i4_modes)
@@ -550,12 +591,13 @@ def analyze_iframe_device(y, u, v, qp_mb, qpc_mb, slice_qp, *, mbw, mbh,
     is added (analyse.c:668) and the deblock qp map follows the
     decoder-carried chain (dqp is only signaled for I4 MBs with
     residual)."""
-    i16_mode, chroma_mode, satd_cost, i16_cost = decide_modes_full(y, u, v)
+    lam_mb = jnp.maximum(
+        1, jnp.round(2.0 ** ((qp_mb - 12) / 6.0))).astype(jnp.int32)
+    i16_mode, chroma_mode, satd_cost, i16_cost = decide_modes_full(
+        y, u, v, lam=lam_mb)
     if i4:
-        lam = jnp.maximum(
-            1, jnp.round(2.0 ** ((slice_qp - 12) / 6.0))).astype(jnp.int32)
-        i4_modes, i4_cost = decide_modes_i4(y)
-        i4_mask = (i4_cost + lam * 24) < i16_cost
+        i4_modes, i4_cost = decide_modes_i4(y, lam=lam_mb)
+        i4_mask = i4_cost < i16_cost
         coeffs, recon = commit_dispatch(
             y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb, mbw, mbh,
             use_pallas=use_pallas, i4_mask=i4_mask, i4_modes=i4_modes)
