@@ -88,21 +88,30 @@ def clip_psnr(src_frames, dec_frames):
     return float(np.mean(vals))
 
 
-def decode_with_cv2(path, n):
-    import cv2
-    cap = cv2.VideoCapture(path)
-    out = []
-    while True:
-        ok, img = cap.read()
-        if not ok:
-            break
-        # BGR -> YUV420 via cv2 (matches how we check conformance e2e)
-        yuv = cv2.cvtColor(img, cv2.COLOR_BGR2YUV_I420)
-        y = yuv[:H]
-        u = yuv[H:H + H // 4].reshape(H // 2, W // 2)
-        v = yuv[H + H // 4:].reshape(H // 2, W // 2)
-        out.append([y, u, v])
-    return out
+def decode_yuv(path, n):
+    """Exact YUV420 decode via the avdec helper (libavcodec, no
+    colorspace round-trip). Yields [y, u, v] per frame."""
+    tools = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools")
+    exe = os.path.join(tools, "avdec")
+    if not os.path.exists(exe):
+        subprocess.run(["gcc", "-O2", os.path.join(tools, "avdec.c"),
+                        "-o", exe, "-lavcodec", "-lavutil"],
+                       capture_output=True, check=True)
+    yuv = path + ".yuv"
+    r = subprocess.run([exe, path, yuv], capture_output=True, text=True)
+    if "err=0" not in (r.stderr + r.stdout):
+        raise RuntimeError("avdec failed: " + r.stderr[-200:])
+    fs = W * H * 3 // 2
+    raw = open(yuv, "rb").read()
+    for i in range(min(n, len(raw) // fs)):
+        buf = raw[i * fs:(i + 1) * fs]
+        y = np.frombuffer(buf[:W * H], np.uint8).reshape(H, W)
+        u = np.frombuffer(buf[W * H:W * H + W * H // 4],
+                          np.uint8).reshape(H // 2, W // 2)
+        v = np.frombuffer(buf[W * H + W * H // 4:],
+                          np.uint8).reshape(H // 2, W // 2)
+        yield [y, u, v]
 
 
 def run_reference(y4m_path, qp=QP):
@@ -197,7 +206,10 @@ def worker(w, h):
         dt = time.time() - t0
         fps = n_bench / dt
         kbps = total_bytes * 8 * 30.0 / n_bench / 1000.0
-        # quality: decode our stream with libavcodec (cv2), PSNR vs source
+        # quality: decode our stream with libavcodec and compare EXACT
+        # YUV planes vs source (tools/avdec; the old cv2 path went
+        # YUV->BGR->YUV and capped measurable PSNR ~5dB low at high
+        # quality, understating us vs the reference's self-reported PSNR)
         psnr_v = None
         try:
             data = b""
@@ -205,22 +217,11 @@ def worker(w, h):
                 data += b"\x00\x00\x00\x01" + n.payload
             with open("/tmp/bench_tpu.264", "wb") as f:
                 f.write(data)
-            import cv2
-            cap = cv2.VideoCapture("/tmp/bench_tpu.264")
             vals = []
-            idx = 0
-            while idx < n_bench:
-                ok, img = cap.read()
-                if not ok:
-                    break
-                yuv = cv2.cvtColor(img, cv2.COLOR_BGR2YUV_I420)
-                dy = yuv[:H]
-                du = yuv[H:H + H // 4].reshape(H // 2, W // 2)
-                dv = yuv[H + H // 4:].reshape(H // 2, W // 2)
-                sy, su, sv = frames[idx]
+            for dy, du, dv in decode_yuv("/tmp/bench_tpu.264", n_bench):
+                sy, su, sv = frames[len(vals)]
                 vals.append((6 * psnr(sy, dy) + psnr(su, du)
                              + psnr(sv, dv)) / 8)
-                idx += 1
             if vals:
                 psnr_v = round(float(np.mean(vals)), 3)
         except Exception:

@@ -89,6 +89,14 @@ def motion_search(padded_ref, hpel, y_src, lam, me_range: int,
     (no gathers — the dense-correlation form of ESA, reference me.c:618)
     followed by a windowed 7x7-qpel refinement with static offsets.
 
+    MV rate is costed against the MVP like the reference (me.c:59
+    COST_MV uses p_cost_mv[mv - mvp]): a first zero-centered pass finds
+    provisional winners, the spec median predictor of that field
+    (8.4.1.3) gives a per-MB MVP estimate, and the second pass re-scores
+    every offset against it — so the chosen field is MVD-coherent (the
+    zero-centered cost of r3 made neighbors disagree and blew up MVD
+    bits ~30-40%).
+
     With shapes=True also tracks per-half best MVs for the P_16x8 /
     P_8x16 partition shapes (reference mb_analyse_inter_p16x8/p8x16,
     analyse.c:1255+) at near-zero extra cost: the 8x8 quarter-sums of
@@ -112,7 +120,10 @@ def motion_search(padded_ref, hpel, y_src, lam, me_range: int,
         offs.append(offs[-1])
     offsets = np.array(offs, np.int32).reshape(-1, 8, 2)
 
-    def esa_scan(offsets):
+    def esa_scan(offsets, mvp, want_shapes):
+        # mvp [mbh, mbw, 2] qpel-domain predictor (zeros on pass 1)
+        mvpx, mvpy = mvp[..., 0], mvp[..., 1]
+
         def step(carry, off8):
             best = carry
             for k in range(8):
@@ -124,21 +135,20 @@ def motion_search(padded_ref, hpel, y_src, lam, me_range: int,
                     .reshape(mbh, 2, 8, mbw, 2, 8)
                 quad = ad.sum(axis=5, dtype=jnp.int16) \
                     .sum(axis=2, dtype=jnp.int32)     # [mbh,2,mbw,2]
-                mvcost = lam * (_mv_cost_bits(dx * 4)
-                                + _mv_cost_bits(dy * 4))
+                mvcost = lam * (_mv_cost_bits(dx * 4 - mvpx)
+                                + _mv_cost_bits(dy * 4 - mvpy))
                 if pir_cap is not None:
                     # Periodic-intra-refresh MV bound (reference
                     # analyse.c:342-346): refreshed MBs must not
                     # reference un-refreshed columns of the ref frame
                     mvcost = mvcost + jnp.where(dx > pir_cap, 1 << 28, 0)
+                mvcost = jnp.broadcast_to(mvcost, (mbh, mbw))
                 cand = {"16x16": quad.sum(axis=(1, 3)) + mvcost}
-                if shapes:
+                if want_shapes:
                     # halves carry their own mv bits each
                     cand["16x8"] = (quad.sum(axis=3).transpose(0, 2, 1)
-                                    + (mvcost[..., None]
-                                       if pir_cap is not None else mvcost))
-                    cand["8x16"] = quad.sum(axis=1) + (
-                        mvcost[..., None] if pir_cap is not None else mvcost)
+                                    + mvcost[..., None])
+                    cand["8x16"] = quad.sum(axis=1) + mvcost[..., None]
                 new = {}
                 for key, cost in cand.items():
                     bc, bm = best[key]
@@ -154,14 +164,19 @@ def motion_search(padded_ref, hpel, y_src, lam, me_range: int,
 
         init = {"16x16": (jnp.full((mbh, mbw), 1 << 30, jnp.int32),
                           jnp.zeros((mbh, mbw, 2), jnp.int32))}
-        if shapes:
+        if want_shapes:
             for key in ("16x8", "8x16"):
                 init[key] = (jnp.full((mbh, mbw, 2), 1 << 30, jnp.int32),
                              jnp.zeros((mbh, mbw, 2, 2), jnp.int32))
         out, _ = jax.lax.scan(step, init, jnp.asarray(offsets))
         return out
 
-    best = esa_scan(offsets)
+    # pass 1: zero-centered provisional winners -> MVP estimate
+    zero_mvp = jnp.zeros((mbh, mbw, 2), jnp.int32)
+    mv1 = esa_scan(offsets, zero_mvp, False)["16x16"][1]
+    mvp_est, _ = mv_predictors(mv1 * 4)
+    # pass 2: re-score against the estimated predictor field
+    best = esa_scan(offsets, mvp_est, shapes)
     if not shapes:
         return best["16x16"][1]          # [mbh, mbw, 2] full-pel
     return {"16x16": best["16x16"][1], "16x8": best["16x8"][1],
@@ -235,6 +250,11 @@ def motion_search_seeded(padded_ref, y_src, lam, me_range: int,
     roffs = np.array([(dx, dy) for dy in range(-M, M + 1)
                       for dx in range(-M, M + 1)], np.int32)
 
+    # MV rate vs the spec median predictor of the seed field (me.c:59
+    # p_cost_mv[mv - mvp]; the estimate keeps the refined field
+    # MVD-coherent — see motion_search)
+    mvp_est, _ = mv_predictors(seed * 4)
+
     def rstep(best, off):
         dx, dy = off[0], off[1]
         cand_mv = seed + off[None, None, :]
@@ -243,8 +263,9 @@ def motion_search_seeded(padded_ref, y_src, lam, me_range: int,
         ad = jnp.abs(sl - tiles).reshape(mbh, mbw, 2, 8, 2, 8)
         quad = ad.sum(axis=5, dtype=jnp.int16) \
             .sum(axis=3, dtype=jnp.int32)              # [mbh,mbw,2,2]
-        mvcost = lam * (_mv_cost_bits(cand_mv[..., 0] * 4)
-                        + _mv_cost_bits(cand_mv[..., 1] * 4))
+        mvcost = lam * (
+            _mv_cost_bits(cand_mv[..., 0] * 4 - mvp_est[..., 0])
+            + _mv_cost_bits(cand_mv[..., 1] * 4 - mvp_est[..., 1]))
         if pir_cap is not None:
             mvcost = mvcost + jnp.where(cand_mv[..., 0] > pir_cap,
                                         1 << 28, 0)
@@ -320,7 +341,8 @@ def _satd16_map(pred, src):
     return jnp.sum(jnp.abs(t), axis=(-1, -2)) >> 1
 
 
-def _subpel_refine_scan(win, tiles, mv_fp, lam, masks, radius: int = 3):
+def _subpel_refine_scan(win, tiles, mv_fp, lam, masks, radius: int = 3,
+                        mvp_q=None):
     """Scanned qpel-grid refine over L partition lanes at once
     (reference refine_subpel me.c:865, re-expressed as ONE lax.scan over
     the static candidate table — the TPU form of the half/quarter ladder).
@@ -337,6 +359,10 @@ def _subpel_refine_scan(win, tiles, mv_fp, lam, masks, radius: int = 3):
     M = SUBPEL_MARG
     tab = jnp.asarray(_subpel_cand_table(radius))
     maskb = masks.astype(jnp.int32)[:, None, :]            # [L,1,16]
+    if mvp_q is None:
+        mvp_q = jnp.zeros((1, n, 2), jnp.int32)
+    elif mvp_q.ndim == 2:
+        mvp_q = mvp_q[None]                                # [1,n,2]
 
     def step(carry, t):
         bc, bq, bp = carry
@@ -349,7 +375,8 @@ def _subpel_refine_scan(win, tiles, mv_fp, lam, masks, radius: int = 3):
         mvq = mv_fp * 4 + jnp.stack([qdx, qdy])[None, None, :]
         satd4 = _satd16_map(predq, tiles[None])            # [L,n,16]
         cost = jnp.sum(satd4 * maskb, axis=-1) + lam * (
-            _mv_cost_bits(mvq[..., 0]) + _mv_cost_bits(mvq[..., 1]))
+            _mv_cost_bits(mvq[..., 0] - mvp_q[..., 0])
+            + _mv_cost_bits(mvq[..., 1] - mvp_q[..., 1]))
         better = cost < bc
         bc = jnp.where(better, cost, bc)
         bq = jnp.where(better[..., None], mvq, bq)
@@ -376,10 +403,11 @@ def _subpel_windows(hpel, mv_c, me_range: int):
 
 
 def subpel_refine_mc(hpel, y_src, mv_c, lam, me_range: int,
-                     radius: int = 3):
+                     radius: int = 3, mvp_q=None):
     """Exhaustive qpel refinement around the ESA full-pel winner + final
     luma MC (reference refine_subpel me.c:865; evaluates the full
     +-radius qpel grid, a superset of the half-then-quarter ladder).
+    mvp_q [n,2]: qpel MVP estimate the MV rate is costed against.
 
     Returns (mvq [n,2] qpel, pred [n,16,16] int32, cost [n] — per-MB
     best SATD+mv-bits cost, for the intra-vs-inter decision)."""
@@ -391,7 +419,7 @@ def subpel_refine_mc(hpel, y_src, mv_c, lam, me_range: int,
     mv_fp = mv_c.reshape(1, n, 2)
     masks = jnp.ones((1, 16), jnp.int32)
     bq, bp, bc = _subpel_refine_scan(win, tiles, mv_fp, lam, masks,
-                                     radius)
+                                     radius, mvp_q=mvp_q)
     return bq[0], bp[0], bc[0]
 
 
@@ -408,12 +436,13 @@ for _b in range(16):
 
 
 def subpel_refine_all(hpel, y_src, mvs, lam, me_range: int,
-                      radius: int = 3):
+                      radius: int = 3, mvp_q=None):
     """Qpel refinement of the 16x16 winner AND the four 16x8/8x16 half
     partitions in ONE scanned pass (5 lanes; reference per-partition
     refine_subpel calls, me.c:865 / analyse.c:1255+).
 
     mvs: dict from motion_search(shapes=True).
+    mvp_q [n,2]: qpel MVP estimate, shared by all five lanes.
     Returns (mvq16 [n,2], pred16 [n,16,16], cost16 [n],
              q_parts [4,n,2], pred_parts (p_t,p_b,p_l,p_r), cost_parts
              [4,n])."""
@@ -426,7 +455,8 @@ def subpel_refine_all(hpel, y_src, mvs, lam, me_range: int,
     win = jnp.stack([_subpel_windows(hpel, m, me_range) for m in lane_mvs])
     mv_fp = jnp.stack([m.reshape(n, 2) for m in lane_mvs])
     bq, bp, bc = _subpel_refine_scan(win, tiles, mv_fp, lam,
-                                     jnp.asarray(_PART_MASKS), radius)
+                                     jnp.asarray(_PART_MASKS), radius,
+                                     mvp_q=mvp_q)
     pred_parts = (bp[1, :, 0:8, :], bp[2, :, 8:16, :],
                   bp[3, :, :, 0:8], bp[4, :, :, 8:16])
     return bq[0], bp[0], bc[0], bq[1:], pred_parts, bc[1:]
@@ -671,16 +701,25 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
         mvs = motion_search(ref_y_pad, ref_hpel, y, lam, me_range,
                             shapes=partitions,
                             pir_cap=pir_cap if pir else None)
+    # qpel-domain MVP estimate from the full-pel winner field: the
+    # subpel refine and the partition/mode comparison cost MV rate
+    # against it (me.c:59 p_cost_mv[mv - mvp]), keeping the final field
+    # MVD-coherent
+    mv16_fp = mvs["16x16"] if partitions else mvs
+    mvp_q_est, _ = mv_predictors(mv16_fp * 4)
+    mvp_q_est = mvp_q_est.reshape(-1, 2)
     if not partitions:
         mvq, pred_y, inter_cost = subpel_refine_mc(ref_hpel, y, mvs, lam,
-                                                   me_range)
+                                                   me_range,
+                                                   mvp_q=mvp_q_est)
         mv_field = mvq.reshape(mbh, mbw, 2)
     else:
         # --- 16x16 + P_16x8 / P_8x16 candidates (analyse.c:1255+): all
         # five lanes refined in ONE scanned pass around their own
         # full-pel winners ---
         (mvq, pred_y, inter_cost, q_parts, pred_parts,
-         c_parts) = subpel_refine_all(ref_hpel, y, mvs, lam, me_range)
+         c_parts) = subpel_refine_all(ref_hpel, y, mvs, lam, me_range,
+                                      mvp_q=mvp_q_est)
         q_t, q_b, q_l, q_r = (q_parts[0], q_parts[1], q_parts[2],
                               q_parts[3])
         p_t, p_b, p_l, p_r = pred_parts
