@@ -115,13 +115,15 @@ def mv_predictors_b(mv_field, use_mask):
 
 @partial(jax.jit, static_argnames=("mbw", "mbh", "cap_words", "me_range",
                                    "deblock", "a_off", "b_off", "cqpo",
-                                   "decimate", "entropy", "use_direct"))
+                                   "decimate", "entropy", "use_direct",
+                                   "trellis"))
 def encode_bframe_device(y, u, v, r0_y, r0_hpel, r0_cuv, r1_y, r1_hpel,
                          r1_cuv, qp_mb, qpc_mb, slice_qp, lam, w0, w1,
                          col_inter, col_mv, col_uniform,
                          *, mbw, mbh, cap_words, me_range, deblock=False,
                          a_off=0, b_off=0, cqpo=0, decimate=True,
-                         entropy=True, use_direct=True):
+                         entropy=True, use_direct=True, trellis=False,
+                         trl_tabs=None):
     """Fused B-frame device pass. Returns (words, total_bits, recon,
     stats). (w0, w1) are the implicit bipred weights (traced scalars so
     POC-distance changes do not recompile). col_inter/col_mv are the L1
@@ -229,6 +231,15 @@ def encode_bframe_device(y, u, v, r0_y, r0_hpel, r0_cuv, r1_y, r1_hpel,
     blocks = _luma_blocks(res)
     w = dct.dct4x4(blocks)
     lv = quant.quant4x4(w, qp[:, None], intra=False)
+    if trellis:
+        # RD-optimal requantization (rdo.c:642), same batched Viterbi
+        # as the P path
+        from ..ops.trellis import trellis_4x4
+        sig_c, last_c, lvl_s = trl_tabs
+        out_z, _ = trellis_4x4(dct.zigzag4(lv).reshape(n * 16, 16),
+                               dct.zigzag4(w).reshape(n * 16, 16),
+                               jnp.repeat(qp, 16), sig_c, last_c, lvl_s)
+        lv = dct.izigzag4(out_z).reshape(n, 16, 4, 4)
 
     # --- chroma: MC per list then combine by mode ---
     qpc = qpc_mb.reshape(-1)
@@ -429,6 +440,13 @@ def dispatch_bframe(enc, planes, qp, ref_fwd_tag, ref_bwd_tag):
         qp_mb, qpc_mb = build_qp_maps(enc, y, u, v, qp_try)
         lam = max(1, int(round(2.0 ** ((qp_try - 12) / 6.0))))
         cap_words = (mbw * mbh * cap_bytes_per_mb(qp_try)) // 4
+        use_trellis = bool(enc.p.analyse.trellis) and enc.p.cabac
+        trl_tabs = None
+        if use_trellis:
+            from ..ops.trellis import frame_ctx_costs
+            sig_c, last_c, lvl_s = frame_ctx_costs(False, qp_try, cat=2)
+            trl_tabs = (jnp.asarray(sig_c), jnp.asarray(last_c),
+                        jnp.asarray(lvl_s))
         words, total_bits, recon, stats = encode_bframe_device(
             y, u, v, ref0["y_pad"], ref0["hpel"], ref0["cuv_pad"],
             ref1["y_pad"], ref1["hpel"], ref1["cuv_pad"],
@@ -440,7 +458,8 @@ def dispatch_bframe(enc, planes, qp, ref_fwd_tag, ref_bwd_tag):
             a_off=enc.p.deblocking_filter_alphac0 * 2,
             b_off=enc.p.deblocking_filter_beta * 2,
             cqpo=enc.p.analyse.chroma_qp_offset,
-            entropy=not enc.p.cabac, use_direct=use_direct)
+            entropy=not enc.p.cabac, use_direct=use_direct,
+            trellis=use_trellis, trl_tabs=trl_tabs)
 
         def finalize():
             sh.qp = qp_try

@@ -665,7 +665,7 @@ def mv_predictors_part(mv4, inter4, part_mode):
                                    "deblock", "a_off", "b_off", "cqpo",
                                    "decimate", "entropy", "intra_in_p",
                                    "partitions", "pir", "me_seeded",
-                                   "nr", "use_pallas", "i4"))
+                                   "nr", "use_pallas", "i4", "trellis"))
 def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
                          qp_mb, qpc_mb, slice_qp, lam,
                          pir_cap=None, pir_band=None,
@@ -674,7 +674,8 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
                          entropy=True, intra_in_p=True, partitions=False,
                          pir=False, me_seeded=False, nr=False,
                          nr_offset=None, use_pallas=False, i4=False,
-                         wp_w=None, wp_o=None):
+                         wp_w=None, wp_o=None, trellis=False,
+                         trl_tabs=None):
     """Fused P-frame device pass: ME -> intra-vs-inter decision ->
     MVP/skip -> MC -> transform (+ mixed wavefront commit when any MB
     goes intra) -> entropy -> packed payload. Returns (words, total_bits,
@@ -832,6 +833,16 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
         # macroblock.c:164 b_noise_reduction path)
         w, nr_sums = quant.denoise_dct(w, nr_offset)
     lv = quant.quant4x4(w, qp[:, None], intra=False)
+    if trellis:
+        # RD-optimal requantization of the inter luma levels
+        # (rdo.c:642 quant_trellis_cabac): one batched Viterbi over all
+        # 16n 4x4 blocks of the frame at once
+        from ..ops.trellis import trellis_4x4
+        sig_c, last_c, lvl_s = trl_tabs
+        out_z, _ = trellis_4x4(dct.zigzag4(lv).reshape(n * 16, 16),
+                               dct.zigzag4(w).reshape(n * 16, 16),
+                               jnp.repeat(qp, 16), sig_c, last_c, lvl_s)
+        lv = dct.izigzag4(out_z).reshape(n, 16, 4, 4)
     dq = quant.dequant4x4(lv, qp[:, None])
     recon_y_mb = jnp.clip(pred_y + _luma_merge(dct.idct4x4(dq)), 0, 255)
 
@@ -1133,6 +1144,15 @@ def dispatch_pframe(enc, planes, ftype, qp, ref_tag=None, tree_off=None,
         if nr and not hasattr(enc, "_nr_state"):
             enc._nr_state = (np.zeros((4, 4), np.int64), 0,
                              np.zeros((4, 4), np.int32))
+        # trellis quant needs the slice-init CABAC flag/level costs
+        # (reference: trellis requires CABAC)
+        use_trellis = bool(enc.p.analyse.trellis) and enc.p.cabac
+        trl_tabs = None
+        if use_trellis:
+            from ..ops.trellis import frame_ctx_costs
+            sig_c, last_c, lvl_s = frame_ctx_costs(False, qp_try, cat=2)
+            trl_tabs = (jnp.asarray(sig_c), jnp.asarray(last_c),
+                        jnp.asarray(lvl_s))
         pir_cap = pir_band = None
         if pir is not None:
             start_col, end_col, ref_end = pir
@@ -1170,7 +1190,8 @@ def dispatch_pframe(enc, planes, ftype, qp, ref_tag=None, tree_off=None,
             use_pallas=enc.use_pallas,
             i4=bool(enc.p.analyse.intra & ANALYSE_I4x4),
             wp_w=jnp.asarray(wp[0] if wp else 128, jnp.int32),
-            wp_o=jnp.asarray(wp[1] if wp else 0, jnp.int32))
+            wp_o=jnp.asarray(wp[1] if wp else 0, jnp.int32),
+            trellis=use_trellis, trl_tabs=trl_tabs)
         enc._pending_ref_fields = {"mvf": stats["mvf"],
                                    "mvf4": stats["mvf4"],
                                    "inter_mask": stats["inter_mask"]}
