@@ -246,6 +246,10 @@ struct Slice {
     // blocks of non-I4 MBs hold DC (2), matching the device twin
     // (entropy/cavlc_jax.py _i4_mode_codes_dev)
     uint8_t *i4m;
+    // per-4x4 condTermFlag source for ref_idx ctx (spec 9.3.3.1.1.6):
+    // 1 iff the cell's MB is coded inter non-skip with refIdxL0 > 0
+    uint8_t *refgt0;
+    int n_refs = 1;          // active L0 refs (ref_idx coded when > 1)
     int intra_in_p_base = 17;
 
     MBInfo &mb(int x, int y) { return mbs[y * mbw + x]; }
@@ -475,6 +479,33 @@ void write_i4x4(Slice &S, int x, int y, int in_p, const uint8_t *modes,
     me.dc_nnz[0] = 0;                        // no luma DC block
 }
 
+void write_ref_idx_part(Slice &S, int x, int y, int ref, int px, int py,
+                        int pw, int ph) {
+    // ref_idx_l0 for one partition: U binarization, bin0 ctx 54 +
+    // condTermFlagA + 2*condTermFlagB (spec 9.3.3.1.1.6, table 9-39:
+    // binIdx1 -> ctx 58, binIdx>=2 -> ctx 59). (px,py,pw,ph) in 4x4
+    // units within the MB; the neighbors are the blocks left/above the
+    // partition's top-left block (the top 16x8 partition's B neighbor
+    // can be the same MB's other partition, already written below).
+    Cabac &cb = S.cb;
+    int gw = S.mbw * 4;
+    int gx = x * 4 + px, gy = y * 4 + py;
+    int condA = gx > 0 ? S.refgt0[gy * gw + gx - 1] : 0;
+    int condB = gy > 0 ? S.refgt0[(gy - 1) * gw + gx] : 0;
+    int ctx = 54 + condA + 2 * condB;
+    if (ref == 0) {
+        cb.decision(ctx, 0);
+    } else {
+        cb.decision(ctx, 1);
+        int b = 1;
+        for (; b < ref; b++) cb.decision(b == 1 ? 58 : 59, 1);
+        cb.decision(b == 1 ? 58 : 59, 0);
+    }
+    for (int by = py; by < py + ph; by++)
+        for (int bx = px; bx < px + pw; bx++)
+            S.refgt0[(y * 4 + by) * gw + x * 4 + bx] = ref > 0;
+}
+
 void write_mvd_part(Slice &S, int x, int y, int list, const int16_t *mvd,
                     int px, int py, int pw, int ph) {
     // mvd components for one partition: ctxIdxInc from the |mvd| sum of
@@ -597,28 +628,40 @@ void write_cbp_dqp_residual(Slice &S, int x, int y, MBInfo &me, int cbp_l,
     me.coded = 1;
 }
 
-void write_p_inter(Slice &S, int x, int y, int part, const int16_t *mvd,
-                   const int16_t *mvd2, int cbp_l, int cbp_c, int qp,
-                   const int16_t *lraw, const int16_t *cdc,
-                   const int16_t *cac) {
+void write_p_inter(Slice &S, int x, int y, int part, int refidx,
+                   const int16_t *mvd, const int16_t *mvd2, int cbp_l,
+                   int cbp_c, int qp, const int16_t *lraw,
+                   const int16_t *cdc, const int16_t *cac) {
     // part: 0=P_L0_16x16 '000', 1=P_L0_L0_16x8 '011', 2=P_L0_L0_8x16
-    // '010' (spec table 9-34 P binarization; ctxIdx 14/15/16|17)
+    // '010' (spec table 9-34 P binarization; ctxIdx 14/15/16|17).
+    // With n_refs > 1, ref_idx_l0 is coded once per partition (both
+    // partitions share one reference here), all ref_idx before all mvd
+    // (spec 7.3.5.1 mb_pred order).
     Cabac &cb = S.cb;
     MBInfo &me = S.mb(x, y);
+    int two = S.n_refs > 1;
     cb.decision(14, 0);
     if (part == 0) {
         cb.decision(15, 0);
         cb.decision(16, 0);
+        if (two) write_ref_idx_part(S, x, y, refidx, 0, 0, 4, 4);
         write_mvd_part(S, x, y, 0, mvd, 0, 0, 4, 4);
     } else if (part == 1) {          // 16x8: two stacked partitions
         cb.decision(15, 1);
         cb.decision(17, 1);
-        // (single ref: no ref_idx)
+        if (two) {
+            write_ref_idx_part(S, x, y, refidx, 0, 0, 4, 2);
+            write_ref_idx_part(S, x, y, refidx, 0, 2, 4, 2);
+        }
         write_mvd_part(S, x, y, 0, mvd, 0, 0, 4, 2);
         write_mvd_part(S, x, y, 0, mvd2, 0, 2, 4, 2);
     } else {                         // 8x16: two side-by-side partitions
         cb.decision(15, 1);
         cb.decision(17, 0);
+        if (two) {
+            write_ref_idx_part(S, x, y, refidx, 0, 0, 2, 4);
+            write_ref_idx_part(S, x, y, refidx, 2, 0, 2, 4);
+        }
         write_mvd_part(S, x, y, 0, mvd, 0, 0, 2, 4);
         write_mvd_part(S, x, y, 0, mvd2, 2, 0, 2, 4);
     }
@@ -693,6 +736,8 @@ int cabac_encode_slice(
     const int8_t *qp,             // [n] per-MB qp
     const uint8_t *bmode,         // [n] B: 0=L0 1=L1 2=BI
     const uint8_t *part_mode,     // [n] P: 0=16x16 1=16x8 2=8x16
+    const uint8_t *refidx,        // [n] P L0 refIdx per MB (or NULL)
+    int n_refs,                   // active L0 refs (te ref_idx if > 1)
     const int16_t *mvd,           // [n*2] (list0 / P partition 0)
     const int16_t *mvd1,          // [n*2] (list1, B / P partition 1)
     const int16_t *luma_dc,       // [n*16]    zigzag (I16 MBs)
@@ -722,6 +767,8 @@ int cabac_encode_slice(
     S.nnz_c = (uint8_t *)std::calloc(2 * mbh * 2 * mbw * 2, 1);
     S.i4m = (uint8_t *)std::malloc(mbh * 4 * mbw * 4);
     std::memset(S.i4m, 2, mbh * 4 * mbw * 4);   // non-I4 blocks -> DC
+    S.refgt0 = (uint8_t *)std::calloc(mbh * 4 * mbw * 4, 1);
+    S.n_refs = n_refs > 0 ? n_refs : 1;
     uint8_t *amvd_buf = (uint8_t *)std::calloc(4 * mbh * 4 * mbw * 4, 1);
     for (int li = 0; li < 2; li++)
         for (int ci = 0; ci < 2; ci++)
@@ -775,7 +822,8 @@ int cabac_encode_slice(
                              qp[i], luma_ac + i * 16 * 16,
                              chroma_dc + i * 8, chroma_ac + i * 8 * 16);
             } else {
-                write_p_inter(S, x, y, part_mode[i], mvd + i * 2,
+                write_p_inter(S, x, y, part_mode[i],
+                              refidx ? refidx[i] : 0, mvd + i * 2,
                               mvd1 + i * 2, cbp_luma[i],
                               cbp_chroma[i], qp[i], luma_ac + i * 16 * 16,
                               chroma_dc + i * 8, chroma_ac + i * 8 * 16);
@@ -791,6 +839,7 @@ int cabac_encode_slice(
         std::free(S.nnz_l);
         std::free(S.nnz_c);
         std::free(S.i4m);
+        std::free(S.refgt0);
         std::free(amvd_buf);
         return written;
     }
@@ -799,6 +848,7 @@ overflow:
     std::free(S.nnz_l);
     std::free(S.nnz_c);
     std::free(S.i4m);
+    std::free(S.refgt0);
     std::free(amvd_buf);
     return -1;
 }

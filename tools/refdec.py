@@ -566,6 +566,7 @@ class Decoder:
     def decode_slice(self, r: BitReader, idr: bool, nal_ref_idc: int = 1):
         sps, pps = self.sps, self.pps
         self._wp = None
+        self._l0_override = None
         first_mb = r.ue()
         slice_type = r.ue() % 5
         r.ue()  # pps id
@@ -774,15 +775,32 @@ class Decoder:
                 out.append(e)
         if out:
             self._ref = out[0]["planes"]
+            self._l0_override = out
+
+    def _l0_entries(self):
+        """RefPicList0 (spec 8.2.4.2.1 default order, or the slice's
+        modified order): short-term refs by descending FrameNumWrap."""
+        if getattr(self, "_l0_override", None):
+            return self._l0_override
+        max_fn = 1 << self.sps.log2_max_frame_num
+        cur_fn = getattr(self, "_cur_fn", 0)
+
+        def wrap(fn):
+            return fn - max_fn if fn > cur_fn else fn
+        return sorted(self._refs, key=lambda e: -wrap(e.get("fn", 0)))
 
     def _decode_p_body(self, r: BitReader, qp: int, num_ref: int):
-        """P slice MB layer: P_Skip / P_L0_16x16 (+I16x16 when emitted)."""
+        """P slice MB layer: P_Skip / P_L0_16x16/16x8/8x16 (+intra-in-P),
+        1 or 2 L0 references (te ref_idx per partition)."""
         sps, pps = self.sps, self.pps
-        ry, ru, rv = self._ref
+        l0 = self._l0_entries()
+        refs = [e["planes"] for e in l0[:max(1, num_ref)]] \
+            or [self._ref]
         # spec clamps full-pel taps to the picture edge: equivalent to
         # interpolating on an edge-extended canvas (MVs bounded by PAD)
         PAD = 32
-        planes = self._interp_planes(np.pad(ry, PAD, mode="edge"))
+        planes_l = [self._interp_planes(np.pad(rp[0], PAD, mode="edge"))
+                    for rp in refs]
         self._mc_pad = PAD
         W, H = sps.mb_w * 16, sps.mb_h * 16
         y = np.zeros((H, W), np.int64)
@@ -794,25 +812,38 @@ class Decoder:
         # 4x4-granular motion state: with 16x8/8x16 partitions the MVP /
         # P_Skip neighbors are partition cells, not whole MBs
         mv4 = np.zeros((sps.mb_h * 4, sps.mb_w * 4, 2), np.int64)
-        use4 = np.zeros((sps.mb_h * 4, sps.mb_w * 4), bool)  # refIdx == 0
+        use4 = np.zeros((sps.mb_h * 4, sps.mb_w * 4), bool)  # inter (L0)
+        ref4 = np.zeros((sps.mb_h * 4, sps.mb_w * 4), np.int32)
         filled4 = np.zeros((sps.mb_h * 4, sps.mb_w * 4), bool)  # decoded
         intra_map = np.zeros((sps.mb_h, sps.mb_w), bool)
         qp_map = np.zeros((sps.mb_h, sps.mb_w), np.int32)
         imode4 = np.full((sps.mb_h * 4, sps.mb_w * 4), 2, np.int32)
         mbidx = 0
+        multi = num_ref > 1
 
-        def fill_mb(mx, my, mv, inter=True):
+        def read_te_ref():
+            """te() ref_idx (spec 9.1.1): single inverted bit for
+            cMax 1, ue() beyond."""
+            if not multi:
+                return 0
+            if num_ref == 2:
+                return 1 - r.u1()
+            return r.ue()
+
+        def fill_mb(mx, my, mv, inter=True, ref=0):
             s = np.s_[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4]
             mv4[s] = mv
             use4[s] = inter
+            ref4[s] = ref
             filled4[s] = True
 
-        def mc_into(mx, my, mv, px=0, py=0, pw=16, ph=16):
+        def mc_into(mx, my, mv, px=0, py=0, pw=16, ph=16, ref=0):
             """MC one partition: (px,py,pw,ph) in luma pixels within MB."""
             x0, y0 = mx * 16 + px, my * 16 + py
-            pred = self._luma_mc(planes, x0, y0,
+            _, ru, rv = refs[ref]
+            pred = self._luma_mc(planes_l[ref], x0, y0,
                                  int(mv[0]), int(mv[1]), bs=(ph, pw))
-            y[y0:y0 + ph, x0:x0 + pw] = self._wp_apply(pred)
+            y[y0:y0 + ph, x0:x0 + pw] = self._wp_apply(pred, ref)
             cx, cy, cw, ch = x0 // 2, y0 // 2, pw // 2, ph // 2
             u[cy:cy + ch, cx:cx + cw] = self._chroma_mc(
                 ru, cx, cy, int(mv[0]), int(mv[1]), bs=(ch, cw))
@@ -823,7 +854,8 @@ class Decoder:
             run = r.ue()
             for _ in range(run):
                 mx, my = mbidx % sps.mb_w, mbidx // sps.mb_w
-                mv = self._pskip_mv4(mv4, use4, filled4, mx, my)
+                mv = self._pskip_mv4(mv4, use4, filled4, mx, my,
+                                     ref4=ref4 if multi else None)
                 fill_mb(mx, my, mv)
                 qp_map[my, mx] = qp
                 mc_into(mx, my, mv)
@@ -873,21 +905,25 @@ class Decoder:
             if mb_type > 2:
                 raise NotImplementedError(
                     f"P mb_type {mb_type} at {mbidx}")
-            if num_ref > 1:
-                raise NotImplementedError("multi-ref te(ref_idx)")
             if mb_type == 0:
+                ref = read_te_ref()
                 mvd = np.array([r.se(), r.se()], np.int64)
-                mv = self._mvp_part(mv4, use4, filled4, mx, my, 0, 0) + mvd
-                fill_mb(mx, my, mv)
-                mc_into(mx, my, mv)
+                mv = self._mvp_part(mv4, use4, filled4, mx, my, 0, 0,
+                                    ref4=ref4 if multi else None,
+                                    cur_ref=ref) + mvd
+                fill_mb(mx, my, mv, ref=ref)
+                mc_into(mx, my, mv, ref=ref)
             else:
-                # P_L0_L0_16x8 (1) / 8x16 (2): both mvds parse first
-                # (spec 7.3.5.1 mb_pred order), then per-partition MVP
+                # P_L0_L0_16x8 (1) / 8x16 (2): all ref_idx, then both
+                # mvds (spec 7.3.5.1 mb_pred order), per-partition MVP
+                prefs = [read_te_ref() for _ in range(2)]
                 mvds = [np.array([r.se(), r.se()], np.int64)
                         for _ in range(2)]
                 for pi in range(2):
                     mv = self._mvp_part(mv4, use4, filled4, mx, my,
-                                        mb_type, pi) + mvds[pi]
+                                        mb_type, pi,
+                                        ref4=ref4 if multi else None,
+                                        cur_ref=prefs[pi]) + mvds[pi]
                     if mb_type == 1:
                         s = np.s_[my * 4 + 2 * pi:my * 4 + 2 * pi + 2,
                                   mx * 4:mx * 4 + 4]
@@ -898,8 +934,9 @@ class Decoder:
                         geom = (8 * pi, 0, 8, 16)
                     mv4[s] = mv
                     use4[s] = True
+                    ref4[s] = prefs[pi]
                     filled4[s] = True
-                    mc_into(mx, my, mv, *geom)
+                    mc_into(mx, my, mv, *geom, ref=prefs[pi])
             cbp_code = r.ue()
             if cbp_code >= 48:
                 raise ValueError("bad cbp code")
@@ -919,7 +956,8 @@ class Decoder:
         np.clip(u, 0, 255, out=u)
         np.clip(v, 0, 255, out=v)
         mvf = mv4[::4, ::4].copy()          # part-0 MV per MB
-        interf = use4[::4, ::4].copy()
+        # colZero (8.4.1.2.2) needs refIdxCol == 0: exclude ref-1 MBs
+        interf = (use4[::4, ::4] & (ref4[::4, ::4] == 0)).copy()
         self.last_mvf = mvf.copy()          # debug introspection
         self.last_qp_map = qp_map.copy()
         self.last_intra_map = intra_map.copy()
@@ -929,7 +967,8 @@ class Decoder:
             y, u, v = deblock_frame_ref(
                 y, u, v, qp_map, intra_map,
                 nnz_l, mv4, self._db[1], self._db[2],
-                pps.chroma_qp_index_offset)
+                pps.chroma_qp_index_offset,
+                ref4=ref4 if multi else None)
         self._finish_frame(y, u, v)
 
     def _decode_inter_resid(self, r, y, u, v, nnz_l, nnz_c, mx, my,
@@ -1364,32 +1403,38 @@ class Decoder:
         return np.clip(pred * w + o, 0, 255)
 
     @staticmethod
-    def _mvp_block4(mv4, use4, filled4, gx, gy, pw):
+    def _mvp_block4(mv4, use4, filled4, gx, gy, pw, ref4=None, cur_ref=0):
         """Neighbors + median MVP for a partition whose top-left 4x4 cell
         is (gx, gy), width pw in 4x4 units (spec 8.4.1.3 at partition
         granularity; availability = already decoded, i.e. filled4).
+        Inter neighbors always contribute their MV to the median; with
+        ref4 given, only neighbors whose refIdx == cur_ref count for the
+        exactly-one-match and directional rules (8.4.1.3.1).
         Returns (mvp, (mv_a, r_a), (mv_b, r_b), (mv_c, r_c)) — r_* marks
-        neighbors whose list-0 refIdx matches (inter ref0)."""
+        matching neighbors."""
         H4, W4 = filled4.shape
         z = np.zeros(2, np.int64)
 
         def cell(cx, cy):
             if cx < 0 or cy < 0 or cx >= W4 or cy >= H4 \
                     or not filled4[cy, cx]:
-                return z, False, False
-            return mv4[cy, cx], bool(use4[cy, cx]), True
+                return z, False, False, False
+            use = bool(use4[cy, cx])
+            match = use if ref4 is None else \
+                (use and int(ref4[cy, cx]) == cur_ref)
+            return mv4[cy, cx], use, True, match
 
-        mv_a, r_a, av_a = cell(gx - 1, gy)
-        mv_b, r_b, av_b = cell(gx, gy - 1)
-        mv_c, r_c, av_c = cell(gx + pw, gy - 1)
+        mv_a, u_a, av_a, r_a = cell(gx - 1, gy)
+        mv_b, u_b, av_b, r_b = cell(gx, gy - 1)
+        mv_c, u_c, av_c, r_c = cell(gx + pw, gy - 1)
         if not av_c:                                  # C -> D (8.4.1.3.2)
-            mv_c, r_c, av_c = cell(gx - 1, gy - 1)
+            mv_c, u_c, av_c, r_c = cell(gx - 1, gy - 1)
         if av_a and not av_b and not av_c:
             mvp = np.asarray(mv_a, np.int64).copy()
         else:
-            ca = mv_a if r_a else z
-            cbv = mv_b if r_b else z
-            cc = mv_c if r_c else z
+            ca = mv_a if u_a else z
+            cbv = mv_b if u_b else z
+            cc = mv_c if u_c else z
             nmatch = int(r_a) + int(r_b) + int(r_c)
             if nmatch == 1:
                 mvp = (ca if r_a else cbv if r_b else cc).copy()
@@ -1399,23 +1444,30 @@ class Decoder:
                                np.int64)
         return mvp, (mv_a, r_a), (mv_b, r_b), (mv_c, r_c)
 
-    def _pskip_mv4(self, mv4, use4, filled4, mx, my):
+    def _pskip_mv4(self, mv4, use4, filled4, mx, my, ref4=None):
         """P_Skip motion vector at 4x4 neighbor granularity (spec
         8.4.1.1): zero if A/B unavailable or a zero-MV inter-ref0
-        neighbor cell, else the 16x16 median MVP."""
+        neighbor cell, else the 16x16 median MVP (refIdx-0 match)."""
         z = np.zeros(2, np.int64)
         if mx == 0 or my == 0:
             return z
         gx, gy = mx * 4, my * 4
-        a_use = use4[gy, gx - 1] and filled4[gy, gx - 1]
-        b_use = use4[gy - 1, gx] and filled4[gy - 1, gx]
-        if (a_use and not np.any(mv4[gy, gx - 1])) or \
-                (b_use and not np.any(mv4[gy - 1, gx])):
+
+        def is_r0(cx, cy):
+            ok = use4[cy, cx] and filled4[cy, cx]
+            if ok and ref4 is not None:
+                ok = int(ref4[cy, cx]) == 0
+            return ok
+
+        if (is_r0(gx - 1, gy) and not np.any(mv4[gy, gx - 1])) or \
+                (is_r0(gx, gy - 1) and not np.any(mv4[gy - 1, gx])):
             return z
-        mvp, _, _, _ = self._mvp_block4(mv4, use4, filled4, gx, gy, 4)
+        mvp, _, _, _ = self._mvp_block4(mv4, use4, filled4, gx, gy, 4,
+                                        ref4=ref4, cur_ref=0)
         return mvp
 
-    def _mvp_part(self, mv4, use4, filled4, mx, my, part_kind, part_idx):
+    def _mvp_part(self, mv4, use4, filled4, mx, my, part_kind, part_idx,
+                  ref4=None, cur_ref=0):
         """MVP for P partition part_idx of an MB: part_kind 0=16x16,
         1=16x8, 2=8x16 — with the 16x8/8x16 directional rules
         (spec 8.4.1.3 items 2/3; reference mvpred.c:30)."""
@@ -1426,7 +1478,8 @@ class Decoder:
         else:
             px, py, pw = 2 * part_idx, 0, 2
         gx, gy = mx * 4 + px, my * 4 + py
-        mvp, A, B, C = self._mvp_block4(mv4, use4, filled4, gx, gy, pw)
+        mvp, A, B, C = self._mvp_block4(mv4, use4, filled4, gx, gy, pw,
+                                        ref4=ref4, cur_ref=cur_ref)
         if part_kind == 1:
             if part_idx == 0 and B[1]:
                 return np.asarray(B[0], np.int64).copy()
@@ -1807,7 +1860,6 @@ class Decoder:
         mv40 = np.zeros((mbh * 4, mbw * 4, 2), np.int64)
         use40 = np.zeros((mbh * 4, mbw * 4), bool)
         filled40 = np.zeros((mbh * 4, mbw * 4), bool)
-        mode_map = np.zeros((mbh, mbw), np.int32)
         # Intra_4x4 pred-mode grid for MPM (8.3.1.1); non-I4 blocks = DC
         c_i4m = np.full((mbh * 4, mbw * 4), 2, np.int64)
         last_qp = slice_qp
@@ -1818,9 +1870,21 @@ class Decoder:
         w0 = w1 = 32
         PAD = 32
         self._mc_pad = PAD
+        p_refs = None
+        p_planes = None
+        multi = False
+        ref40 = np.zeros((mbh * 4, mbw * 4), np.int32)
+        refgt0 = np.zeros((mbh * 4, mbw * 4), bool)  # ref_idx ctx source
         if slice_type == 0:
-            ry0, ru0, rv0 = self._ref
-            planes0 = self._interp_planes(np.pad(ry0, PAD, mode="edge"))
+            l0 = self._l0_entries()
+            p_refs = [e["planes"] for e in l0[:max(1, num_ref)]] \
+                or [self._ref]
+            multi = num_ref > 1 and len(p_refs) > 1
+            p_planes = [self._interp_planes(np.pad(rp[0], PAD,
+                                                   mode="edge"))
+                        for rp in p_refs]
+            ry0, ru0, rv0 = p_refs[0]
+            planes0 = p_planes[0]
         elif slice_type == 1:
             l0, l1 = self._b_refs()
             ry0, ru0, rv0 = l0["planes"]
@@ -1871,6 +1935,26 @@ class Decoder:
                 c_mvd4[gy:gy + ph, gx:gx + pw, lst, comp] = \
                     min(abs(int(vv)), 66)
             return out
+
+        def read_ref_idx(mx, my, px, py, pw, ph):
+            """ref_idx_l0 for one partition: U binarization, bin0 ctx
+            54 + condTermFlagA + 2*condTermFlagB (spec 9.3.3.1.1.6),
+            binIdx1 ctx 58, binIdx>=2 ctx 59; updates the partition's
+            refgt0 cells (inverse of native/cabac.cpp
+            write_ref_idx_part)."""
+            gx, gy = mx * 4 + px, my * 4 + py
+            condA = refgt0[gy, gx - 1] if gx > 0 else 0
+            condB = refgt0[gy - 1, gx] if gy > 0 else 0
+            ctx = 54 + int(condA) + 2 * int(condB)
+            ref = 0
+            if cb.decision(ctx):
+                ref = 1
+                while cb.decision(58 if ref == 1 else 59):
+                    ref += 1
+                    if ref > 32:
+                        raise ValueError("ref_idx runaway")
+            refgt0[gy:gy + ph, gx:gx + pw] = ref > 0
+            return ref
 
         def read_dqp(has_residual):
             if has_residual:
@@ -2157,12 +2241,14 @@ class Decoder:
                         if cb.terminal() != (1 if mbidx == n - 1 else 0):
                             raise ValueError("end_of_slice desync")
                         continue
-                    mv = self._pskip_mv4(mv40, use40, filled40, mx, my)
+                    mv = self._pskip_mv4(mv40, use40, filled40, mx, my,
+                                         ref4=ref40 if multi else None)
                     mvf0[my, mx] = mv
                     use0[my, mx] = True
                     s4 = np.s_[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4]
                     mv40[s4] = mv
                     use40[s4] = True
+                    ref40[s4] = 0
                     filled40[s4] = True
                     pred = self._luma_mc(planes0, mx * 16, my * 16,
                                          int(mv[0]), int(mv[1]))
@@ -2201,7 +2287,6 @@ class Decoder:
                     qp = decode_i4_mb(mx, my)
                     c_coded[my, mx] = True
                     qp_map[my, mx] = qp
-                    mode_map[my, mx] = 9
                     if cb.terminal() != (1 if mbidx == n - 1 else 0):
                         raise ValueError("end_of_slice desync")
                     continue
@@ -2269,31 +2354,40 @@ class Decoder:
                         geoms = [(0, 0, 4, 2), (0, 2, 4, 2)]
                     else:                               # 8x16
                         geoms = [(0, 0, 2, 4), (2, 0, 2, 4)]
+                    # all ref_idx first, then all mvd (spec 7.3.5.1)
+                    if multi:
+                        prefs = [read_ref_idx(mx, my, *g) for g in geoms]
+                    else:
+                        prefs = [0] * len(geoms)
                     for pi, (px, py, pw, ph) in enumerate(geoms):
                         mvd = read_mvd_pair(mx, my, 0, px, py, pw, ph)
-                        mv = self._mvp_part(mv40, use40, filled40,
-                                            mx, my, part, pi) + mvd
+                        mv = self._mvp_part(
+                            mv40, use40, filled40, mx, my, part, pi,
+                            ref4=ref40 if multi else None,
+                            cur_ref=prefs[pi]) + mvd
                         s4 = np.s_[my * 4 + py:my * 4 + py + ph,
                                    mx * 4 + px:mx * 4 + px + pw]
                         mv40[s4] = mv
                         use40[s4] = True
+                        ref40[s4] = prefs[pi]
                         filled40[s4] = True
                         if pi == 0:
                             mvf0[my, mx] = mv
-                            use0[my, mx] = True
+                            use0[my, mx] = prefs[pi] == 0
                         x0, y0 = mx * 16 + px * 4, my * 16 + py * 4
                         lw, lh = pw * 4, ph * 4
+                        _, rup, rvp = p_refs[prefs[pi]]
                         y[y0:y0 + lh, x0:x0 + lw] = self._wp_apply(
-                            self._luma_mc(planes0, x0, y0,
+                            self._luma_mc(p_planes[prefs[pi]], x0, y0,
                                           int(mv[0]), int(mv[1]),
-                                          bs=(lh, lw)))
+                                          bs=(lh, lw)), prefs[pi])
                         cx, cy = x0 // 2, y0 // 2
                         cw, chh = lw // 2, lh // 2
                         u[cy:cy + chh, cx:cx + cw] = self._chroma_mc(
-                            ru0, cx, cy, int(mv[0]), int(mv[1]),
+                            rup, cx, cy, int(mv[0]), int(mv[1]),
                             bs=(chh, cw))
                         v[cy:cy + chh, cx:cx + cw] = self._chroma_mc(
-                            rv0, cx, cy, int(mv[0]), int(mv[1]),
+                            rvp, cx, cy, int(mv[0]), int(mv[1]),
                             bs=(chh, cw))
                     cbp_l, cbp_c, qp, luma, cdc, cac = \
                         read_inter_payload(mx, my)
@@ -2356,7 +2450,6 @@ class Decoder:
                     mv1 = self._mvp_match(mvf1, use1, mx, my) + mvd1
                 self._b_mc(y, u, v, planes0, planes1, ru0, rv0, ru1, rv1,
                            mx, my, bmode, mv0, mv1, w0, w1)
-                mode_map[my, mx] = bmode
                 if mv0 is not None:
                     mvf0[my, mx] = mv0
                     use0[my, mx] = True
@@ -2393,7 +2486,8 @@ class Decoder:
                 y, u, v, qp_map, intra_map, nnz_l,
                 mv40 if slice_type == 0 else mvf0,
                 self._db[1], self._db[2], pps.chroma_qp_index_offset,
-                b_info=b_info)
+                b_info=b_info,
+                ref4=ref40 if (slice_type == 0 and multi) else None)
         self._finish_frame(y, u, v)
 
 
@@ -2636,15 +2730,19 @@ def _db_chroma_line(pix, idx, stride, alpha, beta, tc0, bs):
 
 
 def deblock_frame_ref(y, u, v, qp_map, intra_map, nnz_l, mvf,
-                      a_off=0, b_off=0, chroma_qp_offset=0, b_info=None):
+                      a_off=0, b_off=0, chroma_qp_offset=0, b_info=None,
+                      ref4=None):
     """Spec 8.7 deblocking, scalar, MB raster order, V then H per MB.
 
-    b_info=(mode_map, mvf0, mvf1) switches edge strengths to the B-slice
+    b_info=(use0, use1, mvf0, mvf1) switches edge strengths to the B-slice
     mixed-prediction rules (spec 8.7.2.1): bs=1 when the two sides use
     different reference sets, or any used list's |mv delta| >= 4.
 
     mvf: [mbh,mbw,2] MB-granular or [mbh*4,mbw*4,2] 4x4-granular (the
-    latter needed for 16x8/8x16 partition-internal edges)."""
+    latter needed for 16x8/8x16 partition-internal edges).
+
+    ref4: [mbh*4,mbw*4] L0 refIdx per 4x4 cell (multi-ref P): blocks
+    predicting from different reference pictures get bs 1 (8.7.2.1)."""
     mbh, mbw = qp_map.shape
     H, W = y.shape
     if mvf is not None and mvf.shape[0] == mbh:
@@ -2679,6 +2777,8 @@ def deblock_frame_ref(y, u, v, qp_map, intra_map, nnz_l, mvf,
                 if abs(int(d[0])) >= 4 or abs(int(d[1])) >= 4:
                     return 1
             return 0
+        if ref4 is not None and ref4[by, bx] != ref4[pby, pbx]:
+            return 1
         mvq = mvf[by, bx]
         mvp = mvf[pby, pbx]
         if abs(int(mvq[0]) - int(mvp[0])) >= 4 or \

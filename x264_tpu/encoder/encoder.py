@@ -38,6 +38,7 @@ class Picture:
     qp_offset: float = 0.0
     forced_qp: int = -1
     param: Optional[P.Params] = None
+    opaque: object = None          # handed back via param.nalu_process
 
 
 @dataclass
@@ -107,6 +108,10 @@ def validate_parameters(p: P.Params) -> P.Params:
         p.rc.aq_mode = P.AQ_NONE
         p.rc.mb_tree = False
     p.frame_reference = max(1, min(p.frame_reference, P.REF_MAX))
+    # current multi-ref ceiling: 2 L0 references (per-MB selection +
+    # te() ref_idx); presets asking for more are clamped so the SPS/PPS
+    # signal what the MB layer can actually use
+    p.frame_reference = min(p.frame_reference, 2)
     p.bframe = max(0, min(p.bframe, P.BFRAME_MAX))
     if p.keyint_max <= 0:
         p.keyint_max = 1
@@ -182,8 +187,10 @@ class Encoder:
         self._lookahead = Lookahead(self.p)
         self._dpb: list = []        # reference frames (device arrays)
         # signaled DPB refs: both B anchors stay referenced (sliding
-        # window evicts older anchors automatically)
-        self._max_refs = 2 if self.p.bframe > 0 else 1
+        # window evicts older anchors automatically); multi-ref P keeps
+        # frame_reference entries live
+        self.n_refs = min(self.p.frame_reference, 2)
+        self._max_refs = max(self.n_refs, 2 if self.p.bframe > 0 else 1)
         self._pipe: list = []       # in-flight frame jobs (frame-threads)
         self._pipe_depth = 1 if self.p.threads != 1 else 0
         # periodic-intra-refresh sweep state (reference encoder.c:3626:
@@ -369,7 +376,7 @@ class Encoder:
                "planes": planes, "tag": tag, "pre_state": pre_state,
                "ref_tag": ref_fwd, "ref_bwd": ref_bwd,
                "tree_off": tree_off, "pir": pir_geom,
-               "recovery": recovery}
+               "recovery": recovery, "opaque": pic.opaque}
         self._pipe.append(job)
 
     def _finalize_job(self, job) -> tuple[list, PicOut]:
@@ -426,6 +433,12 @@ class Encoder:
         if self.p.aud:
             from .intra import aud_nal
             nals = [aud_nal(ftype)] + nals
+        if self.p.nalu_process is not None:
+            # low-latency per-NAL callback (reference x264.h:584-618
+            # nalu_process): the app can ship each NAL before encode()
+            # returns the whole AU
+            for nal in nals:
+                self.p.nalu_process(self, nal, job.get("opaque"))
         out = PicOut(pts=pts, dts=job.get("dts", pts), i_type=ftype,
                      b_keyframe=is_idr or bool(job.get("recovery")), qp=qp,
                      recon=[r[:self.p.height, :self.p.width] if i == 0 else
@@ -578,7 +591,7 @@ class Encoder:
             self._dpb.pop(0)
 
     def _slice_header(self, ftype: int, qp: int, first_mb: int = 0,
-                      last_mb: int = -1) -> SliceHeader:
+                      last_mb: int = -1, n_ref_l0: int = 1) -> SliceHeader:
         sh = SliceHeader(sps=self.sps, pps=self.pps)
         sh.slice_type = (SLICE_TYPE_I if ftype in (TYPE_IDR, TYPE_I) else
                          SLICE_TYPE_P if ftype == TYPE_P else SLICE_TYPE_B)
@@ -589,15 +602,17 @@ class Encoder:
         sh.idr_pic_id = self.idr_pic_id
         sh.poc_lsb = self.poc % (1 << self.sps.log2_max_poc_lsb)
         sh.qp = qp
-        # one active ref per list until multi-ref lands (ref_idx is then
-        # never coded in the MB layer)
-        sh.num_ref_idx_l0_active = 1
+        # per-slice active count: P slices use up to n_refs once the DPB
+        # holds that many (the first P after an IDR has one); B lists
+        # stay 1 deep
+        sh.num_ref_idx_l0_active = n_ref_l0
         sh.num_ref_idx_l1_active = 1
         sh.num_ref_idx_override = (
             sh.slice_type in (SLICE_TYPE_P, SLICE_TYPE_B)
-            and (self.pps.num_ref_idx_l0_active != 1
+            and (self.pps.num_ref_idx_l0_active != sh.num_ref_idx_l0_active
                  or (sh.slice_type == SLICE_TYPE_B
-                     and self.pps.num_ref_idx_l1_active != 1)))
+                     and self.pps.num_ref_idx_l1_active
+                     != sh.num_ref_idx_l1_active)))
         if not self.p.deblocking_filter:
             sh.disable_deblocking_filter_idc = 1
         sh.alpha_c0_offset = self.p.deblocking_filter_alphac0 * 2

@@ -498,13 +498,18 @@ def chroma_mc_warp(cpads, mvq, mbh: int, mbw: int, me_range: int,
             + (8 - dx) * dy * C + dx * dy * D + 32) >> 6
 
 
-def mv_predictors(mv_field, inter_mask=None):
+def mv_predictors(mv_field, inter_mask=None, ref_grid=None, cur_ref=None):
     """Median MV predictor + P-Skip predictor per MB (spec 8.4.1.1/8.4.1.3).
 
     mv_field [mbh, mbw, 2] — final MVs of inter (ref0 P16x16) MBs.
     inter_mask [mbh, mbw] bool — False marks intra MBs (refIdx -1): they
     contribute zero MVs, don't count as reference matches, and don't
     trigger the P-Skip zero-MV rule. None = all inter.
+    ref_grid/cur_ref [mbh, mbw] int32 — per-MB refIdx of neighbors /
+    of the MB itself (multi-ref): inter neighbors always contribute
+    their MV to the median, but only equal-refIdx neighbors count for
+    the exactly-one-match rule (spec 8.4.1.3.1), and the P-Skip zero-MV
+    neighbor test additionally requires refIdxN == 0. None = single ref.
     Returns (mvp [mbh,mbw,2], pskip_mv [mbh,mbw,2])."""
     mbh, mbw = mv_field.shape[:2]
     if inter_mask is None:
@@ -545,48 +550,81 @@ def mv_predictors(mv_field, inter_mask=None):
     use_a = avail_a[..., 0] & use_a0
     use_b = avail_b[..., 0] & use_b0
     use_c = avail_c2[..., 0] & use_c0
-    # contributions: matching (inter ref0) neighbors keep their MV
+    # contributions: every inter neighbor keeps its MV in the median;
+    # the exactly-one rule counts only refIdx matches (8.4.1.3.1)
     a = jnp.where(use_a[..., None], mv_a, 0)
     b = jnp.where(use_b[..., None], mv_b, 0)
     c = jnp.where(use_c[..., None], mv_c, 0)
     med = jnp.clip(a, jnp.minimum(b, c), jnp.maximum(b, c))  # median of 3
-    n_match = (use_a.astype(jnp.int32) + use_b.astype(jnp.int32)
-               + use_c.astype(jnp.int32))[..., None]
-    only = jnp.where(use_a[..., None], a,
-                     jnp.where(use_b[..., None], b, c))
-    mvp = jnp.where(n_match == 1, only, med)
-    # B and C unavailable & A available -> A's contribution (spec note)
-    mvp = jnp.where((~avail_b) & (~avail_c2) & avail_a, a, mvp)
-    # P-skip predictor (spec 8.4.1.1): zero if an edge MB or a zero-MV
-    # inter-ref0 neighbor, else the median predictor
-    azero = use_a[..., None] & jnp.all(mv_a == 0, axis=-1, keepdims=True)
-    bzero = use_b[..., None] & jnp.all(mv_b == 0, axis=-1, keepdims=True)
+
+    if ref_grid is None:
+        m_a, m_b, m_c = use_a, use_b, use_c
+        m_a0, m_b0, m_c0 = use_a, use_b, use_c
+    else:
+        rg = jnp.where(inter_mask, ref_grid, -1)
+        ref_a = shift(rg[..., None], 1, 0)[..., 0]
+        ref_b = shift(rg[..., None], 0, 1)[..., 0]
+        ref_c0 = shift(rg[..., None], -1, 1)[..., 0]
+        ref_d = shift(rg[..., None], 1, 1)[..., 0]
+        ref_c = jnp.where(avail_c[..., 0], ref_c0, ref_d)
+        m_a = use_a & (ref_a == cur_ref)
+        m_b = use_b & (ref_b == cur_ref)
+        m_c = use_c & (ref_c == cur_ref)
+        m_a0 = use_a & (ref_a == 0)
+        m_b0 = use_b & (ref_b == 0)
+        m_c0 = use_c & (ref_c == 0)
+
+    def mvp_for(ma, mb_, mc):
+        n_match = (ma.astype(jnp.int32) + mb_.astype(jnp.int32)
+                   + mc.astype(jnp.int32))[..., None]
+        only = jnp.where(ma[..., None], a,
+                         jnp.where(mb_[..., None], b, c))
+        out = jnp.where(n_match == 1, only, med)
+        # B and C unavailable & A available -> A's contribution (spec)
+        return jnp.where((~avail_b) & (~avail_c2) & avail_a, a, out)
+
+    mvp = mvp_for(m_a, m_b, m_c)
+    # P-skip predictor (spec 8.4.1.1, refIdx 0 semantics): zero if an
+    # edge MB or a zero-MV inter-ref0 neighbor, else the refIdx-0 median
+    mvp0 = mvp if ref_grid is None else mvp_for(m_a0, m_b0, m_c0)
+    azero = m_a0[..., None] & jnp.all(mv_a == 0, axis=-1, keepdims=True)
+    bzero = m_b0[..., None] & jnp.all(mv_b == 0, axis=-1, keepdims=True)
     pskip = jnp.where((~avail_a) | (~avail_b), 0,
-                      jnp.where(azero | bzero, 0, mvp))
+                      jnp.where(azero | bzero, 0, mvp0))
     return mvp, pskip
 
 
-def mv_predictors_part(mv4, inter4, part_mode):
+def mv_predictors_part(mv4, inter4, part_mode, ref4=None, cur_ref=None):
     """Partition-aware MV predictors at 4x4 granularity (spec 8.4.1.3
     incl. the 16x8/8x16 directional rules; reference mvpred.c:30).
 
     mv4 [mbh*4, mbw*4, 2] — final MVs replicated into each partition's
     4x4 blocks (valid because a partition's final MV is its search MV,
-    independent of prediction). inter4 — inter(ref0) mask, same grid.
+    independent of prediction). inter4 — inter mask, same grid.
     part_mode [mbh, mbw]: 0=16x16, 1=16x8, 2=8x16.
+    ref4 [mbh*4, mbw*4] int32 / cur_ref [mbh, mbw] int32 — multi-ref:
+    per-4x4 neighbor refIdx and the MB's own refIdx (both partitions of
+    an MB share one ref here). Inter neighbors always contribute their
+    MV to the median; only equal-refIdx ones count for the
+    exactly-one-match and the 16x8/8x16 directional rules (8.4.1.3);
+    the P-Skip neighbor test requires refIdxN == 0.
 
     Returns (mvp [mbh,mbw,2,2] per partition, pskip [mbh,mbw,2])."""
     H4, W4 = inter4.shape
     mbh, mbw = H4 // 4, W4 // 4
     mv_p = jnp.pad(mv4, ((1, 0), (1, 1), (0, 0)))
     use_p = jnp.pad(inter4, ((1, 0), (1, 1)))
+    ref_p = None if ref4 is None else \
+        jnp.pad(jnp.where(inter4, ref4, -1), ((1, 0), (1, 1)),
+                constant_values=-1)
     col = jnp.arange(mbw)[None, :]
     row = jnp.arange(mbh)[:, None]
 
     def pick(dy, dx):
-        """(mv, use, avail) of the 4x4 block at MB-origin + (dy, dx).
-        avail = in-frame AND decoded before the current partition
-        (rows above, columns left, or inside the current MB)."""
+        """(mv, use, avail, match) of the 4x4 block at MB-origin +
+        (dy, dx). avail = in-frame AND decoded before the current
+        partition (rows above, columns left, or inside the current MB).
+        match additionally requires refIdxN == cur_ref (multi-ref)."""
         mv = mv_p[1 + dy::4, :, :][:mbh][:, 1 + dx::4, :][:, :mbw]
         use = use_p[1 + dy::4, :][:mbh][:, 1 + dx::4][:, :mbw]
         in_frame = jnp.ones((mbh, mbw), bool)
@@ -598,29 +636,40 @@ def mv_predictors_part(mv4, inter4, part_mode):
             in_frame = in_frame & (col < mbw - 1)
         decoded = (dy < 0) or (dx < 0) or (0 <= dx < 4 and 0 <= dy < 4)
         avail = in_frame & decoded
-        return (jnp.where(avail[..., None], mv, 0),
-                avail & use, avail)
+        use = avail & use
+        if ref4 is None:
+            match = match0 = use
+        else:
+            nref = ref_p[1 + dy::4, :][:mbh][:, 1 + dx::4][:, :mbw]
+            match = use & (nref == cur_ref)
+            match0 = use & (nref == 0)
+        return (jnp.where(avail[..., None], mv, 0), use, avail, match,
+                match0)
 
-    def median_mvp(a, b, c):
+    def median_mvp(a, b, c, r0=False):
         """8.4.1.3.1: median with single-match and only-A rules.
-        a/b/c = (mv, use, avail)."""
-        (mva, ua, aa), (mvb, ub, ab), (mvc, uc, ac) = a, b, c
+        a/b/c = (mv, use, avail, match, match0)."""
+        (mva, ua, aa, xa, za), (mvb, ub, ab, xb, zb), \
+            (mvc, uc, ac, xc, zc) = a, b, c
+        if r0:
+            xa, xb, xc = za, zb, zc
         ca = jnp.where(ua[..., None], mva, 0)
         cb = jnp.where(ub[..., None], mvb, 0)
         cc = jnp.where(uc[..., None], mvc, 0)
         med = jnp.clip(ca, jnp.minimum(cb, cc), jnp.maximum(cb, cc))
-        nm = (ua.astype(jnp.int32) + ub.astype(jnp.int32)
-              + uc.astype(jnp.int32))[..., None]
-        only = jnp.where(ua[..., None], ca,
-                         jnp.where(ub[..., None], cb, cc))
+        nm = (xa.astype(jnp.int32) + xb.astype(jnp.int32)
+              + xc.astype(jnp.int32))[..., None]
+        only = jnp.where(xa[..., None], ca,
+                         jnp.where(xb[..., None], cb, cc))
         mvp = jnp.where(nm == 1, only, med)
         return jnp.where(((~ab) & (~ac) & aa)[..., None], ca, mvp)
 
     def sub_c(c, d):
         """C unavailable -> D (8.4.1.3.2)."""
-        (mvc, uc, ac), (mvd, ud, ad) = c, d
+        (mvc, uc, ac, xc, zc), (mvd, ud, ad, xd, zd) = c, d
         mv = jnp.where(ac[..., None], mvc, mvd)
-        return (mv, jnp.where(ac, uc, ud), ac | ad)
+        return (mv, jnp.where(ac, uc, ud), ac | ad,
+                jnp.where(ac, xc, xd), jnp.where(ac, zc, zd))
 
     # --- 16x16 / part0 common neighbors ---
     A0 = pick(0, -1)
@@ -628,23 +677,23 @@ def mv_predictors_part(mv4, inter4, part_mode):
     C0 = sub_c(pick(-1, 4), pick(-1, -1))
     mvp16 = median_mvp(A0, B0, C0)
 
-    # --- 16x8 ---
-    t_mvp = jnp.where(B0[1][..., None], B0[0], mvp16)        # top: B rule
+    # --- 16x8 (directional rules apply on refIdx match, 8.4.1.3) ---
+    t_mvp = jnp.where(B0[3][..., None], B0[0], mvp16)        # top: B rule
     A1 = pick(2, -1)
     B1 = pick(1, 0)
     C1 = sub_c(pick(1, 4), pick(1, -1))
     bot_med = median_mvp(A1, B1, C1)
-    b_mvp = jnp.where(A1[1][..., None], A1[0], bot_med)      # bottom: A
+    b_mvp = jnp.where(A1[3][..., None], A1[0], bot_med)      # bottom: A
 
     # --- 8x16 ---
     C0n = sub_c(pick(-1, 2), pick(-1, -1))
     l_med = median_mvp(A0, B0, C0n)
-    l_mvp = jnp.where(A0[1][..., None], A0[0], l_med)        # left: A
+    l_mvp = jnp.where(A0[3][..., None], A0[0], l_med)        # left: A
     A2 = pick(0, 1)
     B2 = pick(-1, 2)
     C2 = sub_c(pick(-1, 4), pick(-1, 1))
     r_med = median_mvp(A2, B2, C2)
-    r_mvp = jnp.where(C2[1][..., None], C2[0], r_med)        # right: C
+    r_mvp = jnp.where(C2[3][..., None], C2[0], r_med)        # right: C
 
     pm = part_mode[..., None]
     mvp0 = jnp.where(pm == 0, mvp16,
@@ -653,11 +702,13 @@ def mv_predictors_part(mv4, inter4, part_mode):
                      jnp.where(pm == 2, r_mvp, mvp16))
     mvp = jnp.stack([mvp0, mvp1], axis=2)                    # [mbh,mbw,2,2]
 
-    # --- P-Skip (8.4.1.1): A/B are the MB's own left/top 4x4 blocks ---
-    azero = A0[1][..., None] & jnp.all(A0[0] == 0, axis=-1, keepdims=True)
-    bzero = B0[1][..., None] & jnp.all(B0[0] == 0, axis=-1, keepdims=True)
+    # --- P-Skip (8.4.1.1): A/B are the MB's own left/top 4x4 blocks,
+    # refIdx-0 semantics throughout ---
+    mvp16_r0 = mvp16 if ref4 is None else median_mvp(A0, B0, C0, r0=True)
+    azero = A0[4][..., None] & jnp.all(A0[0] == 0, axis=-1, keepdims=True)
+    bzero = B0[4][..., None] & jnp.all(B0[0] == 0, axis=-1, keepdims=True)
     pskip = jnp.where((~A0[2][..., None]) | (~B0[2][..., None]), 0,
-                      jnp.where(azero | bzero, 0, mvp16))
+                      jnp.where(azero | bzero, 0, mvp16_r0))
     return mvp, pskip
 
 
@@ -665,17 +716,20 @@ def mv_predictors_part(mv4, inter4, part_mode):
                                    "deblock", "a_off", "b_off", "cqpo",
                                    "decimate", "entropy", "intra_in_p",
                                    "partitions", "pir", "me_seeded",
-                                   "nr", "use_pallas", "i4", "trellis"))
+                                   "nr", "use_pallas", "i4", "trellis",
+                                   "two_refs"))
 def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
                          qp_mb, qpc_mb, slice_qp, lam,
                          pir_cap=None, pir_band=None,
+                         ref1_y_pad=None, ref1_hpel=None,
+                         ref1_cuv_pad=None,
                          *, mbw, mbh, cap_words, me_range, deblock=False,
                          a_off=0, b_off=0, cqpo=0, decimate=True,
                          entropy=True, intra_in_p=True, partitions=False,
                          pir=False, me_seeded=False, nr=False,
                          nr_offset=None, use_pallas=False, i4=False,
                          wp_w=None, wp_o=None, trellis=False,
-                         trl_tabs=None):
+                         trl_tabs=None, two_refs=False):
     """Fused P-frame device pass: ME -> intra-vs-inter decision ->
     MVP/skip -> MC -> transform (+ mixed wavefront commit when any MB
     goes intra) -> entropy -> packed payload. Returns (words, total_bits,
@@ -694,39 +748,52 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
     from .intra import _commit_scan, decide_modes_full
     H, W = y.shape
     n = mbw * mbh
-    if me_seeded:
-        mvs = motion_search_seeded(ref_y_pad, y, lam, me_range,
-                                   shapes=partitions,
-                                   pir_cap=pir_cap if pir else None)
-    else:
-        mvs = motion_search(ref_y_pad, ref_hpel, y, lam, me_range,
-                            shapes=partitions,
-                            pir_cap=pir_cap if pir else None)
-    # qpel-domain MVP estimate from the full-pel winner field: the
-    # subpel refine and the partition/mode comparison cost MV rate
-    # against it (me.c:59 p_cost_mv[mv - mvp]), keeping the final field
-    # MVD-coherent
-    mv16_fp = mvs["16x16"] if partitions else mvs
-    mvp_q_est, _ = mv_predictors(mv16_fp * 4)
-    mvp_q_est = mvp_q_est.reshape(-1, 2)
-    if not partitions:
-        mvq, pred_y, inter_cost = subpel_refine_mc(ref_hpel, y, mvs, lam,
-                                                   me_range,
-                                                   mvp_q=mvp_q_est)
-        mv_field = mvq.reshape(mbh, mbw, 2)
-    else:
+
+    def _me_one_ref(r_y_pad, r_hpel, weighted):
+        """Full ME ladder against one reference: full-pel search, qpel
+        MVP estimate, subpel refine (+ 16x8/8x16 lanes). Returns a dict
+        of per-ref decision tensors. `weighted` applies the slice's
+        (wp_w, wp_o) luma weight (spec 8.4.2.3.3) to every prediction
+        lane — identity (128, 0) shares the graph."""
+        if me_seeded:
+            mvs = motion_search_seeded(r_y_pad, y, lam, me_range,
+                                       shapes=partitions,
+                                       pir_cap=pir_cap if pir else None)
+        else:
+            mvs = motion_search(r_y_pad, r_hpel, y, lam, me_range,
+                                shapes=partitions,
+                                pir_cap=pir_cap if pir else None)
+        # qpel-domain MVP estimate from the full-pel winner field: the
+        # subpel refine and the partition/mode comparison cost MV rate
+        # against it (me.c:59 p_cost_mv[mv - mvp]), keeping the final
+        # field MVD-coherent
+        mv16_fp = mvs["16x16"] if partitions else mvs
+        mvp_q_est, _ = mv_predictors(mv16_fp * 4)
+        mvp_q_est = mvp_q_est.reshape(-1, 2)
+
+        def wp_apply(p):
+            if weighted:
+                return jnp.clip(((p * wp_w + 64) >> 7) + wp_o, 0, 255)
+            return p
+
+        if not partitions:
+            mvq, pred_y, inter_cost = subpel_refine_mc(
+                r_hpel, y, mvs, lam, me_range, mvp_q=mvp_q_est)
+            return {"mvq": mvq, "pred_y": wp_apply(pred_y),
+                    "cost": inter_cost,
+                    "part_mode": jnp.zeros((n,), jnp.int32),
+                    "mv_p0": mvq, "mv_p1": mvq}
         # --- 16x16 + P_16x8 / P_8x16 candidates (analyse.c:1255+): all
         # five lanes refined in ONE scanned pass around their own
         # full-pel winners ---
         (mvq, pred_y, inter_cost, q_parts, pred_parts,
-         c_parts) = subpel_refine_all(ref_hpel, y, mvs, lam, me_range,
+         c_parts) = subpel_refine_all(r_hpel, y, mvs, lam, me_range,
                                       mvp_q=mvp_q_est)
         q_t, q_b, q_l, q_r = (q_parts[0], q_parts[1], q_parts[2],
                               q_parts[3])
         p_t, p_b, p_l, p_r = pred_parts
         c_t, c_b, c_l, c_r = (c_parts[0], c_parts[1], c_parts[2],
                               c_parts[3])
-        mv_field = mvq.reshape(mbh, mbw, 2)
         # partition costs are the sum of the per-half ME costs (each
         # already carrying lambda*mvbits), no mb-type bias in SATD mode
         # (analyse.c mb_analyse_inter_p16x8: i_cost16x8 = me[0]+me[1])
@@ -743,11 +810,47 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
             jnp.where(pm3 == 1,
                       jnp.concatenate([p_t, p_b], axis=1),
                       jnp.concatenate([p_l, p_r], axis=2)))
-        # per-partition final qpel MVs [n, part, 2]
+        # per-partition final qpel MVs [n, 2]
         mv_p0 = jnp.where(pm3[:, :, 0] == 0, mvq,
                           jnp.where(pm3[:, :, 0] == 1, q_t, q_l))
         mv_p1 = jnp.where(pm3[:, :, 0] == 0, mvq,
                           jnp.where(pm3[:, :, 0] == 1, q_b, q_r))
+        return {"mvq": mvq, "pred_y": wp_apply(pred_y),
+                "cost": inter_cost, "part_mode": part_mode,
+                "mv_p0": mv_p0, "mv_p1": mv_p1}
+
+    # weighted prediction (x264 --weightp) applies to list0 ref 0 only;
+    # ref 1 keeps implicit unity weights (coded luma_weight_l0_flag=0)
+    r0 = _me_one_ref(ref_y_pad, ref_hpel, weighted=wp_w is not None)
+    if two_refs:
+        # per-MB reference selection (analyse.c multi-ref loop: strict
+        # improvement keeps the lower ref; te() ref bits are equal for
+        # 2 refs so they cancel out of the comparison)
+        r1 = _me_one_ref(ref1_y_pad, ref1_hpel, weighted=False)
+        sel1 = r1["cost"] < r0["cost"]                          # [n]
+        sel3 = sel1[:, None, None]
+
+        def pick_sel(k):
+            return jnp.where(sel3 if r0[k].ndim == 3 else sel1[:, None]
+                             if r0[k].ndim == 2 else sel1,
+                             r1[k], r0[k])
+        inter_cost = jnp.where(sel1, r1["cost"], r0["cost"])
+        pred_y = pick_sel("pred_y")
+        mvq = pick_sel("mvq")
+        part_mode = jnp.where(sel1, r1["part_mode"], r0["part_mode"])
+        mv_p0 = pick_sel("mv_p0")
+        mv_p1 = pick_sel("mv_p1")
+        refidx = sel1.astype(jnp.int32)                         # [n]
+    else:
+        inter_cost = r0["cost"]
+        pred_y = r0["pred_y"]
+        mvq = r0["mvq"]
+        part_mode = r0["part_mode"]
+        mv_p0 = r0["mv_p0"]
+        mv_p1 = r0["mv_p1"]
+        refidx = jnp.zeros((n,), jnp.int32)
+    mv_field = mvq.reshape(mbh, mbw, 2)
+    if partitions:
         part_grid = part_mode.reshape(mbh, mbw)
         # 4x4-granular MV field (partitions are 8px-aligned): which
         # 4x4 cells belong to partition 1
@@ -763,13 +866,6 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
         mv4_grid = mv4.transpose(0, 2, 1, 3, 4).reshape(mbh * 4,
                                                         mbw * 4, 2)
     satd_cost = jnp.sum(inter_cost)
-
-    # --- weighted prediction (spec 8.4.2.3.3, luma only): applied to the
-    # final interpolated prediction with denom 7; (128, 0) is an exact
-    # identity so the unweighted path shares the same graph (traced
-    # scalars -> no recompiles between weighted/unweighted frames) ---
-    if wp_w is not None:
-        pred_y = jnp.clip(((pred_y * wp_w + 64) >> 7) + wp_o, 0, 255)
 
     # --- intra candidate (mode decision from source neighbors); costs
     # carry the reference's mode-signalling bits (analyse.c:730,866,173)
@@ -806,16 +902,25 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
         is_intra = is_intra | pir_band
     is_intra_f = is_intra.reshape(-1)
 
+    refidx = jnp.where(is_intra_f, 0, refidx)
+    ref_grid = refidx.reshape(mbh, mbw)
     if partitions:
         inter4 = jnp.repeat(jnp.repeat(~is_intra, 4, axis=0), 4, axis=1)
         mv4_grid = jnp.where(inter4[..., None], mv4_grid, 0)
-        mvp_pp, pskip = mv_predictors_part(mv4_grid, inter4, part_grid)
+        ref4 = jnp.repeat(jnp.repeat(ref_grid, 4, axis=0), 4, axis=1) \
+            if two_refs else None
+        mvp_pp, pskip = mv_predictors_part(
+            mv4_grid, inter4, part_grid, ref4=ref4,
+            cur_ref=ref_grid if two_refs else None)
         mvd = (mv_p0.reshape(mbh, mbw, 2) - mvp_pp[:, :, 0]).reshape(n, 2)
         mvd2 = (mv_p1.reshape(mbh, mbw, 2)
                 - mvp_pp[:, :, 1]).reshape(n, 2)
         mv_field = mv_p0.reshape(mbh, mbw, 2)   # part0 == MB MV for 16x16
     else:
-        mvp, pskip = mv_predictors(mv_field, ~is_intra)
+        mvp, pskip = mv_predictors(
+            mv_field, ~is_intra,
+            ref_grid=ref_grid if two_refs else None,
+            cur_ref=ref_grid if two_refs else None)
         mvd = (mv_field - mvp).reshape(n, 2)
         mvd2 = jnp.zeros((n, 2), jnp.int32)
         part_mode = jnp.zeros((n,), jnp.int32)
@@ -848,20 +953,28 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
 
     # --- chroma ---
     qpc = qpc_mb.reshape(-1)
-    if partitions:
-        # two window extractions (one per partition MV); the partition's
-        # sub-rectangle is a per-pixel select since chroma interpolation
-        # is pointwise within each warped window (spec 8.4.2.2.2)
-        pc0 = chroma_mc_warp(ref_cuv_pad, mv_p0, mbh, mbw, me_range)
-        pc1 = chroma_mc_warp(ref_cuv_pad, mv_p1, mbh, mbw, me_range)
-        r8 = jnp.arange(8)
-        pmf = part_mode[:, None, None]
-        use1c = jnp.where(pmf == 1, r8[None, :, None] >= 4,
-                          jnp.where(pmf == 2, r8[None, None, :] >= 4,
-                                    False))                  # [n,8,8]
-        pred_c_all = jnp.where(use1c[:, None], pc1, pc0)
-    else:
-        pred_c_all = chroma_mc_warp(ref_cuv_pad, mvq, mbh, mbw, me_range)
+
+    def chroma_pred(cuv_pad):
+        if partitions:
+            # two window extractions (one per partition MV); the
+            # partition's sub-rectangle is a per-pixel select since
+            # chroma interpolation is pointwise within each warped
+            # window (spec 8.4.2.2.2)
+            pc0 = chroma_mc_warp(cuv_pad, mv_p0, mbh, mbw, me_range)
+            pc1 = chroma_mc_warp(cuv_pad, mv_p1, mbh, mbw, me_range)
+            r8 = jnp.arange(8)
+            pmf = part_mode[:, None, None]
+            use1c = jnp.where(pmf == 1, r8[None, :, None] >= 4,
+                              jnp.where(pmf == 2, r8[None, None, :] >= 4,
+                                        False))              # [n,8,8]
+            return jnp.where(use1c[:, None], pc1, pc0)
+        return chroma_mc_warp(cuv_pad, mvq, mbh, mbw, me_range)
+
+    pred_c_all = chroma_pred(ref_cuv_pad)
+    if two_refs:
+        pred_c_r1 = chroma_pred(ref1_cuv_pad)
+        pred_c_all = jnp.where((refidx == 1)[:, None, None, None],
+                               pred_c_r1, pred_c_all)
     out_c = []
     for ci, src_pl in enumerate((u, v)):
         pred_c = pred_c_all[:, ci]
@@ -976,6 +1089,8 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
                           == pskip.reshape(n, 2), axis=1)
     if partitions:
         mv_is_pskip = mv_is_pskip & (part_mode == 0)
+    if two_refs:
+        mv_is_pskip = mv_is_pskip & (refidx == 0)   # P_Skip implies ref 0
     skip = (cbp_luma == 0) & (cbp_chroma == 0) & mv_is_pskip & ~is_intra_f
 
     cdc_blk = jnp.stack([udc.reshape(n, 2, 2), vdc.reshape(n, 2, 2)],
@@ -991,7 +1106,8 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
             chroma_mode=chroma_mode.reshape(-1), luma_dc=dc_blk,
             part_mode=part_mode, mvd2=mvd2,
             is_i4=is_i4_f if i4 else None,
-            i4_modes=(i4_modes.reshape(-1, 16) if i4 else None))
+            i4_modes=(i4_modes.reshape(-1, 16) if i4 else None),
+            refidx=refidx, two_refs=two_refs)
     else:
         # decoder-carried QP: MBs that parse mb_qp_delta update QP_prev —
         # inter MBs with cbp>0, every I16 MB (dqp always coded), and I4
@@ -1020,6 +1136,7 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
             "is_i4": is_i4_f,
             "i4_modes": (i4_modes.reshape(-1, 16) if i4 else
                          jnp.zeros((n, 16), jnp.int32)),
+            "refidx": refidx,
         }
         words, total_bits = decisions, None
     if deblock:
@@ -1029,7 +1146,8 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
         bs_v, bs_h = compute_strengths(
             is_intra, nnz4,
             mv4_grid if partitions else mv_field,
-            mbw=mbw, mbh=mbh)
+            mbw=mbw, mbh=mbh,
+            ref_mb=ref_grid if two_refs else None)
         recon_y, recon_u, recon_v = deblock_frame(
             recon_y, recon_u, recon_v, bs_v, bs_h,
             eff_qp.reshape(mbh, mbw), mbw=mbw, mbh=mbh,
@@ -1044,8 +1162,11 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
              "p8x16": jnp.sum((part_mode == 2) & ~is_intra_f),
              # colocated fields for B spatial direct (mvpred.c:290):
              # per-MB MV (part 0), the 4x4-granular field (partitioned
-             # colocated MBs drive per-quadrant colZero), inter(ref0) mask
-             "mvf": mv_field, "mvf4": mv4_grid, "inter_mask": ~is_intra}
+             # colocated MBs drive per-quadrant colZero), inter(ref0)
+             # mask — colZero (8.4.1.2.2) requires refIdxCol == 0, so
+             # ref-1 MBs are excluded from the mask
+             "mvf": mv_field, "mvf4": mv4_grid,
+             "inter_mask": (~is_intra) & (ref_grid == 0)}
     return words, total_bits, (recon_y, recon_u, recon_v), stats
 
 
@@ -1073,7 +1194,8 @@ def cabac_finalize_pframe(enc, decisions, qp_mb, slice_qp, sh,
         model=0, mvd1=d["mvd2"].astype(np.int16),
         part_mode=d["part_mode"].astype(np.uint8),
         is_i4=d["is_i4"].astype(np.uint8),
-        i4_modes=d["i4_modes"].astype(np.uint8))
+        i4_modes=d["i4_modes"].astype(np.uint8),
+        refidx=d.get("refidx"), n_refs=sh.num_ref_idx_l0_active)
     sh.cabac_init_idc = 0
     return finalize_slice_cabac(enc, payload, sh, nal_mod.NAL_SLICE,
                                 nal_mod.NAL_PRIORITY_HIGH)
@@ -1113,18 +1235,33 @@ def dispatch_pframe(enc, planes, ftype, qp, ref_tag=None, tree_off=None,
         ref = enc._dpb[-1]
     else:   # re-dispatch after overflow repair: same reference by tag
         ref = next(r for r in enc._dpb if r["tag"] == ref_tag)
+    # second L0 reference (x264 --ref 2): the next-most-recent DPB entry
+    # = the decoder's default list0[1] (PicNum order). Disabled on the
+    # first P after an IDR, under PIR geometry, and whenever a ref-list
+    # modification re-points list0[0] (invalidate recovery)
+    ref1 = None
+    if enc.n_refs >= 2 and pir is None:
+        ri = next(i for i, r in enumerate(enc._dpb) if r is ref)
+        if ri >= 1:
+            ref1 = enc._dpb[ri - 1]
     y, u, v = [jnp.asarray(p) for p in planes]
     # bound by padding: ESA needs PAD >= R; the subpel warp windows need
     # R <= PAD-5 (window extent R+5 past the last MB origin). Presets'
     # merange 16/24 are honored (VERDICT r1 item 9).
     me_range = min(enc.p.analyse.me_range, mc.PAD - 8)
-    sh = enc._slice_header(ftype, qp)
+    sh = enc._slice_header(ftype, qp, n_ref_l0=2 if ref1 is not None else 1)
     apply_ref_list_mod(enc, ref, sh)
+    if sh.ref_pic_list_mod_l0 and ref1 is not None:
+        ref1 = None
+        sh.num_ref_idx_l0_active = 1
+        sh.num_ref_idx_override = (
+            enc.pps.num_ref_idx_l0_active != 1)
     # weighted prediction (x264 --weightp): fit on this frame vs its ref
     wp = None
     if enc.p.analyse.weighted_pred > 0:
         wp = weightp_analyse(y, ref["y_pad"])
-        sh.weight_l0 = [wp]
+        # ref 1 keeps implicit unity weights (luma_weight_l0_flag = 0)
+        sh.weight_l0 = [wp] + ([None] if ref1 is not None else [])
         if wp is not None:
             enc.stats["weightp_frames"] = \
                 enc.stats.get("weightp_frames", 0) + 1
@@ -1176,6 +1313,10 @@ def dispatch_pframe(enc, planes, ftype, qp, ref_tag=None, tree_off=None,
             y, u, v, ref["y_pad"], ref["hpel"], ref["cuv_pad"],
             qp_mb, qpc_mb, qp_try, lam,
             pir_cap=pir_cap, pir_band=pir_band, pir=pir is not None,
+            ref1_y_pad=ref1["y_pad"] if ref1 is not None else None,
+            ref1_hpel=ref1["hpel"] if ref1 is not None else None,
+            ref1_cuv_pad=ref1["cuv_pad"] if ref1 is not None else None,
+            two_refs=ref1 is not None,
             nr=nr > 0,
             nr_offset=(jnp.asarray(enc._nr_state[2]) if nr else None),
             me_seeded=enc.p.analyse.me_method <= 2,   # dia/hex/umh ladder

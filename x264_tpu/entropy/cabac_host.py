@@ -49,6 +49,7 @@ def _load():
         u8, u8, u8, u8, u8,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         u8, u8, u8, u8, u8, u8, u8, u8, i8, u8, u8,
+        u8, ctypes.c_int,
         i16, i16, i16, i16, i16, i16,
         u8, ctypes.c_int]
     _lib = lib
@@ -82,7 +83,8 @@ def encode_slice_cabac(slice_type, mbw: int, mbh: int,
                        chroma_mode, cbp_luma, cbp_chroma, qp_mb, mvd,
                        luma_dc, luma_ac, chroma_dc, chroma_ac,
                        model: int = 0, bmode=None, mvd1=None,
-                       part_mode=None, is_i4=None, i4_modes=None) -> bytes:
+                       part_mode=None, is_i4=None, i4_modes=None,
+                       refidx=None, n_refs: int = 1) -> bytes:
     """Write one slice's CABAC mb layer. Residual arrays are zigzagged;
     luma blocks in z-scan coding order. Returns the payload bytes
     (cabac-aligned slice data, to append after the slice header)."""
@@ -115,6 +117,7 @@ def encode_slice_cabac(slice_type, mbw: int, mbh: int,
     mvd = i16c(mvd, n * 2)
     bmode = u8c(bmode if bmode is not None else np.zeros(n))
     part_mode = u8c(part_mode if part_mode is not None else np.zeros(n))
+    refidx = u8c(refidx if refidx is not None else np.zeros(n))
     mvd1 = i16c(mvd1 if mvd1 is not None else np.zeros((n, 2)), n * 2)
     luma_dc = i16c(luma_dc, n * 16)
     luma_ac = i16c(luma_ac, n * 256)
@@ -136,6 +139,7 @@ def encode_slice_cabac(slice_type, mbw: int, mbh: int,
         _ptr(cbp_luma, ctypes.c_uint8), _ptr(cbp_chroma, ctypes.c_uint8),
         _ptr(qp_mb, ctypes.c_int8), _ptr(bmode, ctypes.c_uint8),
         _ptr(part_mode, ctypes.c_uint8),
+        _ptr(refidx, ctypes.c_uint8), int(n_refs),
         _ptr(mvd, ctypes.c_int16), _ptr(mvd1, ctypes.c_int16),
         _ptr(luma_dc, ctypes.c_int16), _ptr(luma_ac, ctypes.c_int16),
         _ptr(chroma_dc, ctypes.c_int16), _ptr(chroma_ac, ctypes.c_int16),

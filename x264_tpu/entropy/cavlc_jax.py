@@ -461,16 +461,22 @@ def _i4_mode_codes_dev(is_i4, i4_modes, mbh, mbw):
     return m_codes[:, zorder], m_lens[:, zorder]
 
 
-@partial(jax.jit, static_argnames=("mbw", "mbh", "cap_words"))
+@partial(jax.jit, static_argnames=("mbw", "mbh", "cap_words", "two_refs"))
 def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
                               slice_qp, luma_lv, cdc_blk, cac_blk,
                               *, mbw: int, mbh: int, cap_words: int,
                               is_intra=None, i16_mode=None,
                               chroma_mode=None, luma_dc=None,
                               part_mode=None, mvd2=None,
-                              is_i4=None, i4_modes=None):
+                              is_i4=None, i4_modes=None,
+                              refidx=None, two_refs: bool = False):
     """P-slice MB layer on device (P_L0_16x16/16x8/8x16 + P_Skip +
-    I16-in-P, 1 ref).
+    I16-in-P, 1 or 2 refs).
+
+    With two_refs, refidx [N] in {0,1} is coded te() (spec 9.1.1,
+    cMax=1: bit = !value) once per partition before the mvd pairs
+    (cavlc.c:510 both-partition loop); both partitions of an MB share
+    one reference here.
 
     skip [N] bool; mvd [N,2]; cbp_* [N]; luma_lv [N,16,4,4] (full 16-coeff
     inter blocks / pos0-zeroed intra AC blocks, raster); cdc_blk
@@ -544,10 +550,11 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
     cac_lens = cac_lens.reshape(n, 8, BLOCK_SLOTS)
 
     # ---- header elements: run, mb_type, m0..m15 (I4 mode elements,
-    # z-scan), mvd_x|chroma_mode, mvd_y|dqp(I16), mvd2_x, mvd2_y
+    # z-scan), ref_p0, ref_p1 (te ref_idx, 2-ref inter only),
+    # mvd_x|chroma_mode, mvd_y|dqp(I16), mvd2_x, mvd2_y
     # (partitioned inter only), cbp(inter/I4), qp_delta(inter/I4) ----
-    h_codes = jnp.zeros((n, 24), jnp.uint32)
-    h_lens = jnp.zeros((n, 24), jnp.int32)
+    h_codes = jnp.zeros((n, 26), jnp.uint32)
+    h_lens = jnp.zeros((n, 26), jnp.int32)
     c, l = ue_dev(run)                          # noqa: E741
     h_codes = h_codes.at[:, 0].set(c)
     h_lens = h_lens.at[:, 0].set(l)
@@ -575,18 +582,27 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
     h_codes = h_codes.at[:, 2:18].set(m_codes)
     h_lens = h_lens.at[:, 2:18].set(
         jnp.where(coded[:, None], m_lens, 0))
+    part2 = (part_mode > 0) & ~is_intra
+    if two_refs:
+        # te() ref_idx (cMax=1): one inverted bit per partition, all
+        # partitions' ref_idx precede the mvd pairs (spec 7.3.5.1)
+        ref_bit = (1 - refidx).astype(jnp.uint32)
+        h_codes = h_codes.at[:, 18].set(ref_bit)
+        h_lens = h_lens.at[:, 18].set(
+            jnp.where(~is_intra, 1, 0))
+        h_codes = h_codes.at[:, 19].set(ref_bit)
+        h_lens = h_lens.at[:, 19].set(jnp.where(part2, 1, 0))
     c_cm, l_cm = ue_dev(chroma_mode)
     c, l = se_dev(mvd[:, 0])                    # noqa: E741
-    h_codes = h_codes.at[:, 18].set(jnp.where(is_intra, c_cm, c))
-    h_lens = h_lens.at[:, 18].set(jnp.where(is_intra, l_cm, l))
+    h_codes = h_codes.at[:, 20].set(jnp.where(is_intra, c_cm, c))
+    h_lens = h_lens.at[:, 20].set(jnp.where(is_intra, l_cm, l))
     c_dq, l_dq = se_dev(jnp.where(has_resid, dqp, 0))
     c, l = se_dev(mvd[:, 1])                    # noqa: E741
-    h_codes = h_codes.at[:, 19].set(jnp.where(is_intra, c_dq, c))
-    h_lens = h_lens.at[:, 19].set(
+    h_codes = h_codes.at[:, 21].set(jnp.where(is_intra, c_dq, c))
+    h_lens = h_lens.at[:, 21].set(
         jnp.where(is_i4, 0, jnp.where(is_intra, l_dq, l)))
-    # second-partition mvd (16x8/8x16 only; 1 ref so no ref_idx)
-    part2 = (part_mode > 0) & ~is_intra
-    for comp, slot in ((0, 20), (1, 21)):
+    # second-partition mvd (16x8/8x16 only)
+    for comp, slot in ((0, 22), (1, 23)):
         c, l = se_dev(mvd2[:, comp])            # noqa: E741
         h_codes = h_codes.at[:, slot].set(c)
         h_lens = h_lens.at[:, slot].set(jnp.where(part2, l, 0))
@@ -595,11 +611,11 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
                       cbp_chroma * 16 + cbp_luma))
     c4, l4 = ue_dev(lut(V.CBP_TO_GOLOMB_INTRA,
                         cbp_chroma * 16 + cbp_luma))
-    h_codes = h_codes.at[:, 22].set(jnp.where(is_i4, c4, c))
-    h_lens = h_lens.at[:, 22].set(
+    h_codes = h_codes.at[:, 24].set(jnp.where(is_i4, c4, c))
+    h_lens = h_lens.at[:, 24].set(
         jnp.where(is_i4, l4, jnp.where(is_intra, 0, l)))
-    h_codes = h_codes.at[:, 23].set(c_dq)
-    h_lens = h_lens.at[:, 23].set(
+    h_codes = h_codes.at[:, 25].set(c_dq)
+    h_lens = h_lens.at[:, 25].set(
         jnp.where(is_i16, 0, jnp.where(has_resid, l_dq, 0)))
 
     # ---- gating ----

@@ -130,12 +130,14 @@ def filter_lines_chroma(p, q, bs, alpha, beta, tc0):
 
 
 @partial(jax.jit, static_argnames=("mbw", "mbh"))
-def compute_strengths(intra_mb, nnz4, mv_mb, *, mbw, mbh):
+def compute_strengths(intra_mb, nnz4, mv_mb, *, mbw, mbh, ref_mb=None):
     """Boundary strengths for the whole frame (batched).
 
     intra_mb [mbh,mbw] bool; nnz4 [mbh*4, mbw*4] int; mv_mb [mbh,mbw,2]
     MB-granular or [mbh*4,mbw*4,2] 4x4-granular (16x8/8x16 partitions;
-    single ref — P_SKIP counts as inter zero-nnz).
+    P_SKIP counts as inter zero-nnz). ref_mb [mbh,mbw] int32 — per-MB
+    L0 refIdx (multi-ref P): blocks predicting from different reference
+    pictures get bs >= 1 (spec 8.7.2.1). None = single ref.
     Returns (bs_v, bs_h) [mbh, mbw, 4 edges, 4 lines4]."""
     ih, iw = mbh * 4, mbw * 4
     intra4 = jnp.repeat(jnp.repeat(intra_mb, 4, axis=0), 4, axis=1)
@@ -143,6 +145,8 @@ def compute_strengths(intra_mb, nnz4, mv_mb, *, mbw, mbh):
         mv4 = mv_mb                                            # [ih,iw,2]
     else:
         mv4 = jnp.repeat(jnp.repeat(mv_mb, 4, axis=0), 4, axis=1)
+    ref4 = None if ref_mb is None else \
+        jnp.repeat(jnp.repeat(ref_mb, 4, axis=0), 4, axis=1)
 
     def edge_bs(axis):
         # p = block shifted by -1 along axis, q = block
@@ -164,6 +168,15 @@ def compute_strengths(intra_mb, nnz4, mv_mb, *, mbw, mbh):
         bs_intra = jnp.where(mb_edge, 4, 3)
         nz = (nnz4 > 0) | (nnz_p > 0)
         mv_diff = jnp.any(jnp.abs(mv4 - mv_p) >= 4, axis=-1)
+        if ref4 is not None:
+            # different reference pictures across the edge -> bs 1
+            # (spec 8.7.2.1 clause 4; mv deltas only compared between
+            # same-ref blocks)
+            if axis == 1:
+                ref_px = jnp.pad(ref4, ((0, 0), (1, 0)))[:, :-1]
+            else:
+                ref_px = jnp.pad(ref4, ((1, 0), (0, 0)))[:-1]
+            mv_diff = mv_diff | (ref4 != ref_px)
         bs_inter = jnp.where(nz, 2, jnp.where(mv_diff, 1, 0))
         return jnp.where(either_intra, bs_intra, bs_inter)
 

@@ -278,6 +278,10 @@ class Params:
                                      # runs lookahead on-device always
     dump_yuv: str = ""
     full_recon: bool = False
+    # per-NAL callback for low-latency streaming (reference x264.h:584:
+    # nalu_process): called as nalu_process(encoder, nal, opaque) for
+    # every finished NAL of a frame, before encode() returns it
+    nalu_process: object = None
 
     # Logging
     log_level: int = LOG_INFO
