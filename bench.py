@@ -114,9 +114,17 @@ def decode_yuv(path, n):
         yield [y, u, v]
 
 
-def run_reference(y4m_path, qp=QP):
-    """Encode the clip with the reference x264 binary at matched settings.
-    Returns (kbps, psnr) or (None, None)."""
+REF_PRESET = "medium"    # matched to our analysis class (honest compare)
+
+
+def run_reference(y4m_path, src_frames, qp=QP, preset=REF_PRESET):
+    """Encode the clip with the reference x264 binary at MATCHED settings
+    (same preset class as ours, IPPP, CAVLC), then measure it with the
+    SAME methodology as our own stream: decode with tools/avdec and
+    compute mean-of-frames weighted PSNR vs source; kbps counts every
+    byte of the file including headers (VERDICT r4 item 1 — the old path
+    pinned the ref at veryfast and trusted its self-reported Global PSNR,
+    a systematically different estimator). Returns (kbps, psnr)."""
     exe = os.path.join(os.path.dirname(__file__), "tools", "refbuild",
                        "x264")
     if not os.path.exists(exe):
@@ -134,18 +142,19 @@ def run_reference(y4m_path, qp=QP):
         except Exception:
             return None, None
     try:
-        out = subprocess.run(
-            [exe, "--preset", "veryfast", "--qp", str(qp), "--no-cabac",
-             "--bframes", "0",
-             "--psnr", "--tune", "psnr", "-o", "/tmp/bench_ref.264",
-             y4m_path],
+        path = "/tmp/bench_ref.264"
+        subprocess.run(
+            [exe, "--preset", preset, "--qp", str(qp), "--no-cabac",
+             "--bframes", "0", "--tune", "psnr", "-o", path, y4m_path],
             capture_output=True, timeout=600, text=True)
-        kbps = psnr_v = None
-        for line in out.stderr.splitlines():
-            if "PSNR Mean" in line and "kb/s:" in line:
-                psnr_v = float(line.split("Global:")[1].split()[0])
-                kbps = float(line.split("kb/s:")[1].strip())
-        return kbps, psnr_v
+        n = len(src_frames)
+        kbps = os.path.getsize(path) * 8 * 30.0 / n / 1000.0
+        vals = []
+        for dy, du, dv in decode_yuv(path, n):
+            sy, su, sv = src_frames[len(vals)]
+            vals.append((6 * psnr(sy, dy) + psnr(su, du)
+                         + psnr(sv, dv)) / 8)
+        return round(kbps, 2), round(float(np.mean(vals)), 3)
     except Exception:
         return None, None
 
@@ -205,6 +214,9 @@ def worker(w, h):
             total_bytes += sum(len(n.payload) + 4 for n in nals)
         dt = time.time() - t0
         fps = n_bench / dt
+        # kbps counts EVERY byte incl. SPS/PPS/SEI headers, matching how
+        # the reference stream is measured (file size)
+        total_bytes += sum(len(n.payload) + 4 for n in enc.headers())
         kbps = total_bytes * 8 * 30.0 / n_bench / 1000.0
         # quality: decode our stream with libavcodec and compare EXACT
         # YUV planes vs source (tools/avdec; the old cv2 path went
@@ -271,8 +283,10 @@ def worker(w, h):
     except Exception:
         farm_fps = None
 
-    # ---- BD-rate sweep vs the reference binary (VERDICT r2 item 8):
-    # same clip at 4 QPs on both encoders, Bjontegaard delta-rate ----
+    # ---- BD-rate sweep vs the reference binary (VERDICT r4 item 1):
+    # same clip at 4 QPs on both encoders, SAME decoder (tools/avdec),
+    # SAME mean-of-frames weighted PSNR, SAME preset class, headers
+    # counted in kbps on both sides — the rdcheck.py methodology ----
     write_y4m("/tmp/bench_src.y4m", frames)
     ours_r, ours_p, refs_r, refs_p = [], [], [], []
     ref_kbps = ref_psnr = bd = None
@@ -282,7 +296,7 @@ def worker(w, h):
                 r_o, p_o = kbps, psnr_v
             else:
                 _, r_o, p_o = encode_once(q, timed=False)
-            r_r, p_r = run_reference("/tmp/bench_src.y4m", q)
+            r_r, p_r = run_reference("/tmp/bench_src.y4m", frames, q)
             if q == QP:
                 ref_kbps, ref_psnr = r_r, p_r
             if None not in (r_o, p_o, r_r, p_r):
