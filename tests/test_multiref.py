@@ -24,17 +24,31 @@ W, H = 96, 64
 
 
 def _clip(n=8):
+    """Alternating-pattern clip. The texture noise is baked INTO the two
+    patterns (not regenerated per frame): the 2-frames-back reference
+    then matches near-exactly, so multi-ref genuinely wins in RD terms.
+    (Per-frame regenerated noise — the r4 version — makes 2-ref RD-WORSE
+    even for the reference x264 binary: its qp27 ref=2 point sat 0.09 dB
+    below its own ref=1 curve, because the ref1 residual is pure noise
+    that quantizes away while PSNR is measured against the noisy
+    source.)"""
     rng = np.random.default_rng(7)
     yy, xx = np.mgrid[0:H, 0:W]
-    base_a = np.clip(110 + 70 * np.sin(xx / 9) * np.cos(yy / 7), 0, 255)
-    base_b = np.clip(110 + 70 * np.cos(xx / 13) * np.sin(yy / 11), 0, 255)
+    base_a = np.clip(110 + 70 * np.sin(xx / 9) * np.cos(yy / 7)
+                     + rng.integers(-6, 6, (H, W)), 0, 255)
+    base_b = np.clip(110 + 70 * np.cos(xx / 13) * np.sin(yy / 11)
+                     + rng.integers(-6, 6, (H, W)), 0, 255)
+    cr_a = [rng.integers(100, 156, (H // 2, W // 2)).astype(np.uint8)
+            for _ in range(2)]
+    cr_b = [rng.integers(100, 156, (H // 2, W // 2)).astype(np.uint8)
+            for _ in range(2)]
     frames = []
     for i in range(n):
         b = base_a if i % 2 == 0 else base_b
-        y = np.clip(np.roll(b, (i // 2) * 2, axis=1)
-                    + rng.integers(-6, 6, (H, W)), 0, 255).astype(np.uint8)
-        u = rng.integers(100, 156, (H // 2, W // 2)).astype(np.uint8)
-        v = rng.integers(100, 156, (H // 2, W // 2)).astype(np.uint8)
+        u, v = cr_a if i % 2 == 0 else cr_b
+        y = np.roll(b, (i // 2) * 2, axis=1).astype(np.uint8)
+        u = np.roll(u, i // 2, axis=1)       # chroma tracks the pan
+        v = np.roll(v, i // 2, axis=1)
         frames.append([y, u, v])
     return frames
 
@@ -111,8 +125,17 @@ def test_2ref_weightp_conformant(tmp_path):
 
 
 def test_2ref_improves_alternating_content():
-    """On alternating content ref1 must win MBs and PSNR at similar
-    rate (the point of multi-ref)."""
+    """On alternating content 2-ref must RD-dominate the 1-ref curve.
+
+    NOT an equal-QP PSNR compare: at matched QP the reference x264
+    binary itself trades PSNR for bits here (medium/CAVLC/IPPP qp27 on
+    this exact clip: ref=1 14020 B / 36.894 dB, ref=2 12610 B /
+    36.471 dB — multi-ref converts to bit savings, not PSNR, because
+    the ref1 match leaves only the per-frame noise as residual, which
+    quantizes away). The honest assertion is that the 2-ref operating
+    point sits ON OR ABOVE the 1-ref rate-distortion curve: encode
+    1-ref at QP 26..28, interpolate its PSNR at the 2-ref rate, and
+    require the 2-ref point to match or beat it."""
     frames = _clip()
 
     def ypsnr(outs):
@@ -123,8 +146,18 @@ def test_2ref_improves_alternating_content():
             for i in range(len(frames))])
         return 10 * np.log10(255 ** 2 / mse)
 
-    d1, o1 = _encode(frames, False, nref=1)
-    d2, o2 = _encode(frames, False, nref=2)
-    # better quality per bit on this clip (ref1 matches far better)
-    assert ypsnr(o2) > ypsnr(o1) - 0.05
-    assert len(d2) < len(d1), (len(d2), len(d1))
+    curve = []                       # 1-ref RD curve, decreasing rate
+    for qp in (26, 27, 28):
+        d, o = _encode(frames, False, nref=1, qp=qp)
+        curve.append((len(d), ypsnr(o)))
+    d2, o2 = _encode(frames, False, nref=2, qp=27)
+    r2, p2 = len(d2), ypsnr(o2)
+    # meaningful bit savings vs 1-ref at the same QP (ref1 wins MBs)
+    assert r2 < 0.95 * curve[1][0], (r2, curve[1][0])
+    rates = np.array([c[0] for c in curve], np.float64)
+    psnrs = np.array([c[1] for c in curve], np.float64)
+    assert rates[0] > rates[1] > rates[2] > 0
+    p1_at_r2 = np.interp(r2, rates[::-1], psnrs[::-1])
+    assert p2 >= p1_at_r2 - 0.05, \
+        (f"2-ref ({r2} B, {p2:.3f} dB) falls below the 1-ref RD curve "
+         f"({p1_at_r2:.3f} dB at that rate)")

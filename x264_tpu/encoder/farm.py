@@ -7,9 +7,11 @@ device passes runs S streams' analysis/transform/entropy in lockstep,
 amortizing every dispatch, pipeline bubble and wavefront latency chain
 across the batch (BASELINE.md milestone config 5; SURVEY §2.9 mapping).
 
-Scope: IPPP, CQP, CAVLC, flat QP (the bench configuration). The host
-tail per stream is slice-header + byte append only — the packed payload
-is produced on device.
+Scope: IPPP, CQP (per-slice-type I/P QPs), CAVLC, up to 2 L0 refs —
+the same feature set the single-stream Encoder runs at these settings
+(tests/test_farm.py asserts byte parity). The host tail per stream is
+slice-header + byte append only — the packed payload is produced on
+device.
 """
 
 from __future__ import annotations
@@ -39,16 +41,27 @@ class FarmEncoder:
         self.pps = sets.pps_init(self.p, self.sps, self.p.sps_id)
         self.mb_w, self.mb_h = self.p.mb_width, self.p.mb_height
         self.qp = self.p.rc.qp_constant
+        # per-slice-type CQP matching the single-stream rate control
+        # (ratecontrol.py RC_CQP: I frames run qp - 6*log2(ip_factor))
+        import math
+        self.qp_i = int(min(max(
+            round(self.qp - 6.0 * math.log2(self.p.rc.ip_factor)),
+            self.p.rc.qp_min), self.p.rc.qp_max))
         self.frame_num = 0
         self.poc = 0
         self.idr_pic_id = 0
-        self._dpb = None       # dict of stacked device refs [S, ...]
+        self._dpb = []         # up to n_refs stacked device refs [S, ...]
         mbw, mbh = self.mb_w, self.mb_h
         self.qp_mb = jnp.full((mbh, mbw), self.qp, jnp.int32)
         self.qpc_mb = jnp.asarray(
             chroma_qp(np.full((mbh, mbw), self.qp),
                       self.p.analyse.chroma_qp_offset), jnp.int32)
-        self.cap_words = (mbw * mbh * intra.cap_bytes_per_mb(self.qp)) // 4
+        self.qp_mb_i = jnp.full((mbh, mbw), self.qp_i, jnp.int32)
+        self.qpc_mb_i = jnp.asarray(
+            chroma_qp(np.full((mbh, mbw), self.qp_i),
+                      self.p.analyse.chroma_qp_offset), jnp.int32)
+        self.cap_words = (mbw * mbh * intra.cap_bytes_per_mb(
+            min(self.qp, self.qp_i))) // 4
         self.me_range = min(self.p.analyse.me_range, mc.PAD - 8)
         self.lam = max(1, int(round(2.0 ** ((self.qp - 12) / 6.0))))
 
@@ -61,7 +74,7 @@ class FarmEncoder:
         def i_step(y, u, v):
             from ..params import ANALYSE_I4x4
             return intra.encode_iframe_device(
-                y, u, v, self.qp_mb, self.qpc_mb, self.qp,
+                y, u, v, self.qp_mb_i, self.qpc_mb_i, self.qp_i,
                 i4=bool(self.p.analyse.intra & ANALYSE_I4x4), **kw)
 
         # feature parity with the single-stream dispatch (dispatch_pframe
@@ -71,11 +84,18 @@ class FarmEncoder:
         from ..params import ANALYSE_I4x4, ANALYSE_PSUB16x16
         wp_id = (jnp.full((streams,), 128, jnp.int32),
                  jnp.zeros((streams,), jnp.int32))
+        # signaled L0 depth matches the single-stream Encoder (x264
+        # --ref N clamped to 2; r4 verdict weak 2b: the farm ran 1 ref
+        # while the stream it was byte-compared against ran 2)
+        self.n_refs = min(self.p.frame_reference, 2)
 
-        def p_step(y, u, v, ry, rhp, rcuv, wp_w, wp_o):
+        def p_step(y, u, v, ry, rhp, rcuv, wp_w, wp_o,
+                   r1y=None, r1hp=None, r1cuv=None):
             return inter.encode_pframe_device(
                 y, u, v, ry, rhp, rcuv, self.qp_mb, self.qpc_mb,
                 self.qp, self.lam, me_range=self.me_range,
+                ref1_y_pad=r1y, ref1_hpel=r1hp, ref1_cuv_pad=r1cuv,
+                two_refs=r1y is not None,
                 decimate=self.p.analyse.dct_decimate,
                 me_seeded=self.p.analyse.me_method <= 2,
                 partitions=bool(self.p.analyse.inter & ANALYSE_PSUB16x16),
@@ -92,6 +112,7 @@ class FarmEncoder:
 
         self._i_step = jax.jit(jax.vmap(i_step))
         self._p_step = jax.jit(jax.vmap(p_step))
+        self._p_step2 = jax.jit(jax.vmap(p_step))   # 2-ref trace
         self._dpb_prep = jax.jit(jax.vmap(dpb_prep))
 
     def headers(self):
@@ -108,9 +129,11 @@ class FarmEncoder:
                                sets.sei_version(self.p)),
         ]
 
-    def _slice_header(self, ftype):
-        from .encoder import Encoder
-        sh = Encoder._slice_header(self, ftype, self.qp)
+    def _slice_header(self, ftype, n_ref_l0=1):
+        from .encoder import Encoder, TYPE_P
+        sh = Encoder._slice_header(self, ftype,
+                                   self.qp if ftype == TYPE_P
+                                   else self.qp_i, n_ref_l0=n_ref_l0)
         return sh
 
     def encode_batch(self, planes_s, idr: bool):
@@ -124,25 +147,40 @@ class FarmEncoder:
         y = jnp.asarray(np.stack([f[0] for f in planes_s]))
         u = jnp.asarray(np.stack([f[1] for f in planes_s]))
         v = jnp.asarray(np.stack([f[2] for f in planes_s]))
+        n_ref = 1
         if idr:
             self.frame_num = 0
             self.poc = 0
             words, bits, recon, _, _ = self._i_step(y, u, v)
+            self._dpb = []
             ftype, ntype, ridc = (TYPE_IDR, nal_mod.NAL_SLICE_IDR,
                                   nal_mod.NAL_PRIORITY_HIGHEST)
         else:
-            words, bits, recon, _ = self._p_step(
-                y, u, v, self._dpb["y_pad"], self._dpb["hpel"],
-                self._dpb["cuv"], self._wp_id[0], self._wp_id[1])
+            ref = self._dpb[-1]
+            if self.n_refs >= 2 and len(self._dpb) >= 2:
+                # second L0 reference = next-most-recent DPB entry (the
+                # decoder's default list0[1]); matches dispatch_pframe
+                n_ref = 2
+                ref1 = self._dpb[-2]
+                words, bits, recon, _ = self._p_step2(
+                    y, u, v, ref["y_pad"], ref["hpel"], ref["cuv"],
+                    self._wp_id[0], self._wp_id[1],
+                    ref1["y_pad"], ref1["hpel"], ref1["cuv"])
+            else:
+                words, bits, recon, _ = self._p_step(
+                    y, u, v, ref["y_pad"], ref["hpel"], ref["cuv"],
+                    self._wp_id[0], self._wp_id[1])
             ftype, ntype, ridc = (TYPE_P, nal_mod.NAL_SLICE,
                                   nal_mod.NAL_PRIORITY_HIGH)
         y_pad, hpel, cuv = self._dpb_prep(recon[0], recon[1], recon[2])
-        self._dpb = {"y_pad": y_pad, "hpel": hpel, "cuv": cuv}
+        self._dpb.append({"y_pad": y_pad, "hpel": hpel, "cuv": cuv})
+        if len(self._dpb) > max(self.n_refs, 1):
+            self._dpb.pop(0)
         bits_h = np.asarray(bits)
         words_h = np.asarray(words)       # one batched [S, cap] fetch
         outs = []
         for s in range(self.S):
-            sh = self._slice_header(ftype)
+            sh = self._slice_header(ftype, n_ref_l0=n_ref)
             nals = finalize_slice(self, words_h[s], int(bits_h[s]),
                                   self.cap_words, sh, ntype, ridc)
             outs.append(nals)
