@@ -1,10 +1,14 @@
 """Test config.
 
 Provisions 8 virtual CPU devices (used by tests/test_mesh.py via
-jax.devices('cpu')). NOTE: JAX_PLATFORMS=cpu does NOT take effect in the
-axon image (the plugin overrides it), so single-device tests run on
-whatever the default backend is; only the mesh tests explicitly target the
-virtual CPU devices."""
+jax.devices('cpu')) and pins the whole suite to the CPU backend so test
+runs (a) are hermetic/deterministic and (b) never contend for the real
+TPU chip with a concurrent bench. Set X264_TPU_TEST_TPU=1 to run the
+suite against the real chip instead.
+
+NOTE: the env var JAX_PLATFORMS=cpu does NOT take effect in the axon
+image (the plugin's register() overrides it), but an in-process
+jax.config.update('jax_platforms', ...) before first backend use does."""
 
 import os
 
@@ -16,8 +20,23 @@ if "host_platform_device_count" not in flags:
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if os.environ.get("X264_TPU_TEST_TPU") != "1":
+    import jax
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 import numpy as np
 import pytest
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long e2e encodes; excluded from the default gate lane "
+        "(run the full suite with `pytest tests/`, the fast lane with "
+        "`pytest tests/ -m 'not slow'`)")
 
 
 @pytest.fixture

@@ -89,13 +89,15 @@ class FarmEncoder:
         # while the stream it was byte-compared against ran 2)
         self.n_refs = min(self.p.frame_reference, 2)
 
+        two_refs_prog = self.p.frame_reference >= 2
+
         def p_step(y, u, v, ry, rhp, rcuv, wp_w, wp_o,
-                   r1y=None, r1hp=None, r1cuv=None):
+                   r1y=None, r1hp=None, r1cuv=None, r1valid=None):
             return inter.encode_pframe_device(
                 y, u, v, ry, rhp, rcuv, self.qp_mb, self.qpc_mb,
                 self.qp, self.lam, me_range=self.me_range,
                 ref1_y_pad=r1y, ref1_hpel=r1hp, ref1_cuv_pad=r1cuv,
-                two_refs=r1y is not None,
+                two_refs=two_refs_prog, ref1_valid=r1valid,
                 decimate=self.p.analyse.dct_decimate,
                 me_seeded=self.p.analyse.me_method <= 2,
                 partitions=bool(self.p.analyse.inter & ANALYSE_PSUB16x16),
@@ -111,8 +113,10 @@ class FarmEncoder:
                                mc.pad_plane(recon_v, mc.CPAD)]))
 
         self._i_step = jax.jit(jax.vmap(i_step))
+        # ONE compiled P program (two_refs config traces the 2-ref
+        # graph; per-stream ref1_valid masks the dup-ref first P)
         self._p_step = jax.jit(jax.vmap(p_step))
-        self._p_step2 = jax.jit(jax.vmap(p_step))   # 2-ref trace
+        self._two_refs_prog = two_refs_prog
         self._dpb_prep = jax.jit(jax.vmap(dpb_prep))
 
     def headers(self):
@@ -157,15 +161,19 @@ class FarmEncoder:
                                   nal_mod.NAL_PRIORITY_HIGHEST)
         else:
             ref = self._dpb[-1]
-            if self.n_refs >= 2 and len(self._dpb) >= 2:
+            if self._two_refs_prog:
                 # second L0 reference = next-most-recent DPB entry (the
-                # decoder's default list0[1]); matches dispatch_pframe
-                n_ref = 2
-                ref1 = self._dpb[-2]
-                words, bits, recon, _ = self._p_step2(
+                # decoder's default list0[1]); matches dispatch_pframe.
+                # With one DPB entry (first P after IDR) the same program
+                # runs with ref1 := ref0 masked off by ref1_valid
+                have2 = len(self._dpb) >= 2
+                n_ref = 2 if have2 else 1
+                ref1 = self._dpb[-2] if have2 else ref
+                valid = jnp.full((self.S,), have2, bool)
+                words, bits, recon, _ = self._p_step(
                     y, u, v, ref["y_pad"], ref["hpel"], ref["cuv"],
                     self._wp_id[0], self._wp_id[1],
-                    ref1["y_pad"], ref1["hpel"], ref1["cuv"])
+                    ref1["y_pad"], ref1["hpel"], ref1["cuv"], valid)
             else:
                 words, bits, recon, _ = self._p_step(
                     y, u, v, ref["y_pad"], ref["hpel"], ref["cuv"],

@@ -469,14 +469,17 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
                               chroma_mode=None, luma_dc=None,
                               part_mode=None, mvd2=None,
                               is_i4=None, i4_modes=None,
-                              refidx=None, two_refs: bool = False):
+                              refidx=None, two_refs: bool = False,
+                              two_refs_live=None):
     """P-slice MB layer on device (P_L0_16x16/16x8/8x16 + P_Skip +
     I16-in-P, 1 or 2 refs).
 
     With two_refs, refidx [N] in {0,1} is coded te() (spec 9.1.1,
     cMax=1: bit = !value) once per partition before the mvd pairs
     (cavlc.c:510 both-partition loop); both partitions of an MB share
-    one reference here.
+    one reference here. two_refs_live (traced bool scalar) gates the
+    ref_idx bits at runtime so the first-P-after-IDR (l0_active = 1)
+    shares the compiled program with steady-state 2-ref frames.
 
     skip [N] bool; mvd [N,2]; cbp_* [N]; luma_lv [N,16,4,4] (full 16-coeff
     inter blocks / pos0-zeroed intra AC blocks, raster); cdc_blk
@@ -586,12 +589,14 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
     if two_refs:
         # te() ref_idx (cMax=1): one inverted bit per partition, all
         # partitions' ref_idx precede the mvd pairs (spec 7.3.5.1)
+        live = (jnp.asarray(True) if two_refs_live is None
+                else two_refs_live)
         ref_bit = (1 - refidx).astype(jnp.uint32)
         h_codes = h_codes.at[:, 18].set(ref_bit)
         h_lens = h_lens.at[:, 18].set(
-            jnp.where(~is_intra, 1, 0))
+            jnp.where(~is_intra & live, 1, 0))
         h_codes = h_codes.at[:, 19].set(ref_bit)
-        h_lens = h_lens.at[:, 19].set(jnp.where(part2, 1, 0))
+        h_lens = h_lens.at[:, 19].set(jnp.where(part2 & live, 1, 0))
     c_cm, l_cm = ue_dev(chroma_mode)
     c, l = se_dev(mvd[:, 0])                    # noqa: E741
     h_codes = h_codes.at[:, 20].set(jnp.where(is_intra, c_cm, c))
