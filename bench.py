@@ -186,15 +186,20 @@ def worker(w, h):
 
     def encode_once(qp, timed):
         if timed:
-            # warmup in a THROWAWAY encoder instance, fully drained, so
-            # no warmup NALs can leak into the measured stream (r3
-            # verdict weak item 2); the measured encoder below reuses
-            # the in-process compiled programs
+            # warmup via Encoder.precompile(): the I and P device
+            # programs compile CONCURRENTLY in throwaway clones (XLA's
+            # compiler service overlaps them, so wall = max not sum);
+            # the measured encoder below reuses the in-process jit
+            # cache. No warmup NALs can leak into the measured stream
+            # (r3 verdict weak item 2).
             t0 = time.time()
             warm = Encoder(make_params(qp))
+            warm.precompile()
+            # mop up the small aux programs (lowres, hpel fill, weightp
+            # analysis) with two real frames — the big I/P programs are
+            # already cached so this is seconds, not minutes
             warm.encode(Picture(frames[0], pts=0))
             warm.encode(Picture(frames[1], pts=1))
-            warm.encode(Picture(frames[2], pts=2))
             while warm.delayed_frames():
                 warm.encode(None)
             compile_s[0] = round(time.time() - t0, 1)

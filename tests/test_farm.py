@@ -19,6 +19,8 @@ from x264_tpu.encoder.encoder import Encoder, Picture  # noqa: E402
 from x264_tpu.encoder.farm import FarmEncoder  # noqa: E402
 from x264_tpu.entropy.nal import annexb_bytes  # noqa: E402
 
+pytestmark = pytest.mark.slow    # heavy e2e lane (default gate excludes: -m 'not slow')
+
 TOOLS = os.path.join(os.path.dirname(__file__), "..", "tools")
 AVDEC = os.path.join(TOOLS, "avdec")
 

@@ -16,6 +16,9 @@ import refdec  # noqa: E402
 
 from x264_tpu import param_default_preset  # noqa: E402
 from x264_tpu.encoder.encoder import Encoder, Picture  # noqa: E402
+import pytest
+
+pytestmark = pytest.mark.slow    # heavy e2e lane (default gate excludes: -m 'not slow')
 
 AVDEC = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tools", "avdec")

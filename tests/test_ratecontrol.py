@@ -265,3 +265,37 @@ def test_vbv_lookahead_raises_qp_before_burst():
     q_calm = rc1.start(3)
     q_burst = rc2.start(3)
     assert q_burst > q_calm, (q_calm, q_burst)
+
+
+def test_vbv_walk_runs_on_product_encode():
+    """The VBV lookahead walk must execute on a real VBV encode — i.e.
+    set_lookahead_costs is called from the product path with the queued
+    window's planned costs, not only from tests (r4 verdict item 6;
+    reference vbv_lookahead slicetype.c:1225)."""
+    frames = _frames(12, 64, 48)
+    p = param_default_preset("medium")
+    p.width, p.height = 64, 48
+    p.cabac = False
+    p.bframe = 0
+    p.threads = 1
+    p.fps_num, p.fps_den = 25, 1
+    p.rc.rc_method = 2
+    p.rc.bitrate = 100
+    p.rc.vbv_max_bitrate = 100
+    p.rc.vbv_buffer_size = 60
+    enc = Encoder(p)
+    calls = []
+    orig = enc.rc.set_lookahead_costs
+
+    def spy(costs):
+        calls.append(list(costs))
+        return orig(costs)
+    enc.rc.set_lookahead_costs = spy
+    # VBV must also deepen the decision window toward rc.lookahead
+    assert enc._lookahead.depth >= min(max(p.rc.lookahead, 8), 40)
+    for i, f in enumerate(frames):
+        enc.encode(Picture(f, pts=i))
+    while enc.delayed_frames():
+        enc.encode(None)
+    assert calls, "set_lookahead_costs never called on a VBV encode"
+    assert any(len(c) > 0 and all(v > 0 for v in c) for c in calls)

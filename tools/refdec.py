@@ -902,10 +902,39 @@ class Decoder:
                                  qp, sps, pps)
                 mbidx += 1
                 continue
-            if mb_type > 2:
+            if mb_type > 4:
                 raise NotImplementedError(
                     f"P mb_type {mb_type} at {mbidx}")
-            if mb_type == 0:
+            if mb_type in (3, 4):
+                # P_8x8 (3) / P_8x8ref0 (4): sub_mb_pred (spec 7.3.5.2)
+                # reads all four sub_mb_type, then all ref_idx, then all
+                # mvd pairs; quadrant MVPs resolve sequentially so each
+                # later quadrant sees earlier quadrants' final MVs.
+                subs = [r.ue() for _ in range(4)]
+                if any(st != 0 for st in subs):
+                    raise NotImplementedError(
+                        f"sub_mb_type {subs} (only P_L0_8x8)")
+                if mb_type == 3:
+                    prefs = [read_te_ref() for _ in range(4)]
+                else:
+                    prefs = [0] * 4
+                mvds = [np.array([r.se(), r.se()], np.int64)
+                        for _ in range(4)]
+                for pi in range(4):
+                    mv = self._mvp_part(mv4, use4, filled4, mx, my,
+                                        3, pi,
+                                        ref4=ref4 if multi else None,
+                                        cur_ref=prefs[pi]) + mvds[pi]
+                    qx, qy = 2 * (pi % 2), 2 * (pi // 2)
+                    sl = np.s_[my * 4 + qy:my * 4 + qy + 2,
+                               mx * 4 + qx:mx * 4 + qx + 2]
+                    mv4[sl] = mv
+                    use4[sl] = True
+                    ref4[sl] = prefs[pi]
+                    filled4[sl] = True
+                    mc_into(mx, my, mv, 4 * qx, 4 * qy, 8, 8,
+                            ref=prefs[pi])
+            elif mb_type == 0:
                 ref = read_te_ref()
                 mvd = np.array([r.se(), r.se()], np.int64)
                 mv = self._mvp_part(mv4, use4, filled4, mx, my, 0, 0,
@@ -1470,11 +1499,16 @@ class Decoder:
                   ref4=None, cur_ref=0):
         """MVP for P partition part_idx of an MB: part_kind 0=16x16,
         1=16x8, 2=8x16 — with the 16x8/8x16 directional rules
-        (spec 8.4.1.3 items 2/3; reference mvpred.c:30)."""
+        (spec 8.4.1.3 items 2/3; reference mvpred.c:30) — or 3=P_8x8
+        (quadrant part_idx in z order, plain median at 8x8
+        granularity; earlier quadrants of the same MB are already in
+        mv4/filled4 when this is called)."""
         if part_kind == 0:
             px, py, pw = 0, 0, 4
         elif part_kind == 1:
             px, py, pw = 0, 2 * part_idx, 4
+        elif part_kind == 3:
+            px, py, pw = 2 * (part_idx % 2), 2 * (part_idx // 2), 2
         else:
             px, py, pw = 2 * part_idx, 0, 2
         gx, gy = mx * 4 + px, my * 4 + py

@@ -101,6 +101,8 @@ class FarmEncoder:
                 decimate=self.p.analyse.dct_decimate,
                 me_seeded=self.p.analyse.me_method <= 2,
                 partitions=bool(self.p.analyse.inter & ANALYSE_PSUB16x16),
+                p8x8=bool(self.p.analyse.inter & ANALYSE_PSUB16x16)
+                and not self.p.cabac,
                 i4=bool(self.p.analyse.intra & ANALYSE_I4x4),
                 wp_w=wp_w, wp_o=wp_o, **kw)
 

@@ -145,10 +145,14 @@ def motion_search(padded_ref, hpel, y_src, lam, me_range: int,
                 mvcost = jnp.broadcast_to(mvcost, (mbh, mbw))
                 cand = {"16x16": quad.sum(axis=(1, 3)) + mvcost}
                 if want_shapes:
-                    # halves carry their own mv bits each
+                    # halves/quadrants carry their own mv bits each
                     cand["16x8"] = (quad.sum(axis=3).transpose(0, 2, 1)
                                     + mvcost[..., None])
                     cand["8x16"] = quad.sum(axis=1) + mvcost[..., None]
+                    # P_8x8 quadrants in z order (TL,TR,BL,BR)
+                    cand["8x8"] = (quad.transpose(0, 2, 1, 3)
+                                   .reshape(mbh, mbw, 4)
+                                   + mvcost[..., None])
                 new = {}
                 for key, cost in cand.items():
                     bc, bm = best[key]
@@ -165,9 +169,10 @@ def motion_search(padded_ref, hpel, y_src, lam, me_range: int,
         init = {"16x16": (jnp.full((mbh, mbw), 1 << 30, jnp.int32),
                           jnp.zeros((mbh, mbw, 2), jnp.int32))}
         if want_shapes:
-            for key in ("16x8", "8x16"):
-                init[key] = (jnp.full((mbh, mbw, 2), 1 << 30, jnp.int32),
-                             jnp.zeros((mbh, mbw, 2, 2), jnp.int32))
+            for key, np_ in (("16x8", 2), ("8x16", 2), ("8x8", 4)):
+                init[key] = (jnp.full((mbh, mbw, np_), 1 << 30,
+                                      jnp.int32),
+                             jnp.zeros((mbh, mbw, np_, 2), jnp.int32))
         out, _ = jax.lax.scan(step, init, jnp.asarray(offsets))
         return out
 
@@ -180,7 +185,7 @@ def motion_search(padded_ref, hpel, y_src, lam, me_range: int,
     if not shapes:
         return best["16x16"][1]          # [mbh, mbw, 2] full-pel
     return {"16x16": best["16x16"][1], "16x8": best["16x8"][1],
-            "8x16": best["8x16"][1]}
+            "8x16": best["8x16"][1], "8x8": best["8x8"][1]}
 
 
 def motion_search_seeded(padded_ref, y_src, lam, me_range: int,
@@ -273,6 +278,8 @@ def motion_search_seeded(padded_ref, y_src, lam, me_range: int,
         if shapes:
             cand["16x8"] = quad.sum(axis=3) + mvcost[..., None]
             cand["8x16"] = quad.sum(axis=2) + mvcost[..., None]
+            cand["8x8"] = (quad.reshape(mbh, mbw, 4)
+                           + mvcost[..., None])
         new = {}
         for key, cost in cand.items():
             bc, bm = best[key]
@@ -289,14 +296,14 @@ def motion_search_seeded(padded_ref, y_src, lam, me_range: int,
     best = {"16x16": (jnp.full((mbh, mbw), 1 << 30, jnp.int32),
                       jnp.zeros((mbh, mbw, 2), jnp.int32))}
     if shapes:
-        for key in ("16x8", "8x16"):
-            best[key] = (jnp.full((mbh, mbw, 2), 1 << 30, jnp.int32),
-                         jnp.zeros((mbh, mbw, 2, 2), jnp.int32))
+        for key, np_ in (("16x8", 2), ("8x16", 2), ("8x8", 4)):
+            best[key] = (jnp.full((mbh, mbw, np_), 1 << 30, jnp.int32),
+                         jnp.zeros((mbh, mbw, np_, 2), jnp.int32))
     best, _ = jax.lax.scan(rstep, best, jnp.asarray(roffs))
     if not shapes:
         return best["16x16"][1]
     return {"16x16": best["16x16"][1], "16x8": best["16x8"][1],
-            "8x16": best["8x16"][1]}
+            "8x16": best["8x16"][1], "8x8": best["8x8"][1]}
 
 
 SUBPEL_MARG = 2      # window margin: covers qpel radius 3 interp taps
@@ -423,9 +430,9 @@ def subpel_refine_mc(hpel, y_src, mv_c, lam, me_range: int,
     return bq[0], bp[0], bc[0]
 
 
-# raster 4x4-block membership masks for the 5 refine lanes:
-# 16x16, 16x8-top, 16x8-bottom, 8x16-left, 8x16-right
-_PART_MASKS = np.zeros((5, 16), np.int32)
+# raster 4x4-block membership masks for the 9 refine lanes:
+# 16x16, 16x8-top, 16x8-bottom, 8x16-left, 8x16-right, 8x8 q0..q3
+_PART_MASKS = np.zeros((9, 16), np.int32)
 for _b in range(16):
     _by, _bx = _b // 4, _b % 4
     _PART_MASKS[0, _b] = 1
@@ -433,32 +440,43 @@ for _b in range(16):
     _PART_MASKS[2, _b] = 1 if _by >= 2 else 0
     _PART_MASKS[3, _b] = 1 if _bx < 2 else 0
     _PART_MASKS[4, _b] = 1 if _bx >= 2 else 0
+    _PART_MASKS[5, _b] = 1 if (_by < 2 and _bx < 2) else 0
+    _PART_MASKS[6, _b] = 1 if (_by < 2 and _bx >= 2) else 0
+    _PART_MASKS[7, _b] = 1 if (_by >= 2 and _bx < 2) else 0
+    _PART_MASKS[8, _b] = 1 if (_by >= 2 and _bx >= 2) else 0
 
 
 def subpel_refine_all(hpel, y_src, mvs, lam, me_range: int,
-                      radius: int = 3, mvp_q=None):
-    """Qpel refinement of the 16x16 winner AND the four 16x8/8x16 half
-    partitions in ONE scanned pass (5 lanes; reference per-partition
-    refine_subpel calls, me.c:865 / analyse.c:1255+).
+                      radius: int = 3, mvp_q=None, p8x8: bool = False):
+    """Qpel refinement of the 16x16 winner AND the 16x8/8x16 halves AND
+    (with p8x8) the four 8x8 quadrants in ONE scanned pass (5 or 9
+    lanes; reference per-partition refine_subpel calls, me.c:865 /
+    analyse.c:1255+ / mb_analyse_inter_p8x8 analyse.c:1453).
 
     mvs: dict from motion_search(shapes=True).
-    mvp_q [n,2]: qpel MVP estimate, shared by all five lanes.
+    mvp_q [n,2]: qpel MVP estimate, shared by all lanes.
     Returns (mvq16 [n,2], pred16 [n,16,16], cost16 [n],
-             q_parts [4,n,2], pred_parts (p_t,p_b,p_l,p_r), cost_parts
-             [4,n])."""
+             q_parts [4|8,n,2], pred_parts (p_t,p_b,p_l,p_r
+             [+ q0..q3 8x8 preds]), cost_parts [4|8,n])."""
     H, W = y_src.shape
     mbh, mbw = H // 16, W // 16
     n = mbh * mbw
     tiles = _mb_tiles(y_src, 16).reshape(n, 16, 16)
     lane_mvs = [mvs["16x16"], mvs["16x8"][:, :, 0], mvs["16x8"][:, :, 1],
                 mvs["8x16"][:, :, 0], mvs["8x16"][:, :, 1]]
+    if p8x8:
+        lane_mvs += [mvs["8x8"][:, :, q] for q in range(4)]
     win = jnp.stack([_subpel_windows(hpel, m, me_range) for m in lane_mvs])
     mv_fp = jnp.stack([m.reshape(n, 2) for m in lane_mvs])
+    L = len(lane_mvs)
     bq, bp, bc = _subpel_refine_scan(win, tiles, mv_fp, lam,
-                                     jnp.asarray(_PART_MASKS), radius,
+                                     jnp.asarray(_PART_MASKS[:L]), radius,
                                      mvp_q=mvp_q)
     pred_parts = (bp[1, :, 0:8, :], bp[2, :, 8:16, :],
                   bp[3, :, :, 0:8], bp[4, :, :, 8:16])
+    if p8x8:
+        pred_parts += (bp[5, :, 0:8, 0:8], bp[6, :, 0:8, 8:16],
+                       bp[7, :, 8:16, 0:8], bp[8, :, 8:16, 8:16])
     return bq[0], bp[0], bc[0], bq[1:], pred_parts, bc[1:]
 
 
@@ -601,7 +619,10 @@ def mv_predictors_part(mv4, inter4, part_mode, ref4=None, cur_ref=None):
     mv4 [mbh*4, mbw*4, 2] — final MVs replicated into each partition's
     4x4 blocks (valid because a partition's final MV is its search MV,
     independent of prediction). inter4 — inter mask, same grid.
-    part_mode [mbh, mbw]: 0=16x16, 1=16x8, 2=8x16.
+    part_mode [mbh, mbw]: 0=16x16, 1=16x8, 2=8x16, 3=8x8 (P_L0_8x8
+    quadrants in z order; within-MB neighbor cells read earlier
+    quadrants' final MVs from mv4, which is exact since every sub-MV
+    is fixed by ME before any MVD is formed).
     ref4 [mbh*4, mbw*4] int32 / cur_ref [mbh, mbw] int32 — multi-ref:
     per-4x4 neighbor refIdx and the MB's own refIdx (both partitions of
     an MB share one ref here). Inter neighbors always contribute their
@@ -609,7 +630,7 @@ def mv_predictors_part(mv4, inter4, part_mode, ref4=None, cur_ref=None):
     exactly-one-match and the 16x8/8x16 directional rules (8.4.1.3);
     the P-Skip neighbor test requires refIdxN == 0.
 
-    Returns (mvp [mbh,mbw,2,2] per partition, pskip [mbh,mbw,2])."""
+    Returns (mvp [mbh,mbw,4,2] per partition slot, pskip [mbh,mbw,2])."""
     H4, W4 = inter4.shape
     mbh, mbw = H4 // 4, W4 // 4
     mv_p = jnp.pad(mv4, ((1, 0), (1, 1), (0, 0)))
@@ -695,12 +716,27 @@ def mv_predictors_part(mv4, inter4, part_mode, ref4=None, cur_ref=None):
     r_med = median_mvp(A2, B2, C2)
     r_mvp = jnp.where(C2[3][..., None], C2[0], r_med)        # right: C
 
+    # --- 8x8 quadrants (plain median, no directional rules; neighbor
+    # cells of later quadrants are gated out by pick()'s decoded test
+    # and fall through sub_c to D) ---
+    q0_mvp = median_mvp(A0, B0, sub_c(pick(-1, 2), pick(-1, -1)))
+    q1_mvp = median_mvp(pick(0, 1), pick(-1, 2),
+                        sub_c(pick(-1, 4), pick(-1, 1)))
+    q2_mvp = median_mvp(pick(2, -1), pick(1, 0),
+                        sub_c(pick(1, 2), pick(1, -1)))
+    q3_mvp = median_mvp(pick(2, 1), pick(1, 2),
+                        sub_c(pick(1, 4), pick(1, 1)))
+
     pm = part_mode[..., None]
     mvp0 = jnp.where(pm == 0, mvp16,
-                     jnp.where(pm == 1, t_mvp, l_mvp))
+                     jnp.where(pm == 1, t_mvp,
+                               jnp.where(pm == 2, l_mvp, q0_mvp)))
     mvp1 = jnp.where(pm == 1, b_mvp,
-                     jnp.where(pm == 2, r_mvp, mvp16))
-    mvp = jnp.stack([mvp0, mvp1], axis=2)                    # [mbh,mbw,2,2]
+                     jnp.where(pm == 2, r_mvp,
+                               jnp.where(pm == 3, q1_mvp, mvp16)))
+    mvp2 = jnp.where(pm == 3, q2_mvp, mvp16)
+    mvp3 = jnp.where(pm == 3, q3_mvp, mvp16)
+    mvp = jnp.stack([mvp0, mvp1, mvp2, mvp3], axis=2)   # [mbh,mbw,4,2]
 
     # --- P-Skip (8.4.1.1): A/B are the MB's own left/top 4x4 blocks,
     # refIdx-0 semantics throughout ---
@@ -717,7 +753,7 @@ def mv_predictors_part(mv4, inter4, part_mode, ref4=None, cur_ref=None):
                                    "decimate", "entropy", "intra_in_p",
                                    "partitions", "pir", "me_seeded",
                                    "nr", "use_pallas", "i4", "trellis",
-                                   "two_refs"))
+                                   "two_refs", "p8x8"))
 def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
                          qp_mb, qpc_mb, slice_qp, lam,
                          pir_cap=None, pir_band=None,
@@ -730,7 +766,7 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
                          pir=False, me_seeded=False, nr=False,
                          nr_offset=None, use_pallas=False, i4=False,
                          wp_w=None, wp_o=None, trellis=False,
-                         trl_tabs=None, two_refs=False):
+                         trl_tabs=None, two_refs=False, p8x8=False):
     """Fused P-frame device pass: ME -> intra-vs-inter decision ->
     MVP/skip -> MC -> transform (+ mixed wavefront commit when any MB
     goes intra) -> entropy -> packed payload. Returns (words, total_bits,
@@ -791,42 +827,60 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
             return {"mvq": mvq, "pred_y": wp_apply(pred_y),
                     "cost": inter_cost,
                     "part_mode": jnp.zeros((n,), jnp.int32),
-                    "mv_p0": mvq, "mv_p1": mvq}
-        # --- 16x16 + P_16x8 / P_8x16 candidates (analyse.c:1255+): all
-        # five lanes refined in ONE scanned pass around their own
-        # full-pel winners ---
+                    "mv_parts": jnp.broadcast_to(mvq[:, None, :],
+                                                 (n, 4, 2))}
+        # --- 16x16 + P_16x8 / P_8x16 (+ P_8x8) candidates
+        # (analyse.c:1255+, mb_analyse_inter_p8x8 analyse.c:1453): all
+        # lanes refined in ONE scanned pass around their own full-pel
+        # winners ---
         (mvq, pred_y, inter_cost, q_parts, pred_parts,
          c_parts) = subpel_refine_all(r_hpel, y, mvs, lam, me_range,
-                                      mvp_q=mvp_q_est)
+                                      mvp_q=mvp_q_est, p8x8=p8x8)
         q_t, q_b, q_l, q_r = (q_parts[0], q_parts[1], q_parts[2],
                               q_parts[3])
-        p_t, p_b, p_l, p_r = pred_parts
+        p_t, p_b, p_l, p_r = pred_parts[:4]
         c_t, c_b, c_l, c_r = (c_parts[0], c_parts[1], c_parts[2],
                               c_parts[3])
-        # partition costs are the sum of the per-half ME costs (each
+        # partition costs are the sum of the per-part ME costs (each
         # already carrying lambda*mvbits), no mb-type bias in SATD mode
         # (analyse.c mb_analyse_inter_p16x8: i_cost16x8 = me[0]+me[1])
         cost_168 = c_t + c_b
         cost_816 = c_l + c_r
-        part_mode = jnp.argmin(
-            jnp.stack([inter_cost, cost_168, cost_816]), axis=0) \
-            .astype(jnp.int32)                                    # [n]
-        inter_cost = jnp.minimum(inter_cost,
-                                 jnp.minimum(cost_168, cost_816))
+        cands = [inter_cost, cost_168, cost_816]
+        if p8x8:
+            # P_8x8 additionally pays its header delta even at the SATD
+            # tier (mb_type ue(3)=5b + 4x sub_mb_type ue(0)=4b vs
+            # 16x16's ue(0)=1b): 4 MVD pairs alone make it win too
+            # often otherwise (analyse.c costs sub_mb_type per 8x8)
+            cost_8x8 = (c_parts[4] + c_parts[5] + c_parts[6]
+                        + c_parts[7] + lam * 8)
+            cands.append(cost_8x8)
+        allc = jnp.stack(cands)
+        part_mode = jnp.argmin(allc, axis=0).astype(jnp.int32)   # [n]
+        inter_cost = jnp.min(allc, axis=0)
         pm3 = part_mode[:, None, None]
-        pred_y = jnp.where(
-            pm3 == 0, pred_y,
-            jnp.where(pm3 == 1,
-                      jnp.concatenate([p_t, p_b], axis=1),
-                      jnp.concatenate([p_l, p_r], axis=2)))
-        # per-partition final qpel MVs [n, 2]
-        mv_p0 = jnp.where(pm3[:, :, 0] == 0, mvq,
-                          jnp.where(pm3[:, :, 0] == 1, q_t, q_l))
-        mv_p1 = jnp.where(pm3[:, :, 0] == 0, mvq,
-                          jnp.where(pm3[:, :, 0] == 1, q_b, q_r))
+        pred_tb = jnp.concatenate([p_t, p_b], axis=1)
+        pred_lr = jnp.concatenate([p_l, p_r], axis=2)
+        pred_y = jnp.where(pm3 == 0, pred_y,
+                           jnp.where(pm3 == 1, pred_tb, pred_lr))
+        # per-partition final qpel MVs [n, 4, 2] (parts in coding
+        # order; 16x8/8x16 use slots 0-1, 8x8 quadrants all four)
+        mv_parts = jnp.where(
+            pm3 == 0, mvq[:, None, :],
+            jnp.where(pm3 == 1, jnp.stack([q_t, q_b, q_t, q_b], axis=1),
+                      jnp.stack([q_l, q_r, q_l, q_r], axis=1)))
+        if p8x8:
+            q8 = jnp.stack([q_parts[4], q_parts[5], q_parts[6],
+                            q_parts[7]], axis=1)              # [n,4,2]
+            mv_parts = jnp.where(pm3 == 3, q8, mv_parts)
+            pred_88 = jnp.concatenate(
+                [jnp.concatenate([pred_parts[4], pred_parts[5]], axis=2),
+                 jnp.concatenate([pred_parts[6], pred_parts[7]],
+                                 axis=2)], axis=1)
+            pred_y = jnp.where(pm3 == 3, pred_88, pred_y)
         return {"mvq": mvq, "pred_y": wp_apply(pred_y),
                 "cost": inter_cost, "part_mode": part_mode,
-                "mv_p0": mv_p0, "mv_p1": mv_p1}
+                "mv_parts": mv_parts}
 
     # weighted prediction (x264 --weightp) applies to list0 ref 0 only;
     # ref 1 keeps implicit unity weights (coded luma_weight_l0_flag=0)
@@ -862,8 +916,7 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
         pred_y = pick_sel("pred_y")
         mvq = pick_sel("mvq")
         part_mode = jnp.where(sel1, r1["part_mode"], r0["part_mode"])
-        mv_p0 = pick_sel("mv_p0")
-        mv_p1 = pick_sel("mv_p1")
+        mv_parts = pick_sel("mv_parts")
         refidx = sel1.astype(jnp.int32)                         # [n]
     else:
         r0 = _me_one_ref(ref_y_pad, ref_hpel, weighted=wp_w is not None)
@@ -871,23 +924,25 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
         pred_y = r0["pred_y"]
         mvq = r0["mvq"]
         part_mode = r0["part_mode"]
-        mv_p0 = r0["mv_p0"]
-        mv_p1 = r0["mv_p1"]
+        mv_parts = r0["mv_parts"]
         refidx = jnp.zeros((n,), jnp.int32)
     mv_field = mvq.reshape(mbh, mbw, 2)
     if partitions:
         part_grid = part_mode.reshape(mbh, mbw)
         # 4x4-granular MV field (partitions are 8px-aligned): which
-        # 4x4 cells belong to partition 1
+        # partition slot each 4x4 cell belongs to, per mode
         r4 = jnp.arange(4)
-        use_p1 = jnp.where(
-            (part_grid == 1)[..., None, None], r4[None, None, :, None] >= 2,
-            jnp.where((part_grid == 2)[..., None, None],
-                      r4[None, None, None, :] >= 2, False))  # [mbh,mbw,4,4]
-        mv4 = jnp.where(
-            use_p1[..., None],
-            mv_p1.reshape(mbh, mbw, 1, 1, 2),
-            mv_p0.reshape(mbh, mbw, 1, 1, 2))       # [mbh,mbw,4,4,2]
+        pm4 = part_grid[..., None, None]
+        row_hi = (r4[None, None, :, None] >= 2).astype(jnp.int32)
+        col_hi = (r4[None, None, None, :] >= 2).astype(jnp.int32)
+        pid4 = jnp.where(pm4 == 1, row_hi,
+                         jnp.where(pm4 == 2, col_hi,
+                                   jnp.where(pm4 == 3,
+                                             2 * row_hi + col_hi, 0)))
+        mvp5 = mv_parts.reshape(mbh, mbw, 4, 2)
+        mv4 = sum((pid4 == k)[..., None]
+                  * mvp5[:, :, k][:, :, None, None, :]
+                  for k in range(4))                 # [mbh,mbw,4,4,2]
         mv4_grid = mv4.transpose(0, 2, 1, 3, 4).reshape(mbh * 4,
                                                         mbw * 4, 2)
     satd_cost = jnp.sum(inter_cost)
@@ -937,10 +992,12 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
         mvp_pp, pskip = mv_predictors_part(
             mv4_grid, inter4, part_grid, ref4=ref4,
             cur_ref=ref_grid if two_refs else None)
-        mvd = (mv_p0.reshape(mbh, mbw, 2) - mvp_pp[:, :, 0]).reshape(n, 2)
-        mvd2 = (mv_p1.reshape(mbh, mbw, 2)
-                - mvp_pp[:, :, 1]).reshape(n, 2)
-        mv_field = mv_p0.reshape(mbh, mbw, 2)   # part0 == MB MV for 16x16
+        mvd_parts = (mv_parts.reshape(mbh, mbw, 4, 2)
+                     - mvp_pp).reshape(n, 4, 2)
+        mvd = mvd_parts[:, 0]
+        mvd2 = mvd_parts[:, 1]
+        mvd23 = mvd_parts[:, 2:4]
+        mv_field = mv_parts[:, 0].reshape(mbh, mbw, 2)   # part0 MV
     else:
         mvp, pskip = mv_predictors(
             mv_field, ~is_intra,
@@ -948,6 +1005,7 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
             cur_ref=ref_grid if two_refs else None)
         mvd = (mv_field - mvp).reshape(n, 2)
         mvd2 = jnp.zeros((n, 2), jnp.int32)
+        mvd23 = jnp.zeros((n, 2, 2), jnp.int32)
         part_mode = jnp.zeros((n,), jnp.int32)
         mv4_grid = None
 
@@ -981,18 +1039,23 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
 
     def chroma_pred(cuv_pad):
         if partitions:
-            # two window extractions (one per partition MV); the
-            # partition's sub-rectangle is a per-pixel select since
-            # chroma interpolation is pointwise within each warped
-            # window (spec 8.4.2.2.2)
-            pc0 = chroma_mc_warp(cuv_pad, mv_p0, mbh, mbw, me_range)
-            pc1 = chroma_mc_warp(cuv_pad, mv_p1, mbh, mbw, me_range)
+            # one window extraction per partition slot; the partition's
+            # sub-rectangle is a per-pixel select since chroma
+            # interpolation is pointwise within each warped window
+            # (spec 8.4.2.2.2). Without p8x8 slots 2/3 duplicate 0/1.
+            nparts = 4 if p8x8 else 2
+            pcs = [chroma_mc_warp(cuv_pad, mv_parts[:, k], mbh, mbw,
+                                  me_range) for k in range(nparts)]
             r8 = jnp.arange(8)
             pmf = part_mode[:, None, None]
-            use1c = jnp.where(pmf == 1, r8[None, :, None] >= 4,
-                              jnp.where(pmf == 2, r8[None, None, :] >= 4,
-                                        False))              # [n,8,8]
-            return jnp.where(use1c[:, None], pc1, pc0)
+            rhi = (r8[None, :, None] >= 4).astype(jnp.int32)
+            chi = (r8[None, None, :] >= 4).astype(jnp.int32)
+            pidc = jnp.where(pmf == 1, rhi,
+                             jnp.where(pmf == 2, chi,
+                                       jnp.where(pmf == 3,
+                                                 2 * rhi + chi, 0)))
+            return sum((pidc == k)[:, None] * pcs[k]
+                       for k in range(nparts))
         return chroma_mc_warp(cuv_pad, mvq, mbh, mbw, me_range)
 
     pred_c_all = chroma_pred(ref_cuv_pad)
@@ -1129,7 +1192,7 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
             mbw=mbw, mbh=mbh, cap_words=cap_words,
             is_intra=is_intra_f, i16_mode=i16_mode.reshape(-1),
             chroma_mode=chroma_mode.reshape(-1), luma_dc=dc_blk,
-            part_mode=part_mode, mvd2=mvd2,
+            part_mode=part_mode, mvd2=mvd2, mvd23=mvd23,
             is_i4=is_i4_f if i4 else None,
             i4_modes=(i4_modes.reshape(-1, 16) if i4 else None),
             refidx=refidx, two_refs=two_refs,
@@ -1158,7 +1221,7 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
             "i16_mode": i16_mode.reshape(-1),
             "chroma_mode": chroma_mode.reshape(-1),
             "luma_dc_z": dc_blk.reshape(n, 16)[:, zig],
-            "part_mode": part_mode, "mvd2": mvd2,
+            "part_mode": part_mode, "mvd2": mvd2, "mvd23": mvd23,
             "is_i4": is_i4_f,
             "i4_modes": (i4_modes.reshape(-1, 16) if i4 else
                          jnp.zeros((n, 16), jnp.int32)),
@@ -1186,6 +1249,7 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
              "i4": jnp.sum(is_i4_f),
              "p16x8": jnp.sum((part_mode == 1) & ~is_intra_f),
              "p8x16": jnp.sum((part_mode == 2) & ~is_intra_f),
+             "p8x8": jnp.sum((part_mode == 3) & ~is_intra_f),
              # colocated fields for B spatial direct (mvpred.c:290):
              # per-MB MV (part 0), the 4x4-granular field (partitioned
              # colocated MBs drive per-quadrant colZero), inter(ref0)
@@ -1364,6 +1428,11 @@ def dispatch_pframe(enc, planes, ftype, qp, ref_tag=None, tree_off=None,
             cqpo=enc.p.analyse.chroma_qp_offset,
             entropy=not enc.p.cabac,
             partitions=bool(enc.p.analyse.inter & ANALYSE_PSUB16x16),
+            # P_8x8 rides the same flag (x264's PSUB16x16 covers p8x8);
+            # CABAC sub_mb_type writing is still pending, so it is
+            # CAVLC-only for now
+            p8x8=bool(enc.p.analyse.inter & ANALYSE_PSUB16x16)
+            and not enc.p.cabac,
             use_pallas=enc.use_pallas,
             i4=bool(enc.p.analyse.intra & ANALYSE_I4x4),
             wp_w=jnp.asarray(wp[0] if wp else 128, jnp.int32),
@@ -1396,12 +1465,13 @@ def dispatch_pframe(enc, planes, ftype, qp, ref_tag=None, tree_off=None,
             # encoder.c:4247: mb I/P type percentages)
             mbs = enc.stats.setdefault("mb", {}).setdefault(
                 "P", {"total": 0, "skip": 0, "intra": 0, "16x8": 0,
-                      "8x16": 0})
+                      "8x16": 0, "8x8": 0})
             mbs["total"] += mbw * mbh
             mbs["skip"] += int(stats["skip"])
             mbs["intra"] += int(stats["intra"])
             mbs["16x8"] += int(stats["p16x8"])
             mbs["8x16"] += int(stats["p8x16"])
+            mbs["8x8"] = mbs.get("8x8", 0) + int(stats["p8x8"])
             return nals, rec
 
         return finalize, list(recon)

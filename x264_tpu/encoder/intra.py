@@ -507,13 +507,15 @@ def commit_dispatch(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
     """Backend switch for the wavefront commit: the XLA lax.scan twin or
     the fused Pallas kernel (ops/pallas/commit.py, bit-exact, ~1.5x
     faster on v5e). `use_pallas` is static (params.tpu_backend). The
-    Pallas kernel covers I16-only frames; I4x4 falls back to the scan."""
-    if use_pallas and i4_mask is None:
+    kernel covers I16, mixed intra-in-P, and the I_4x4 z-scan path — so
+    it runs on every default (medium) encode (r4 verdict item 3)."""
+    if use_pallas:
         from ..ops.pallas.commit import commit_i16_pallas
         return commit_i16_pallas(y, u, v, i16_mode, chroma_mode, qp_mb,
                                  qpc_mb, mbw=mbw, mbh=mbh,
                                  is_intra=is_intra,
-                                 inter_planes=inter_planes)
+                                 inter_planes=inter_planes,
+                                 i4_mask=i4_mask, i4_modes=i4_modes)
     return _commit_scan(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
                         mbw, mbh, is_intra=is_intra,
                         inter_planes=inter_planes,

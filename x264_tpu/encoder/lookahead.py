@@ -136,6 +136,12 @@ class Lookahead:
             self.depth = max(self.depth,
                              min(max(p.rc.lookahead, 8), 24))
             self.tree_strength = 5.0 * (1.0 - p.rc.qcompress)
+        # VBV planning needs real window depth: honor rc.lookahead (40
+        # at medium; LOOKAHEAD axis SURVEY §5.7, base.h:140) whenever a
+        # rate budget exists — CQP without mbtree keeps the short
+        # window since nothing downstream reads the extra frames
+        if p.rc.vbv_buffer_size and p.rc.vbv_max_bitrate:
+            self.depth = max(self.depth, min(max(p.rc.lookahead, 8), 40))
 
     # ------------------------------------------------------------- intake
     def push(self, planes, pic, idx) -> None:
@@ -193,6 +199,24 @@ class Lookahead:
 
     def frame_cost(self, p0, p1, b) -> int:
         return self._fields(p0, p1, b)["cost"]
+
+    def planned_costs(self) -> list:
+        """Planned lowres cost of every queued frame, display order —
+        feeds rc.set_lookahead_costs so the VBV lookahead walk
+        (reference vbv_lookahead slicetype.c:1225 + clip_qscale's
+        planned loop ratecontrol.c:2279) simulates real upcoming
+        complexity. Consecutive-pair P estimates (memoized; B frames'
+        final anchors may differ but the magnitude is what VBV needs)."""
+        out = []
+        prev_idx = self.prev["idx"] if self.prev is not None else None
+        for e in self.window:
+            if prev_idx is None:
+                out.append(float(jnp.sum(e["icost_blk"])))
+            else:
+                out.append(float(self.frame_cost(prev_idx, e["idx"],
+                                                 e["idx"])))
+            prev_idx = e["idx"]
+        return out
 
     def _path_cost(self, start_idx, path: str) -> int:
         """Cost of a typed path (slicetype_path_cost, slicetype.c:1288):
@@ -254,7 +278,21 @@ class Lookahead:
         return True
 
     # ------------------------------------------------------------- decide
-    def _consume(self, count, new_prev):
+    def _consume(self, count, new_prev, idr_idx=None):
+        # stamp each consumed frame's planned cost (for the VBV walk —
+        # these frames sit in the encoder's ready queue after leaving
+        # the window) from the memoized consecutive-pair estimate;
+        # idr_idx frames plan at intra cost
+        prev_idx = self.prev["idx"] if self.prev is not None else None
+        for e in self.window[:count]:
+            key = (prev_idx, e["idx"], e["idx"])
+            if prev_idx is None or e["idx"] == idr_idx:
+                e["plan_cost"] = float(jnp.sum(e["icost_blk"]))
+            elif key in self._costs:
+                e["plan_cost"] = float(self._costs[key]["cost"])
+            else:
+                e["plan_cost"] = float(self.frame_cost(*key))
+            prev_idx = e["idx"]
         # keep the new anchor's analysis fields but release its pixels
         keep = {k: new_prev[k] for k in ("idx", "lowres", "icost_blk")}
         keep["pic"] = None
@@ -303,7 +341,7 @@ class Lookahead:
                                        last_keyframe))):
             if self.mbtree:
                 first["tree_off"] = self._mbtree_offsets(0)
-            self._consume(1, first)
+            self._consume(1, first, idr_idx=first["idx"])
             return [(first, TYPE_IDR, None, None)]
 
         # ---- B-run length ----
@@ -357,7 +395,7 @@ class Lookahead:
             # IDR -> code them as P in display order, then the IDR
             out = [(w[j], TYPE_P, None, None) for j in range(nb)]
             out.append((anchor, TYPE_IDR, None, None))
-            self._consume(nb + 1, anchor)
+            self._consume(nb + 1, anchor, idr_idx=anchor["idx"])
             return out
         if self.mbtree:
             anchor["tree_off"] = self._mbtree_offsets(nb)

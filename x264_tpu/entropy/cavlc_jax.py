@@ -467,11 +467,11 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
                               *, mbw: int, mbh: int, cap_words: int,
                               is_intra=None, i16_mode=None,
                               chroma_mode=None, luma_dc=None,
-                              part_mode=None, mvd2=None,
+                              part_mode=None, mvd2=None, mvd23=None,
                               is_i4=None, i4_modes=None,
                               refidx=None, two_refs: bool = False,
                               two_refs_live=None):
-    """P-slice MB layer on device (P_L0_16x16/16x8/8x16 + P_Skip +
+    """P-slice MB layer on device (P_L0_16x16/16x8/8x16/P_8x8 + P_Skip +
     I16-in-P, 1 or 2 refs).
 
     With two_refs, refidx [N] in {0,1} is coded te() (spec 9.1.1,
@@ -487,13 +487,18 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
     analyse.c:2939): is_intra [N] bool + i16_mode/chroma_mode [N] +
     luma_dc [N,4,4] hadamard-domain DC levels. Partitions (spec table
     7-13, cavlc.c:487 P branches): part_mode [N] 0=16x16 1=16x8 2=8x16
-    (= the mb_type ue code) with mvd2 [N,2] the second partition's mvd.
+    3=P_8x8 (= the mb_type ue code) with mvd2 [N,2] the second
+    partition's mvd and mvd23 [N,2,2] quadrants 2-3 (P_8x8 only; its
+    sub_mb_pred codes four sub_mb_type ue(0)=P_L0_8x8 bits, then all
+    ref_idx, then the four mvd pairs — spec 7.3.5.2).
     Returns (words, total_bits, eff_qp) — eff_qp is the decoder-carried
     per-MB QP (uncoded MBs inherit), needed by the deblock strength qp."""
     n = mbw * mbh
     if part_mode is None:
         part_mode = jnp.zeros((n,), jnp.int32)
         mvd2 = jnp.zeros((n, 2), jnp.int32)
+    if mvd23 is None:
+        mvd23 = jnp.zeros((n, 2, 2), jnp.int32)
     if is_i4 is None:
         is_i4 = jnp.zeros((n,), bool)
         i4_modes = jnp.zeros((n, 16), jnp.int32)
@@ -553,11 +558,12 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
     cac_lens = cac_lens.reshape(n, 8, BLOCK_SLOTS)
 
     # ---- header elements: run, mb_type, m0..m15 (I4 mode elements,
-    # z-scan), ref_p0, ref_p1 (te ref_idx, 2-ref inter only),
-    # mvd_x|chroma_mode, mvd_y|dqp(I16), mvd2_x, mvd2_y
-    # (partitioned inter only), cbp(inter/I4), qp_delta(inter/I4) ----
-    h_codes = jnp.zeros((n, 26), jnp.uint32)
-    h_lens = jnp.zeros((n, 26), jnp.int32)
+    # z-scan), sub_mb_types (P_8x8: 4x ue(0) = '1111'), ref_p0..ref_p3
+    # (te ref_idx, 2-ref inter only), mvd0_x|chroma_mode,
+    # mvd0_y|dqp(I16), mvd1_x, mvd1_y (partitioned inter only),
+    # mvd2/mvd3 pairs (P_8x8 only), cbp(inter/I4), qp_delta(inter/I4) --
+    h_codes = jnp.zeros((n, 33), jnp.uint32)
+    h_lens = jnp.zeros((n, 33), jnp.int32)
     c, l = ue_dev(run)                          # noqa: E741
     h_codes = h_codes.at[:, 0].set(c)
     h_lens = h_lens.at[:, 0].set(l)
@@ -586,41 +592,50 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
     h_lens = h_lens.at[:, 2:18].set(
         jnp.where(coded[:, None], m_lens, 0))
     part2 = (part_mode > 0) & ~is_intra
+    p88 = (part_mode == 3) & ~is_intra
+    # sub_mb_type: P_8x8 codes four ue(0)='1' bits (all P_L0_8x8)
+    h_codes = h_codes.at[:, 18].set(0b1111)
+    h_lens = h_lens.at[:, 18].set(jnp.where(p88, 4, 0))
     if two_refs:
         # te() ref_idx (cMax=1): one inverted bit per partition, all
-        # partitions' ref_idx precede the mvd pairs (spec 7.3.5.1)
+        # partitions' ref_idx precede the mvd pairs (spec 7.3.5.1/.2)
         live = (jnp.asarray(True) if two_refs_live is None
                 else two_refs_live)
         ref_bit = (1 - refidx).astype(jnp.uint32)
-        h_codes = h_codes.at[:, 18].set(ref_bit)
-        h_lens = h_lens.at[:, 18].set(
-            jnp.where(~is_intra & live, 1, 0))
-        h_codes = h_codes.at[:, 19].set(ref_bit)
-        h_lens = h_lens.at[:, 19].set(jnp.where(part2 & live, 1, 0))
+        gates = (~is_intra & live, part2 & live, p88 & live, p88 & live)
+        for pi, gate in enumerate(gates):
+            h_codes = h_codes.at[:, 19 + pi].set(ref_bit)
+            h_lens = h_lens.at[:, 19 + pi].set(jnp.where(gate, 1, 0))
     c_cm, l_cm = ue_dev(chroma_mode)
     c, l = se_dev(mvd[:, 0])                    # noqa: E741
-    h_codes = h_codes.at[:, 20].set(jnp.where(is_intra, c_cm, c))
-    h_lens = h_lens.at[:, 20].set(jnp.where(is_intra, l_cm, l))
+    h_codes = h_codes.at[:, 23].set(jnp.where(is_intra, c_cm, c))
+    h_lens = h_lens.at[:, 23].set(jnp.where(is_intra, l_cm, l))
     c_dq, l_dq = se_dev(jnp.where(has_resid, dqp, 0))
     c, l = se_dev(mvd[:, 1])                    # noqa: E741
-    h_codes = h_codes.at[:, 21].set(jnp.where(is_intra, c_dq, c))
-    h_lens = h_lens.at[:, 21].set(
+    h_codes = h_codes.at[:, 24].set(jnp.where(is_intra, c_dq, c))
+    h_lens = h_lens.at[:, 24].set(
         jnp.where(is_i4, 0, jnp.where(is_intra, l_dq, l)))
-    # second-partition mvd (16x8/8x16 only)
-    for comp, slot in ((0, 22), (1, 23)):
+    # second-partition mvd (16x8/8x16/P_8x8)
+    for comp, slot in ((0, 25), (1, 26)):
         c, l = se_dev(mvd2[:, comp])            # noqa: E741
         h_codes = h_codes.at[:, slot].set(c)
         h_lens = h_lens.at[:, slot].set(jnp.where(part2, l, 0))
+    # quadrant 2/3 mvds (P_8x8 only)
+    for pi, base in ((0, 27), (1, 29)):
+        for comp in range(2):
+            c, l = se_dev(mvd23[:, pi, comp])   # noqa: E741
+            h_codes = h_codes.at[:, base + comp].set(c)
+            h_lens = h_lens.at[:, base + comp].set(jnp.where(p88, l, 0))
     # cbp: inter golomb map for inter MBs, intra map for I4, none for I16
     c, l = ue_dev(lut(V.CBP_TO_GOLOMB_INTER,              # noqa: E741
                       cbp_chroma * 16 + cbp_luma))
     c4, l4 = ue_dev(lut(V.CBP_TO_GOLOMB_INTRA,
                         cbp_chroma * 16 + cbp_luma))
-    h_codes = h_codes.at[:, 24].set(jnp.where(is_i4, c4, c))
-    h_lens = h_lens.at[:, 24].set(
+    h_codes = h_codes.at[:, 31].set(jnp.where(is_i4, c4, c))
+    h_lens = h_lens.at[:, 31].set(
         jnp.where(is_i4, l4, jnp.where(is_intra, 0, l)))
-    h_codes = h_codes.at[:, 25].set(c_dq)
-    h_lens = h_lens.at[:, 25].set(
+    h_codes = h_codes.at[:, 32].set(c_dq)
+    h_lens = h_lens.at[:, 32].set(
         jnp.where(is_i16, 0, jnp.where(has_resid, l_dq, 0)))
 
     # ---- gating ----

@@ -299,17 +299,263 @@ _CONSTS = {"cf16": _CF16, "ia16": _IA16, "ib16": _IB16, "s4": _S4,
            "ib8": _IB8, "s2": _S2, "h2": _H2, "dcmask8": _DCMASK8}
 
 
-def _make_kernel(mbw: int, mbh: int, mixed: bool):
+# ======================================================== I_4x4 z-scan path
+#
+# The 16-step z-scan inner reconstruction (intra._i4_commit_mb) re-expressed
+# for Mosaic: every 4x4 block lives as a FLAT [mbh, 16] lane vector, every
+# neighbor read / write / transform is a constant-matrix product, so no
+# sublane gathers, reshapes or dynamic slices appear in the kernel. The
+# 17x21 per-MB extension buffer is a flat [mbh, 357] vector; 2D DCT/IDCT
+# act on flat vectors through Kronecker-product matrices
+# (vec(C X C^T) = (C (x) C) vec(X), row-major vec).
+
+_EXT_H, _EXT_W = 17, 21
+_NEXT = _EXT_H * _EXT_W                     # 357
+
+
+def _eidx(r, c):
+    return r * _EXT_W + c
+
+
+def _kron(a, b):
+    return np.kron(a, b).astype(np.int32)
+
+
+_I4_KCF = _kron(_CF, _CF)                   # forward 4x4 DCT on flat blocks
+_I4 = np.eye(4, dtype=np.int32)
+_I4_KIA_L = _kron(_IA, _I4)
+_I4_KIB_L = _kron(_IB, _I4)
+_I4_KIA_R = _kron(_I4, _IA)
+_I4_KIB_R = _kron(_I4, _IB)
+
+# z-scan coding order of the 16 luma 4x4 blocks (spec figure 6-10)
+_I4_ZX = (0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
+_I4_ZY = (0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3)
+# above-right availability kind (intra._i4_block_avail): 0 none (always
+# substitute t[3]), 1 lane (depends on the MB's `at`), 2 real
+_I4_TR_UNAVAIL = {(1, 1), (3, 1), (3, 2), (1, 3), (3, 3)}
+
+
+def _i4_kind(bx, by):
+    if by == 0:
+        return 0 if bx == 3 else 1
+    return 0 if (bx, by) in _I4_TR_UNAVAIL else 2
+
+
+def _i4_mode_plan(m, x, y):
+    """(source, index) of 4x4 mode m at position (y, x), mirroring
+    ops/predict.predict_4x4_all. source in {'e','f','h',None};
+    m == 8 positions zhu >= 5 return (None, special) handled by masks."""
+    if m == 0:
+        return "e", 5 + x
+    if m == 1:
+        return "e", 3 - y
+    if m == 3:
+        return "f", 6 + x + y
+    if m == 4:
+        return "f", 4 + x - y
+    if m == 5:
+        zvr = 2 * x - y
+        idx = 4 + x - (y >> 1)
+        if zvr == -3:
+            return "f", 2
+        if zvr >= 0 and zvr % 2 == 0:
+            return "h", idx
+        return "f", idx
+    if m == 6:
+        zhd = 2 * y - x
+        if zhd < -1:
+            return "f", 3 + x
+        if zhd % 2 == 0:
+            return "h", max(3 - (y - (x >> 1)), 0)
+        return "f", max(4 - y + (x >> 1), 1)
+    if m == 7:
+        if y % 2 == 0:
+            return "h", 5 + x + (y >> 1)
+        return "f", 6 + x + (y >> 1)
+    if m == 8:
+        zhu = x + 2 * y
+        if zhu > 5:
+            return None, "l3"
+        if zhu == 5:
+            return None, "hu55"
+        ilow = 2 - y - (x >> 1)
+        if zhu % 2 == 0:
+            return "h", max(ilow, 0)
+        return "f", max(ilow, 1)
+    raise AssertionError(m)
+
+
+def _build_i4_consts():
+    """All static matrices of the in-kernel I4 path (built once)."""
+    # mode prediction: pred_all[mbh, 144] = e@ME^T + f3@MF^T + h2@MH^T
+    # (mode 2 = DC and the HU specials stay zero; masks fill them in)
+    ME = np.zeros((144, 14), np.int32)
+    MF = np.zeros((144, 14), np.int32)
+    MH = np.zeros((144, 14), np.int32)
+    HU = np.zeros((2, 16), np.int32)        # row 0: zhu==5, row 1: zhu>5
+    for m in range(9):
+        if m == 2:
+            continue
+        for y in range(4):
+            for x in range(4):
+                row = m * 16 + 4 * y + x
+                src, idx = _i4_mode_plan(m, x, y)
+                if src == "e":
+                    ME[row, idx] = 1
+                elif src == "f":
+                    MF[row, idx] = 1
+                elif src == "h":
+                    MH[row, idx] = 1
+                elif idx == "hu55":
+                    HU[0, 4 * y + x] = 1
+                else:                        # l3
+                    HU[1, 4 * y + x] = 1
+    # edge placement: ext0[mbh,357] = cat(top16, left16, tl)[mbh,33] @ PL^T
+    PL = np.zeros((_NEXT, 33), np.int32)
+    for k in range(16):
+        PL[_eidx(0, 1 + k), k] = 1           # top row
+        PL[_eidx(1 + k, 0), 16 + k] = 1      # left col
+    PL[_eidx(0, 0), 32] = 1                  # top-left corner
+    # per-z: e-vector selection (real + 'none'-substituted variants),
+    # source block selection, recon scatter back into ext
+    SEL_E = np.zeros((16 * 14, _NEXT), np.int32)
+    SEL_EN = np.zeros((16 * 14, _NEXT), np.int32)
+    SEL_SRC = np.zeros((16 * 16, 256), np.int32)
+    SCAT = np.zeros((16 * _NEXT, 16), np.int32)
+    for z in range(16):
+        bx, by = _I4_ZX[z], _I4_ZY[z]
+        r4, c4 = 4 * by, 4 * bx
+        base = z * 14
+        # e = [l3,l2,l1,l0, Z, t0..t7, t7dup]
+        for i in range(4):                   # lrev
+            SEL_E[base + i, _eidx(r4 + 1 + (3 - i), c4)] = 1
+        SEL_E[base + 4, _eidx(r4, c4)] = 1
+        kind = _i4_kind(bx, by)
+        for k in range(8):
+            kk = k if (k < 4 or kind == 2) else (k if kind == 1 else 3)
+            SEL_E[base + 5 + k, _eidx(r4, c4 + 1 + kk)] = 1
+        SEL_E[base + 13, :] = SEL_E[base + 12, :]
+        if kind == 1:                        # substituted alternative
+            SEL_EN[base:base + 14] = SEL_E[base:base + 14]
+            for k in range(4, 8):
+                SEL_EN[base + 5 + k] = 0
+                SEL_EN[base + 5 + k, _eidx(r4, c4 + 1 + 3)] = 1
+            SEL_EN[base + 13, :] = SEL_EN[base + 12, :]
+        for i in range(4):
+            for j in range(4):
+                SEL_SRC[z * 16 + 4 * i + j, (r4 + i) * 16 + (c4 + j)] = 1
+                SCAT[z * _NEXT + _eidx(r4 + 1 + i, c4 + 1 + j),
+                     4 * i + j] = 1
+    EYE16 = np.eye(16, dtype=np.int32)
+    return {"i4_me": ME, "i4_mf": MF, "i4_mh": MH, "i4_hu": HU,
+            "i4_pl": PL, "i4_sel_e": SEL_E, "i4_sel_en": SEL_EN,
+            "i4_sel_src": SEL_SRC, "i4_scat": SCAT, "i4_eye": EYE16,
+            "i4_kcf": _I4_KCF, "i4_kia_l": _I4_KIA_L, "i4_kib_l": _I4_KIB_L,
+            "i4_kia_r": _I4_KIA_R, "i4_kib_r": _I4_KIB_R}
+
+
+_I4_CONST_NAMES = ("i4_me", "i4_mf", "i4_mh", "i4_hu", "i4_pl", "i4_sel_e",
+                   "i4_sel_en", "i4_sel_src", "i4_scat", "i4_eye",
+                   "i4_kcf", "i4_kia_l", "i4_kib_l", "i4_kia_r", "i4_kib_r")
+_I4_CONSTS = _build_i4_consts()
+
+
+def _i4_lanes(mbh, C4, srcf, m16, lqf, ldf, lsc_s, top, left, tl, al, at):
+    """Z-scan I4 reconstruction of one wavefront strip, flat-lane form.
+
+    srcf [mbh,256] flat luma tile; m16 [mbh,16] raster-block spec modes;
+    lqf/ldf [mbh,16] flat quant/dequant matrices; lsc_s [mbh,8] scalar
+    quant params (cols 0 qbits, 1 f_intra, 2 dshift); top/left [mbh,16],
+    tl [mbh,1] true decoded MB edges; al/at [mbh,1] availability.
+    Returns (ac_i4 [mbh,16,16] packed-tile levels, rec4 [mbh,16,16])."""
+    qbits = lsc_s[:, 0][:, None]
+    fq = lsc_s[:, 1][:, None]
+    dsh = lsc_s[:, 2][:, None]
+    edges = jnp.concatenate([top, left, tl], axis=-1)          # [mbh,33]
+    ext = _mm(edges, C4["i4_pl"])                              # [mbh,357]
+    ac_i4 = jnp.zeros((mbh, 16, 16), jnp.int32)
+    rec4 = jnp.zeros((mbh, 16, 16), jnp.int32)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (mbh, 4, 4), 1)
+    ones_b = jnp.ones_like(al)
+
+    def to4x4(flat):
+        out = jnp.zeros((mbh, 4, 4), jnp.int32)
+        for i in range(4):
+            out = jnp.where(sub_iota == i, flat[:, 4 * i:4 * i + 4][:, None],
+                            out)
+        return out
+
+    for z in range(16):
+        bx, by = _I4_ZX[z], _I4_ZY[z]
+        r = 4 * by + bx
+        r4, c4 = 4 * by, 4 * bx
+        e = _mm(ext, C4["i4_sel_e"][z * 14:(z + 1) * 14])      # [mbh,14]
+        if _i4_kind(bx, by) == 1:
+            en = _mm(ext, C4["i4_sel_en"][z * 14:(z + 1) * 14])
+            e = jnp.where(at, e, en)
+        zc = jnp.zeros((mbh, 1), jnp.int32)
+        f3 = jnp.concatenate(
+            [zc, (e[:, :-2] + 2 * e[:, 1:-1] + e[:, 2:] + 2) >> 2, zc],
+            axis=-1)
+        h2 = jnp.concatenate([(e[:, :-1] + e[:, 1:] + 1) >> 1, zc], axis=-1)
+        pall = (_mm(e, C4["i4_me"]) + _mm(f3, C4["i4_mf"])
+                + _mm(h2, C4["i4_mh"]))                        # [mbh,144]
+        hu55 = (e[:, 1:2] + 3 * e[:, 0:1] + 2) >> 2
+        hu = (pall[:, 128:144] + C4["i4_hu"][0][None] * hu55
+              + C4["i4_hu"][1][None] * e[:, 0:1])
+        al_b = al if bx == 0 else ones_b
+        at_b = at if by == 0 else ones_b
+        sum_t = jnp.sum(e[:, 5:9], axis=-1, keepdims=True)
+        sum_l = jnp.sum(e[:, 0:4], axis=-1, keepdims=True)
+        dcv = jnp.where(at_b & al_b, (sum_t + sum_l + 4) >> 3,
+                        jnp.where(at_b, (sum_t + 2) >> 2,
+                                  jnp.where(al_b, (sum_l + 2) >> 2, 128)))
+        mode = m16[:, r:r + 1]                                 # [mbh,1]
+        pred = jnp.broadcast_to(dcv, (mbh, 16))
+        for m in (0, 1, 3, 4, 5, 6, 7):
+            pred = jnp.where(mode == m, pall[:, m * 16:(m + 1) * 16], pred)
+        pred = jnp.where(mode == 8, hu, pred)
+        srcb = _mm(srcf, C4["i4_sel_src"][z * 16:(z + 1) * 16])
+        res = srcb - pred
+        w = _mm(res, C4["i4_kcf"])
+        aw = jnp.abs(w)
+        lv = jnp.sign(w) * ((aw * lqf + fq) >> qbits)
+        l32 = lv * ldf
+        pos = l32 << jnp.maximum(dsh, 0)
+        rnd = jnp.where(dsh < 0, 1 << jnp.maximum(-dsh - 1, 0), 0)
+        neg = (l32 + rnd) >> jnp.maximum(-dsh, 0)
+        d = jnp.where(dsh >= 0, pos, neg)
+        y1 = _mm(d, C4["i4_kia_l"]) + _mm(d >> 1, C4["i4_kib_l"])
+        zz = _mm(y1, C4["i4_kia_r"]) + _mm(y1 >> 1, C4["i4_kib_r"])
+        rb = jnp.clip(pred + ((zz + 32) >> 6), 0, 255)
+        ext = ext + _mm(rb, C4["i4_scat"][z * _NEXT:(z + 1) * _NEXT])
+        # place the block into the packed 16x16 tiles (matrix placement:
+        # rows EYE[:, r4:r4+4], cols EYE[:, c4:c4+4])
+        pr = C4["i4_eye"][:, r4:r4 + 4]
+        pc = C4["i4_eye"][:, c4:c4 + 4]
+        ac_i4 = ac_i4 + _mm(_lm(pr, to4x4(lv)), pc)
+        rec4 = rec4 + _mm(_lm(pr, to4x4(rb)), pc)
+    return ac_i4, rec4
+
+
+def _make_kernel(mbw: int, mbh: int, mixed: bool, with_i4: bool = False):
     nC = len(_CONST_NAMES)
+    nC4 = len(_I4_CONST_NAMES) if with_i4 else 0
 
     def kernel(*refs):
         # strip-major blocks: every per-strip ref has a leading singleton
         # strip axis so the last two block dims equal the array dims
         # (the Mosaic block-mapping requirement)
         C = {name: refs[i][:] for i, name in enumerate(_CONST_NAMES)}
+        C4 = {name: refs[nC + i][:]
+              for i, name in enumerate(_I4_CONST_NAMES)} if with_i4 else None
         (ysrc, usrc, vsrc, i16m, cmode, lqmf, ldmf, lsc,
-         cqmf, cdmf, csc) = refs[nC:nC + 11]
-        rest = refs[nC + 11:]
+         cqmf, cdmf, csc) = refs[nC + nC4:nC + nC4 + 11]
+        rest = refs[nC + nC4 + 11:]
+        if with_i4:
+            i4lane_r, i4modes_r, ysrcf_r, lqmf16_r, ldmf16_r = rest[:5]
+            rest = rest[5:]
         if mixed:
             ilane_r, yint, uint_, vint = rest[:4]
             recy, recu, recv, dc_o, ac_o, udc_o, uac_o, vdc_o, vac_o = \
@@ -345,6 +591,17 @@ def _make_kernel(mbw: int, mbh: int, mixed: bool):
         src = ysrc[0].astype(jnp.int32)
         dc_lv, ac_lv, recon = _luma_encode(src, pred, lqmf[0],
                                            ldmf[0], lsc[0], C)
+        if with_i4:
+            # I_4x4 lanes: exact z-scan reconstruction replaces the I16
+            # result (intra._i4_commit_mb re-expressed; dc stays 0 and
+            # the full 16-coeff blocks ride the ac slot)
+            ac4, rec4 = _i4_lanes(mbh, C4, ysrcf_r[0], i4modes_r[0],
+                                  lqmf16_r[0], ldmf16_r[0], lsc[0],
+                                  top, left, tl, al, at)
+            i4l3 = i4lane_r[0][..., None] > 0          # (mbh, 1, 1)
+            recon = jnp.where(i4l3, rec4, recon)
+            ac_lv = jnp.where(i4l3, ac4, ac_lv)
+            dc_lv = jnp.where(i4l3, 0, dc_lv)
         if mixed:
             il3 = ilane_r[0][..., None] > 0      # (mbh, 1, 1)
             recon = jnp.where(il3, recon, yint[0].astype(jnp.int32))
@@ -414,17 +671,19 @@ def _quant_params(qp_sk):
 
 def commit_i16_pallas(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
                       *, mbw, mbh, is_intra=None, inter_planes=None,
-                      interpret=False):
+                      i4_mask=None, i4_modes=None, interpret=False):
     """Drop-in twin of intra._commit_scan built on the Pallas kernel.
 
     Returns (coeffs dict of raster [N,...] tensors, recon planes) with
-    identical values/layouts to the XLA scan version."""
+    identical values/layouts to the XLA scan version. i4_mask/i4_modes
+    enable the in-kernel I_4x4 z-scan path (same contract as the scan)."""
     H, W = y.shape
     Hc = H // 2
     D = skew.n_diags(mbw, mbh)
     P = P_STRIPS
     S = D + P
     mixed = is_intra is not None
+    with_i4 = i4_mask is not None
 
     def strips(plane, s):
         """skewed plane [mbh*s, S*s] -> strip-major [S, mbh, s, s]."""
@@ -453,6 +712,11 @@ def commit_i16_pallas(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
     inputs = [np.asarray(_CONSTS[nm], np.int32) for nm in _CONST_NAMES]
     in_specs = [pl.BlockSpec(_CONSTS[nm].shape, lambda d: (0, 0))
                 for nm in _CONST_NAMES]
+    if with_i4:
+        inputs += [np.asarray(_I4_CONSTS[nm], np.int32)
+                   for nm in _I4_CONST_NAMES]
+        in_specs += [pl.BlockSpec(_I4_CONSTS[nm].shape, lambda d: (0, 0))
+                     for nm in _I4_CONST_NAMES]
     inputs += [ys, us, vs, i16_sk, cm_sk, lqmf, ldmf, lsc, cqmf, cdmf, csc]
     in_specs += [
         pl.BlockSpec((1, mbh, 16, 16), lambda d: (d + P_STRIPS, 0, 0, 0)),
@@ -467,6 +731,21 @@ def commit_i16_pallas(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
         pl.BlockSpec((1, mbh, 4, 4), lambda d: (d + P_STRIPS, 0, 0, 0)),
         pl.BlockSpec((1, mbh, 8), lambda d: (d + P_STRIPS, 0, 0)),
     ]
+    if with_i4:
+        i4l = lanes(skew.skew_mb(jnp.asarray(i4_mask).astype(jnp.int32), P))
+        i4m = skew.skew_mb(jnp.asarray(i4_modes, jnp.int32), P) \
+            .transpose(1, 0, 2)                       # [S, mbh, 16]
+        ysrcf = ys.astype(jnp.int32).reshape(S, mbh, 256)
+        lqmf16 = lqmf.reshape(S, mbh, 16)
+        ldmf16 = ldmf.reshape(S, mbh, 16)
+        inputs += [i4l, i4m, ysrcf, lqmf16, ldmf16]
+        in_specs += [
+            pl.BlockSpec((1, mbh, 1), lambda d: (d + P_STRIPS, 0, 0)),
+            pl.BlockSpec((1, mbh, 16), lambda d: (d + P_STRIPS, 0, 0)),
+            pl.BlockSpec((1, mbh, 256), lambda d: (d + P_STRIPS, 0, 0)),
+            pl.BlockSpec((1, mbh, 16), lambda d: (d + P_STRIPS, 0, 0)),
+            pl.BlockSpec((1, mbh, 16), lambda d: (d + P_STRIPS, 0, 0)),
+        ]
     if mixed:
         ia_sk = lanes(skew.skew_mb(jnp.asarray(is_intra).astype(jnp.int32),
                                    P))
@@ -512,7 +791,7 @@ def commit_i16_pallas(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
         pltpu.VMEM((mbh, 8, 16), jnp.int16),
         pltpu.VMEM((mbh, 8, 16), jnp.int16),
     ]
-    kernel = _make_kernel(mbw, mbh, mixed)
+    kernel = _make_kernel(mbw, mbh, mixed, with_i4)
     outs = pl.pallas_call(
         kernel,
         grid=(D,),
