@@ -77,3 +77,33 @@ def test_scenecut_disabled():
           np.full((H // 2, W // 2), 200, np.uint8)]]
     types = _encode_types(a + b, scenecut=0)
     assert types == ["I", "P", "P"], types
+
+
+def test_lowres_filter_matches_reference_core():
+    """lowres_plane must be bit-exact to frame_init_lowres_core
+    (reference mc.c:484 FILTER) on all four phase planes."""
+    import numpy as np
+    from x264_tpu.encoder.lookahead import lowres_plane
+    rng = np.random.default_rng(5)
+    y = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+    H, W = y.shape
+    src = np.pad(y.astype(np.int64), ((0, 2), (0, 2)), mode="edge")
+
+    def FILTER(a, b, c, d):
+        return (((a + b + 1) >> 1) + ((c + d + 1) >> 1) + 1) >> 1
+
+    d0 = np.zeros((H // 2, W // 2), np.int64)
+    dh = np.zeros_like(d0)
+    dv = np.zeros_like(d0)
+    dc = np.zeros_like(d0)
+    for yy in range(H // 2):
+        r0, r1, r2 = src[2 * yy], src[2 * yy + 1], src[2 * yy + 2]
+        for x in range(W // 2):
+            d0[yy, x] = FILTER(r0[2*x], r1[2*x], r0[2*x+1], r1[2*x+1])
+            dh[yy, x] = FILTER(r0[2*x+1], r1[2*x+1], r0[2*x+2], r1[2*x+2])
+            dv[yy, x] = FILTER(r1[2*x], r2[2*x], r1[2*x+1], r2[2*x+1])
+            dc[yy, x] = FILTER(r1[2*x+1], r2[2*x+1], r1[2*x+2], r2[2*x+2])
+    got0, phases = lowres_plane(y)
+    np.testing.assert_array_equal(np.asarray(got0), d0)
+    for ref, k in ((dh, 0), (dv, 1), (dc, 2)):
+        np.testing.assert_array_equal(np.asarray(phases[k]), ref)

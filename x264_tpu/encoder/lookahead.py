@@ -32,12 +32,20 @@ TYPE_AUTO, TYPE_IDR, TYPE_I, TYPE_P, TYPE_BREF, TYPE_B, TYPE_KEYFRAME = \
 
 @jax.jit
 def lowres_plane(y):
-    """Half-res filtered decimation (reference frame_init_lowres_core,
-    mc.c: the 'f' phase — avg of the 2x2 with the +1 diagonal), here the
-    simple 2x2 mean which serves the cost model."""
+    """Filtered half-res planes, bit-exact to the reference
+    frame_init_lowres_core (mc.c:484): FILTER(a,b,c,d) =
+    ((avg(a,b) + avg(c,d) + 1) >> 1) over vertical pairs, producing the
+    4 phase planes (f, half-H, half-V, half-HV) that give the lowres
+    search half-pel accuracy. Returns (dst0, [dsth, dstv, dstc])."""
     H, W = y.shape
-    t = y.astype(jnp.int32).reshape(H // 2, 2, W // 2, 2)
-    return ((t.sum(axis=(1, 3)) + 2) >> 2).astype(jnp.uint8)
+    t = jnp.pad(y, ((0, 2), (0, 2)), mode="edge").astype(jnp.int32)
+    v0 = (t[0:H:2, :] + t[1:H + 1:2, :] + 1) >> 1     # rows 2y,2y+1
+    v1 = (t[1:H + 1:2, :] + t[2:H + 2:2, :] + 1) >> 1  # rows 2y+1,2y+2
+    dst0 = ((v0[:, 0:W:2] + v0[:, 1:W + 1:2] + 1) >> 1).astype(jnp.uint8)
+    dsth = ((v0[:, 1:W + 1:2] + v0[:, 2:W + 2:2] + 1) >> 1)         .astype(jnp.uint8)
+    dstv = ((v1[:, 0:W:2] + v1[:, 1:W + 1:2] + 1) >> 1).astype(jnp.uint8)
+    dstc = ((v1[:, 1:W + 1:2] + v1[:, 2:W + 2:2] + 1) >> 1)         .astype(jnp.uint8)
+    return dst0, jnp.stack([dsth, dstv, dstc])
 
 
 @jax.jit
@@ -54,7 +62,7 @@ def intra_blocks(low_cur):
 
 
 @partial(jax.jit, static_argnames=("srange",))
-def _search_pair(low_cur, low_ref, *, srange: int = 8):
+def _search_pair(low_cur, low_ref, ref_phases=None, *, srange: int = 8):
     """Dense +-srange full-pel search of cur against ref on lowres.
     Returns (sad_blk [bh,bw], mv [bh,bw,2]) per 8x8 block."""
     H, W = low_cur.shape
@@ -81,6 +89,24 @@ def _search_pair(low_cur, low_ref, *, srange: int = 8):
     init = (jnp.full((bh, bw), 1 << 30, jnp.int32),
             jnp.zeros((bh, bw, 2), jnp.int32))
     (sad, mv), _ = jax.lax.scan(step, init, jnp.asarray(offs))
+    if ref_phases is not None:
+        # half-pel cost refinement: the 3 half-phase planes sampled at
+        # the full-pel winner are the (+.5,0)/(0,+.5)/(+.5,+.5)
+        # positions (reference lowres hpel, slicetype.c ME on
+        # lowres[1..3]); the returned MV stays the full-pel winner (it
+        # seeds full-res ME), only the cost improves
+        PAD = srange + 1
+        cur_t = cur.astype(jnp.int32).reshape(bh, 8, bw, 8)             .transpose(0, 2, 1, 3)
+        rows = (jnp.arange(bh)[:, None, None, None] * 8 + PAD
+                + jnp.arange(8)[None, None, :, None]
+                + mv[:, :, 1][:, :, None, None])
+        cols = (jnp.arange(bw)[None, :, None, None] * 8 + PAD
+                + jnp.arange(8)[None, None, None, :]
+                + mv[:, :, 0][:, :, None, None])
+        for k in range(3):
+            ph = jnp.pad(ref_phases[k], PAD, mode="edge")                 .astype(jnp.int32)[rows, cols]
+            psad = jnp.abs(ph - cur_t).sum(axis=(2, 3), dtype=jnp.int32)
+            sad = jnp.minimum(sad, psad)
     return sad, mv
 
 
@@ -145,10 +171,10 @@ class Lookahead:
 
     # ------------------------------------------------------------- intake
     def push(self, planes, pic, idx) -> None:
-        low = lowres_plane(jnp.asarray(planes[0]))
+        low, phases = lowres_plane(jnp.asarray(planes[0]))
         self.window.append({
             "idx": idx, "planes": planes, "pic": pic, "lowres": low,
-            "icost_blk": intra_blocks(low),
+            "lowres_ph": phases, "icost_blk": intra_blocks(low),
         })
 
     def __len__(self) -> int:
@@ -181,12 +207,14 @@ class Lookahead:
             out = {"cost": int(jnp.sum(ic)), "cost_blk": ic, "mv": None,
                    "intra_blk": ic}
         else:
-            sad0, mv0 = _search_pair(eb["lowres"],
-                                     self._entry(p0)["lowres"])
+            e0 = self._entry(p0)
+            sad0, mv0 = _search_pair(eb["lowres"], e0["lowres"],
+                                     e0.get("lowres_ph"))
             best = sad0
             if b != p1:
-                sad1, mv1 = _search_pair(eb["lowres"],
-                                         self._entry(p1)["lowres"])
+                e1 = self._entry(p1)
+                sad1, mv1 = _search_pair(eb["lowres"], e1["lowres"],
+                                         e1.get("lowres_ph"))
                 bi = _bidir_cost(eb["lowres"],
                                  self._entry(p0)["lowres"],
                                  self._entry(p1)["lowres"], mv0, mv1)
@@ -294,7 +322,8 @@ class Lookahead:
                 e["plan_cost"] = float(self.frame_cost(*key))
             prev_idx = e["idx"]
         # keep the new anchor's analysis fields but release its pixels
-        keep = {k: new_prev[k] for k in ("idx", "lowres", "icost_blk")}
+        keep = {k: new_prev[k] for k in ("idx", "lowres", "lowres_ph",
+                                         "icost_blk")}
         keep["pic"] = None
         self.prev = keep
         self.window = self.window[count:]
