@@ -37,6 +37,16 @@ def pytest_configure(config):
         "slow: long e2e encodes; excluded from the default gate lane "
         "(run the full suite with `pytest tests/`, the fast lane with "
         "`pytest tests/ -m 'not slow'`)")
+    # build the libavcodec decode oracle once per session (gitignored
+    # binary; several e2e tests invoke it directly by path)
+    tools = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools")
+    exe = os.path.join(tools, "avdec")
+    if not os.path.exists(exe):
+        import subprocess
+        subprocess.run(
+            ["gcc", "-O2", os.path.join(tools, "avdec.c"), "-o", exe,
+             "-lavcodec", "-lavutil"], capture_output=True)
 
 
 @pytest.fixture

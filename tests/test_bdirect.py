@@ -74,6 +74,7 @@ def _static_clip(n):
 
 
 @pytest.mark.parametrize("cabac", [False, True])
+@pytest.mark.slow
 def test_bskip_static_content(tmp_path, cabac):
     frames = _static_clip(7)
     p = param_default_preset("veryfast")

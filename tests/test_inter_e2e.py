@@ -73,6 +73,7 @@ def encode_ippp(frames, w, h, qp=26, keyint=250):
     return stream, recons, types
 
 
+@pytest.mark.slow
 def test_ippp_refdec_conformance():
     w, h = 64, 48
     frames = moving_frames(4, w, h)
@@ -139,6 +140,7 @@ def test_static_content_skips():
             np.testing.assert_array_equal(decoded[i][c], recons[i][c])
 
 
+@pytest.mark.slow
 def test_ippp_deblock_conformance(tmp_path):
     """In-loop deblocking on: conformance vs refdec and libavcodec."""
     w, h = 64, 48

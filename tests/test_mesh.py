@@ -131,6 +131,7 @@ def test_sharded_intra_multislice_conformance(tmp_path):
                                           err_msg=f"stream {si} plane {c}")
 
 
+@pytest.mark.slow
 def test_sharded_pframe_multislice_conformance(tmp_path):
     """Stream-parallel P frames in slice bands (deblock idc=2) decode
     bit-exactly after a single-slice IDR."""

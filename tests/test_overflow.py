@@ -30,6 +30,7 @@ def _clip(n=5, w=96, h=64):
     return frames
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("threads", [1, 0])
 def test_overflow_reencode_conformant(monkeypatch, threads):
     # small per-MB budget: noise frames at low QP overflow it (~3700

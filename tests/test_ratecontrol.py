@@ -1,5 +1,6 @@
 """Rate control behavior (reference ratecontrol.c semantics)."""
 
+import pytest
 import numpy as np
 
 from x264_tpu import param_default_preset
@@ -53,6 +54,7 @@ def _encode(frames, w, h, **rc):
     return total * 8 * 25 / len(frames) / 1000, qps
 
 
+@pytest.mark.slow
 def test_crf_ordering():
     """Lower CRF must produce more bits."""
     frames = _frames(6, 64, 48)
@@ -61,6 +63,7 @@ def test_crf_ordering():
     assert k_hi > k_lo * 1.5
 
 
+@pytest.mark.slow
 def test_abr_tracks_target():
     frames = _frames(16, 64, 48)
     kbps, qps = _encode(frames, 64, 48, rc_method=2, bitrate=150)

@@ -1,5 +1,6 @@
 """SEI suite + HRD tests (reference encoder/set.c:574-874)."""
 
+import pytest
 import os
 import subprocess
 import sys
@@ -64,6 +65,7 @@ def _conformant(data, recons, tmp_path):
         assert np.array_equal(y, np.asarray(rec[0])), f"frame {i}"
 
 
+@pytest.mark.slow
 def test_hrd_seis_decodable(tmp_path):
     import x264_tpu.params as P
     p = _base_params()

@@ -1,7 +1,11 @@
 """Stage-wise XLA compile cost at 1080p bench config + parallel-compile
 probe (does the axon remote compiler overlap two compilations?)."""
+import os
+import sys
 import threading
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -1,6 +1,7 @@
 """Micro-profile: motion_search stages, decide_modes, commit, deblock,
 entropy — with sync-overhead accounting (tunnel roundtrip ~30ms)."""
-import time
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -389,7 +389,16 @@ class Encoder:
                 1 << self.sps.log2_max_frame_num)
         tag = idx
         if recon_dev is not None:
+            # keep the SOURCE luma of reference frames on the host: the
+            # next frame's weightp fit reads it (slicetype.c:284 uses
+            # fenc planes; recon would sync the device pipe)
+            if not hasattr(self, "_src_luma"):
+                self._src_luma = {}
+            self._src_luma[tag] = np.asarray(planes[0])
             self._dpb_push(recon_dev, tag)
+            live = {r["tag"] for r in self._dpb}
+            for k in [k for k in self._src_luma if k not in live]:
+                del self._src_luma[k]
         if is_idr:
             self.idr_pic_id = (self.idr_pic_id + 1) % 65536
 
@@ -655,60 +664,44 @@ class Encoder:
         return sh
 
     def precompile(self) -> float:
-        """Warm the I- and P-frame device programs CONCURRENTLY.
+        """Warm the per-frame STAGE programs concurrently.
 
-        XLA compilation of the two fused per-frame programs dominates
-        first-frame latency (~90 s each at 1080p); the compiler service
-        overlaps independent compilations, so warming them from two
-        threads costs max() instead of sum() (r4 verdict item 4). Uses
-        throwaway encoder clones with fabricated gray DPB entries — the
+        The I and P pipelines run as staged jits (encode_iframe_staged /
+        encode_pframe_staged) — ~10 independent programs instead of two
+        fused ones, sidestepping XLA's superlinear whole-program
+        optimization cost. First-use compilation would still serialize
+        (stage k+1 cannot dispatch before stage k ran), so warmup runs
+        in two passes (encoder/stagewarm.py): PLAN — dispatch gray
+        frames on throwaway encoder clones with every stage call
+        recorded and answered by shape-correct zeros (jax.eval_shape, no
+        compilation); WARM — replay all recorded calls from threads, so
+        the XLA compiler service overlaps them and warmup wall-time is
+        max(stage compile) instead of sum (r4 verdict item 4). The
         compiled programs land in the in-process jit cache keyed by
         (function, shapes, static flags), which this encoder shares.
         Returns the wall seconds spent."""
-        import threading
         import time as _time
         from . import frame_encode
+        from .stagewarm import StagePlan, warm_calls
         t0 = _time.time()
         gray = [np.full((self.mb_h * 16, self.mb_w * 16), 128, np.uint8),
                 np.full((self.mb_h * 8, self.mb_w * 8), 128, np.uint8),
                 np.full((self.mb_h * 8, self.mb_w * 8), 128, np.uint8)]
         qp = self.rc.start(TYPE_P, -1, frame_idx=0)
         qp_i = self.rc.start(TYPE_IDR, -1, frame_idx=0)
-        errs = []
-
-        def warm_i():
-            try:
-                enc = Encoder(self.p)
-                fin, _, _, _ = frame_encode.dispatch_frame(
-                    enc, gray, TYPE_IDR, qp_i)
-                fin()
-            except Exception as e:      # noqa: BLE001
-                errs.append(("I", e))
-
-        def warm_p():
-            try:
-                enc = Encoder(self.p)
-                enc._last_ref_fn = None
-                enc._pending_ref_fields = None
-                enc._dpb_push(gray, tag=0)
-                enc._pending_ref_fields = None
-                enc._dpb_push(gray, tag=1)
-                fin, _, _, _ = frame_encode.dispatch_frame(
-                    enc, gray, TYPE_P, qp)
-                fin()
-            except Exception as e:      # noqa: BLE001
-                errs.append(("P", e))
-
-        threads = [threading.Thread(target=warm_i)]
-        if self.p.keyint_max > 1:
-            threads.append(threading.Thread(target=warm_p))
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        if errs:
-            raise RuntimeError(f"precompile failed: {errs[0][0]}: "
-                               f"{errs[0][1]!r}")
+        plan = StagePlan()
+        with plan:
+            enc = Encoder(self.p)
+            frame_encode.dispatch_frame(enc, gray, TYPE_IDR, qp_i)
+            if self.p.keyint_max > 1:
+                enc2 = Encoder(self.p)
+                enc2._last_ref_fn = None
+                enc2._pending_ref_fields = None
+                enc2._dpb_push(gray, tag=0)
+                enc2._pending_ref_fields = None
+                enc2._dpb_push(gray, tag=1)
+                frame_encode.dispatch_frame(enc2, gray, TYPE_P, qp)
+        warm_calls(plan.calls)
         return _time.time() - t0
 
     # --------------------------------------------------------------- misc

@@ -104,6 +104,9 @@ class FarmEncoder:
                 p8x8=bool(self.p.analyse.inter & ANALYSE_PSUB16x16)
                 and not self.p.cabac,
                 i4=bool(self.p.analyse.intra & ANALYSE_I4x4),
+                # subme>=7 RD partition re-rank, matching the
+                # single-stream dispatch (byte parity)
+                rd=self.p.analyse.subpel_refine >= 7,
                 wp_w=wp_w, wp_o=wp_o, **kw)
 
         self._wp_id = wp_id

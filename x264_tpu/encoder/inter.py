@@ -466,8 +466,12 @@ def subpel_refine_all(hpel, y_src, mvs, lam, me_range: int,
                 mvs["8x16"][:, :, 0], mvs["8x16"][:, :, 1]]
     if p8x8:
         lane_mvs += [mvs["8x8"][:, :, q] for q in range(4)]
-    win = jnp.stack([_subpel_windows(hpel, m, me_range) for m in lane_mvs])
-    mv_fp = jnp.stack([m.reshape(n, 2) for m in lane_mvs])
+    # one vmapped window extraction for all lanes (a Python loop here
+    # traces L copies of the gather graph — measured as the single
+    # largest contributor to the subpel stage's XLA compile time)
+    lane_mv = jnp.stack(lane_mvs)                    # [L, mbh, mbw, 2]
+    win = jax.vmap(lambda m: _subpel_windows(hpel, m, me_range))(lane_mv)
+    mv_fp = lane_mv.reshape(len(lane_mvs), n, 2)
     L = len(lane_mvs)
     bq, bp, bc = _subpel_refine_scan(win, tiles, mv_fp, lam,
                                      jnp.asarray(_PART_MASKS[:L]), radius,
@@ -748,184 +752,335 @@ def mv_predictors_part(mv4, inter4, part_mode, ref4=None, cur_ref=None):
     return mvp, pskip
 
 
-@partial(jax.jit, static_argnames=("mbw", "mbh", "cap_words", "me_range",
-                                   "deblock", "a_off", "b_off", "cqpo",
-                                   "decimate", "entropy", "intra_in_p",
-                                   "partitions", "pir", "me_seeded",
-                                   "nr", "use_pallas", "i4", "trellis",
-                                   "two_refs", "p8x8"))
-def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
-                         qp_mb, qpc_mb, slice_qp, lam,
-                         pir_cap=None, pir_band=None,
-                         ref1_y_pad=None, ref1_hpel=None,
-                         ref1_cuv_pad=None,
-                         ref1_valid=None,
-                         *, mbw, mbh, cap_words, me_range, deblock=False,
-                         a_off=0, b_off=0, cqpo=0, decimate=True,
-                         entropy=True, intra_in_p=True, partitions=False,
-                         pir=False, me_seeded=False, nr=False,
-                         nr_offset=None, use_pallas=False, i4=False,
-                         wp_w=None, wp_o=None, trellis=False,
-                         trl_tabs=None, two_refs=False, p8x8=False):
-    """Fused P-frame device pass: ME -> intra-vs-inter decision ->
-    MVP/skip -> MC -> transform (+ mixed wavefront commit when any MB
-    goes intra) -> entropy -> packed payload. Returns (words, total_bits,
-    recon, stats).
+# ---------------------------------------------------------------------
+# P-frame device pipeline, staged form (r4 verdict item 4: compile time).
+#
+# The per-frame pass is expressed as FIVE core functions with clean
+# tensor boundaries. They compose two ways:
+#   * encode_pframe_device — ONE fused jit (used by the farm vmap and
+#     the mesh shard_map, which wrap it in their own jit);
+#   * encode_pframe_staged — each core under its OWN jit (the
+#     single-stream path): the stage programs compile CONCURRENTLY in
+#     Encoder.precompile (the XLA compiler service overlaps independent
+#     compilations, so warmup wall-time is max(stage) not sum(stage)),
+#     and XLA's superlinear whole-program optimization cost is avoided.
+# Chaining stage jits adds only HBM round-trips of the small decision
+# tensors (~10 MB/frame) — irrelevant next to the ME gathers.
+# ---------------------------------------------------------------------
 
-    The intra candidate mirrors the reference's always-evaluated
-    I16x16-in-P (analyse.c:2939): mode costs from source neighbors (the
-    same two-phase approximation as I frames), exact reconstruction with
-    true mixed neighbors via the skewed wavefront (intra.commit path),
-    taken only when any MB actually chose intra (lax.cond).
 
-    With entropy=False (CABAC path) the device CAVLC stage is skipped and
-    the decision/level tensors are returned for the host C++ CABAC writer:
-    (decisions_dict, recon, stats).
+def p_fullpel_core(y, ref_y_pad, lam, pir_cap=None, *, me_range,
+                   shapes, me_seeded):
+    """Stage 1: full-pel motion search against ONE reference plane +
+    the qpel-domain MVP estimate of the winner field (me.c:59
+    p_cost_mv[mv - mvp] anchor for all later refinement).
+    Returns (mvs dict, mvp_q_est [n,2])."""
+    if me_seeded:
+        mvs = motion_search_seeded(ref_y_pad, y, lam, me_range,
+                                   shapes=shapes, pir_cap=pir_cap)
+    else:
+        mvs = motion_search(ref_y_pad, None, y, lam, me_range,
+                            shapes=shapes, pir_cap=pir_cap)
+    if not shapes:
+        mvs = {"16x16": mvs}
+    mvp_q_est, _ = mv_predictors(mvs["16x16"] * 4)
+    return mvs, mvp_q_est.reshape(-1, 2)
 
-    ref1_valid (traced bool scalar, two_refs only): False masks the
-    second reference off — selection sticks to ref 0 and no te() ref_idx
-    bits are emitted — so the SAME compiled program serves both the
-    first-P-after-IDR (1 usable ref) and steady-state (2 refs) frames
-    instead of tracing two ~2-minute XLA programs (r4 verdict item 4)."""
-    from ..entropy.cavlc_jax import encode_pframe_entropy_dev
-    from .intra import _commit_scan, decide_modes_full
+
+def p_subpel_core(y, ref_hpel, mvs, mvp_q_est, lam, w, o, *, me_range,
+                  partitions, p8x8, weighted, return_cands=False):
+    """Stage 2 (per reference): qpel subpel refinement of all partition
+    lanes + partition-shape selection + weighted prediction. Returns a
+    dict of per-ref decision tensors (cost/pred/mvq/part_mode/mv_parts)."""
     H, W = y.shape
-    n = mbw * mbh
+    mbh, mbw = H // 16, W // 16
+    n = mbh * mbw
 
-    def _me_one_ref(r_y_pad, r_hpel, weighted, w=None, o=None):
-        """Full ME ladder against one reference: full-pel search, qpel
-        MVP estimate, subpel refine (+ 16x8/8x16 lanes). Returns a dict
-        of per-ref decision tensors. `weighted` applies the (w, o) luma
-        weight (spec 8.4.2.3.3; defaults to the slice's wp_w/wp_o) to
-        every prediction lane — identity (128, 0) shares the graph."""
-        if w is None:
-            w, o = wp_w, wp_o
-        if me_seeded:
-            mvs = motion_search_seeded(r_y_pad, y, lam, me_range,
-                                       shapes=partitions,
-                                       pir_cap=pir_cap if pir else None)
-        else:
-            mvs = motion_search(r_y_pad, r_hpel, y, lam, me_range,
-                                shapes=partitions,
-                                pir_cap=pir_cap if pir else None)
-        # qpel-domain MVP estimate from the full-pel winner field: the
-        # subpel refine and the partition/mode comparison cost MV rate
-        # against it (me.c:59 p_cost_mv[mv - mvp]), keeping the final
-        # field MVD-coherent
-        mv16_fp = mvs["16x16"] if partitions else mvs
-        mvp_q_est, _ = mv_predictors(mv16_fp * 4)
-        mvp_q_est = mvp_q_est.reshape(-1, 2)
+    def wp_apply(p):
+        if weighted:
+            return jnp.clip(((p * w + 64) >> 7) + o, 0, 255)
+        return p
 
-        def wp_apply(p):
-            if weighted:
-                return jnp.clip(((p * w + 64) >> 7) + o, 0, 255)
-            return p
-
-        if not partitions:
-            mvq, pred_y, inter_cost = subpel_refine_mc(
-                r_hpel, y, mvs, lam, me_range, mvp_q=mvp_q_est)
-            return {"mvq": mvq, "pred_y": wp_apply(pred_y),
-                    "cost": inter_cost,
-                    "part_mode": jnp.zeros((n,), jnp.int32),
-                    "mv_parts": jnp.broadcast_to(mvq[:, None, :],
-                                                 (n, 4, 2))}
-        # --- 16x16 + P_16x8 / P_8x16 (+ P_8x8) candidates
-        # (analyse.c:1255+, mb_analyse_inter_p8x8 analyse.c:1453): all
-        # lanes refined in ONE scanned pass around their own full-pel
-        # winners ---
-        (mvq, pred_y, inter_cost, q_parts, pred_parts,
-         c_parts) = subpel_refine_all(r_hpel, y, mvs, lam, me_range,
-                                      mvp_q=mvp_q_est, p8x8=p8x8)
-        q_t, q_b, q_l, q_r = (q_parts[0], q_parts[1], q_parts[2],
-                              q_parts[3])
-        p_t, p_b, p_l, p_r = pred_parts[:4]
-        c_t, c_b, c_l, c_r = (c_parts[0], c_parts[1], c_parts[2],
-                              c_parts[3])
-        # partition costs are the sum of the per-part ME costs (each
-        # already carrying lambda*mvbits), no mb-type bias in SATD mode
-        # (analyse.c mb_analyse_inter_p16x8: i_cost16x8 = me[0]+me[1])
-        cost_168 = c_t + c_b
-        cost_816 = c_l + c_r
-        cands = [inter_cost, cost_168, cost_816]
+    if not partitions:
+        mvq, pred_y, inter_cost = subpel_refine_mc(
+            ref_hpel, y, mvs["16x16"], lam, me_range, mvp_q=mvp_q_est)
+        return {"mvq": mvq, "pred_y": wp_apply(pred_y),
+                "cost": inter_cost,
+                "part_mode": jnp.zeros((n,), jnp.int32),
+                "mv_parts": jnp.broadcast_to(mvq[:, None, :],
+                                             (n, 4, 2))}
+    # --- 16x16 + P_16x8 / P_8x16 (+ P_8x8) candidates
+    # (analyse.c:1255+, mb_analyse_inter_p8x8 analyse.c:1453): all
+    # lanes refined in ONE scanned pass around their own full-pel
+    # winners ---
+    (mvq, pred_y, inter_cost, q_parts, pred_parts,
+     c_parts) = subpel_refine_all(ref_hpel, y, mvs, lam, me_range,
+                                  mvp_q=mvp_q_est, p8x8=p8x8)
+    pred16 = pred_y
+    q_t, q_b, q_l, q_r = (q_parts[0], q_parts[1], q_parts[2],
+                          q_parts[3])
+    p_t, p_b, p_l, p_r = pred_parts[:4]
+    c_t, c_b, c_l, c_r = (c_parts[0], c_parts[1], c_parts[2],
+                          c_parts[3])
+    # partition costs are the sum of the per-part ME costs (each
+    # already carrying lambda*mvbits), no mb-type bias in SATD mode
+    # (analyse.c mb_analyse_inter_p16x8: i_cost16x8 = me[0]+me[1])
+    cost_168 = c_t + c_b
+    cost_816 = c_l + c_r
+    cands = [inter_cost, cost_168, cost_816]
+    if p8x8:
+        # P_8x8 additionally pays its header delta even at the SATD
+        # tier (mb_type ue(3)=5b + 4x sub_mb_type ue(0)=4b vs
+        # 16x16's ue(0)=1b): 4 MVD pairs alone make it win too
+        # often otherwise (analyse.c costs sub_mb_type per 8x8)
+        cost_8x8 = (c_parts[4] + c_parts[5] + c_parts[6]
+                    + c_parts[7] + lam * 8)
+        cands.append(cost_8x8)
+    allc = jnp.stack(cands)
+    part_mode = jnp.argmin(allc, axis=0).astype(jnp.int32)   # [n]
+    inter_cost = jnp.min(allc, axis=0)
+    pm3 = part_mode[:, None, None]
+    pred_tb = jnp.concatenate([p_t, p_b], axis=1)
+    pred_lr = jnp.concatenate([p_l, p_r], axis=2)
+    pred_y = jnp.where(pm3 == 0, pred_y,
+                       jnp.where(pm3 == 1, pred_tb, pred_lr))
+    # per-partition final qpel MVs [n, 4, 2] (parts in coding
+    # order; 16x8/8x16 use slots 0-1, 8x8 quadrants all four)
+    mv_parts = jnp.where(
+        pm3 == 0, mvq[:, None, :],
+        jnp.where(pm3 == 1, jnp.stack([q_t, q_b, q_t, q_b], axis=1),
+                  jnp.stack([q_l, q_r, q_l, q_r], axis=1)))
+    if p8x8:
+        q8 = jnp.stack([q_parts[4], q_parts[5], q_parts[6],
+                        q_parts[7]], axis=1)              # [n,4,2]
+        mv_parts = jnp.where(pm3 == 3, q8, mv_parts)
+        pred_88 = jnp.concatenate(
+            [jnp.concatenate([pred_parts[4], pred_parts[5]], axis=2),
+             jnp.concatenate([pred_parts[6], pred_parts[7]],
+                             axis=2)], axis=1)
+        pred_y = jnp.where(pm3 == 3, pred_88, pred_y)
+    out = {"mvq": mvq, "pred_y": wp_apply(pred_y),
+           "cost": inter_cost, "part_mode": part_mode,
+           "mv_parts": mv_parts}
+    if return_cands:
+        # per-mode full assembled candidates for the RD re-rank tier
+        # (rdo.c:162 rd_cost_mb re-expressed batched): mode-indexed
+        # prediction [M,n,16,16] and per-partition MVs [M,n,4,2].
+        # Weighted prediction applies to every candidate identically.
+        cp = [pred16,
+              jnp.concatenate([pred_parts[0], pred_parts[1]], axis=1),
+              jnp.concatenate([pred_parts[2], pred_parts[3]], axis=2)]
+        cm = [jnp.broadcast_to(mvq[:, None, :], (n, 4, 2)),
+              jnp.stack([q_t, q_b, q_t, q_b], axis=1),
+              jnp.stack([q_l, q_r, q_l, q_r], axis=1)]
         if p8x8:
-            # P_8x8 additionally pays its header delta even at the SATD
-            # tier (mb_type ue(3)=5b + 4x sub_mb_type ue(0)=4b vs
-            # 16x16's ue(0)=1b): 4 MVD pairs alone make it win too
-            # often otherwise (analyse.c costs sub_mb_type per 8x8)
-            cost_8x8 = (c_parts[4] + c_parts[5] + c_parts[6]
-                        + c_parts[7] + lam * 8)
-            cands.append(cost_8x8)
-        allc = jnp.stack(cands)
-        part_mode = jnp.argmin(allc, axis=0).astype(jnp.int32)   # [n]
-        inter_cost = jnp.min(allc, axis=0)
-        pm3 = part_mode[:, None, None]
-        pred_tb = jnp.concatenate([p_t, p_b], axis=1)
-        pred_lr = jnp.concatenate([p_l, p_r], axis=2)
-        pred_y = jnp.where(pm3 == 0, pred_y,
-                           jnp.where(pm3 == 1, pred_tb, pred_lr))
-        # per-partition final qpel MVs [n, 4, 2] (parts in coding
-        # order; 16x8/8x16 use slots 0-1, 8x8 quadrants all four)
-        mv_parts = jnp.where(
-            pm3 == 0, mvq[:, None, :],
-            jnp.where(pm3 == 1, jnp.stack([q_t, q_b, q_t, q_b], axis=1),
-                      jnp.stack([q_l, q_r, q_l, q_r], axis=1)))
-        if p8x8:
-            q8 = jnp.stack([q_parts[4], q_parts[5], q_parts[6],
-                            q_parts[7]], axis=1)              # [n,4,2]
-            mv_parts = jnp.where(pm3 == 3, q8, mv_parts)
-            pred_88 = jnp.concatenate(
+            cp.append(jnp.concatenate(
                 [jnp.concatenate([pred_parts[4], pred_parts[5]], axis=2),
                  jnp.concatenate([pred_parts[6], pred_parts[7]],
-                                 axis=2)], axis=1)
-            pred_y = jnp.where(pm3 == 3, pred_88, pred_y)
-        return {"mvq": mvq, "pred_y": wp_apply(pred_y),
-                "cost": inter_cost, "part_mode": part_mode,
-                "mv_parts": mv_parts}
+                                 axis=2)], axis=1))
+            cm.append(jnp.stack([q_parts[4], q_parts[5], q_parts[6],
+                                 q_parts[7]], axis=1))
+        out["cand_pred"] = wp_apply(jnp.stack(cp))
+        out["cand_mv"] = jnp.stack(cm)
+    return out
 
-    # weighted prediction (x264 --weightp) applies to list0 ref 0 only;
-    # ref 1 keeps implicit unity weights (coded luma_weight_l0_flag=0)
-    if two_refs:
-        # BOTH references ride ONE vmapped instance of the ME ladder
-        # (ref axis = batch axis): the 2-ref program traces/compiles the
-        # ladder once instead of twice (r4 verdict item 4 — the 2-ref
-        # trace alone cost ~100 s of XLA compile). Ref 1 gets identity
-        # weights, which shares the weighted graph.
-        id_w = jnp.asarray(128, jnp.int32)
-        id_o = jnp.asarray(0, jnp.int32)
-        w2 = jnp.stack([wp_w if wp_w is not None else id_w, id_w])
-        o2 = jnp.stack([wp_o if wp_o is not None else id_o, id_o])
-        rr = jax.vmap(
-            lambda ry, rh, w, o: _me_one_ref(ry, rh, True, w, o))(
-            jnp.stack([ref_y_pad, ref1_y_pad]),
-            jnp.stack([ref_hpel, ref1_hpel]), w2, o2)
-        r0 = {k: val[0] for k, val in rr.items()}
-        r1 = {k: val[1] for k, val in rr.items()}
-        # per-MB reference selection (analyse.c multi-ref loop: strict
-        # improvement keeps the lower ref; te() ref bits are equal for
-        # 2 refs so they cancel out of the comparison)
-        sel1 = r1["cost"] < r0["cost"]                          # [n]
-        if ref1_valid is not None:
-            sel1 = sel1 & ref1_valid
-        sel3 = sel1[:, None, None]
 
-        def pick_sel(k):
-            return jnp.where(sel3 if r0[k].ndim == 3 else sel1[:, None]
-                             if r0[k].ndim == 2 else sel1,
-                             r1[k], r0[k])
-        inter_cost = jnp.where(sel1, r1["cost"], r0["cost"])
-        pred_y = pick_sel("pred_y")
-        mvq = pick_sel("mvq")
-        part_mode = jnp.where(sel1, r1["part_mode"], r0["part_mode"])
-        mv_parts = pick_sel("mv_parts")
-        refidx = sel1.astype(jnp.int32)                         # [n]
+def p_me_select(r0, r1, ref1_valid):
+    """Per-MB reference selection between the two L0 candidates
+    (analyse.c multi-ref loop: strict improvement keeps the lower ref;
+    te() ref bits are equal for 2 refs so they cancel out of the
+    comparison). ref1_valid=False (traced) pins selection to ref 0.
+    Returns (inter_cost, pred_y, mvq, part_mode, mv_parts, refidx)."""
+    sel1 = r1["cost"] < r0["cost"]                          # [n]
+    if ref1_valid is not None:
+        sel1 = sel1 & ref1_valid
+    sel3 = sel1[:, None, None]
+
+    def pick_sel(k):
+        return jnp.where(sel3 if r0[k].ndim == 3 else sel1[:, None]
+                         if r0[k].ndim == 2 else sel1,
+                         r1[k], r0[k])
+    inter_cost = jnp.where(sel1, r1["cost"], r0["cost"])
+    pred_y = pick_sel("pred_y")
+    mvq = pick_sel("mvq")
+    part_mode = jnp.where(sel1, r1["part_mode"], r0["part_mode"])
+    mv_parts = pick_sel("mv_parts")
+    refidx = sel1.astype(jnp.int32)                         # [n]
+    cands = None
+    if "cand_pred" in r0:
+        # candidate axis leads: select along the MB axis (axis 1)
+        cands = (jnp.where(sel1[None, :, None, None],
+                           r1["cand_pred"], r0["cand_pred"]),
+                 jnp.where(sel1[None, :, None, None],
+                           r1["cand_mv"], r0["cand_mv"]))
+    return inter_cost, pred_y, mvq, part_mode, mv_parts, refidx, cands
+
+
+# mb_type ue() lengths for P modes 0..3 (spec table 7-13: P_L0_16x16
+# ue(0)=1b, 16x8 ue(1)=3b, 8x16 ue(2)=3b, P_8x8 ue(3)=5b + four
+# sub_mb_type ue(0) bits) and partition counts per mode
+_P_MODE_HDR_BITS = np.array([1, 3, 3, 5 + 4], np.int32)
+_P_MODE_NPARTS = np.array([1, 2, 2, 4], np.int32)
+# active MV slots per mode (slots duplicate for 16x8/8x16)
+_P_MODE_SLOTS = np.array([[1, 0, 0, 0],
+                          [1, 1, 0, 0],
+                          [1, 1, 0, 0],
+                          [1, 1, 1, 1]], np.int32)
+
+
+def p_rd_core(y, cand_pred, cand_mv, mvp_q_est, qp_mb, two_refs_live,
+              i16_mode=None, *, mbw, mbh, p8x8, two_refs, intra_rd):
+    """RD re-rank of the partition-shape decision (reference
+    rdo.c:162 x264_rd_cost_mb / analyse.c:3064 subme>=7 tier,
+    re-expressed batched): for EVERY MB, each partition candidate is
+    fully transformed/quantized/reconstructed and priced with its exact
+    CAVLC luma residual bits + header/MVD/ref bits; the winner minimizes
+    SSD + lambda2*bits. One lax.scan over the candidate axis (the body
+    compiles once).
+
+    The SATD tier systematically over-picks rectangle partitions (each
+    half lowers its own SATD by chasing noise; measured 54% 16x8/8x16
+    on the bench clip vs the reference encoder's 11%); true-bit pricing
+    is the reference's fix, and ours.
+
+    cand_pred [M,n,16,16] int32; cand_mv [M,n,4,2] qpel; mvp_q_est
+    [n,2] qpel MVP estimate (the same anchor ME costed against).
+    Returns (part_mode [n], pred_y [n,16,16], mv_parts [n,4,2])."""
+    from ..entropy.cavlc_jax import _nc_grid_dev, residual_blocks_dev
+    M = cand_pred.shape[0]
+    n = mbw * mbh
+    src = _mb_tiles(y, 16).reshape(n, 16, 16).astype(jnp.int32)
+    qp = qp_mb.reshape(-1)
+    # reference x264_lambda2_tab[qp] = .9*2^((qp-12)/3) (rounded)
+    lam2 = jnp.maximum(1, jnp.round(
+        0.9 * 2.0 ** ((qp - 12) / 3.0))).astype(jnp.int32)
+
+    def cand_cost(args):
+        pred, mv4, slots, hdr, nparts = args
+        res = src - pred
+        w = dct.dct4x4(_luma_blocks(res))
+        lv = quant.quant4x4(w, qp[:, None], intra=False)
+        dq = quant.dequant4x4(lv, qp[:, None])
+        rec = jnp.clip(pred + _luma_merge(dct.idct4x4(dq)), 0, 255)
+        d = rec - src
+        ssd = jnp.sum(d * d, axis=(1, 2))
+        lv_z = dct.zigzag4(lv)                       # [n,16,16]
+        nnz = jnp.sum(lv_z != 0, axis=2)             # [n,16]
+        nc = _nc_grid_dev(nnz, mbh, mbw, 4)
+        _, lens, _, _ = residual_blocks_dev(lv_z.reshape(n * 16, 16),
+                                            nc.reshape(-1))
+        rbits = jnp.sum(lens.reshape(n, -1), axis=1)
+        mvd = mv4 - mvp_q_est[:, None, :]            # [n,4,2]
+        mvbits = jnp.sum(slots[None, :] * (
+            _mv_cost_bits(mvd[..., 0]) + _mv_cost_bits(mvd[..., 1])),
+            axis=1)
+        bits = rbits + mvbits + hdr
+        if two_refs:
+            # te() ref_idx: 1 bit per partition when 2 refs are active
+            bits = bits + jnp.where(two_refs_live, nparts, 0)
+        return ssd + lam2 * bits
+
+    def step(best, xs):
+        bc, bm = best
+        m = xs[0]
+        cost = cand_cost(xs[1:])
+        better = cost < bc
+        return (jnp.where(better, cost, bc),
+                jnp.where(better, m, bm)), None
+
+    Mh = jnp.asarray(_P_MODE_HDR_BITS[:M])
+    Mn = jnp.asarray(_P_MODE_NPARTS[:M])
+    Ms = jnp.asarray(_P_MODE_SLOTS[:M])
+    init = (jnp.full((n,), jnp.iinfo(jnp.int32).max, jnp.int32),
+            jnp.zeros((n,), jnp.int32))
+    (rd_best, part_mode), _ = jax.lax.scan(
+        step, init, (jnp.arange(M, dtype=jnp.int32), cand_pred,
+                     cand_mv, Ms, Mh, Mn))
+    oh = (jnp.arange(M, dtype=jnp.int32)[:, None]
+          == part_mode[None, :]).astype(cand_pred.dtype)    # [M,n]
+    pred_y = jnp.sum(oh[:, :, None, None] * cand_pred, axis=0)
+    mv_parts = jnp.sum(oh[:, :, None, None] * cand_mv, axis=0)
+
+    is_intra_rd = None
+    if intra_rd:
+        # --- the always-evaluated intra candidate at the SAME RD tier
+        # (analyse.c:982 intra_rd; phase-1 source-neighbor prediction,
+        # same approximation as the decision stage): exact I16 luma
+        # transform + DC hadamard + true CAVLC bits vs the inter
+        # winner's rd cost ---
+        from ..ops import predict
+        from .intra import _encode_luma_i16
+        t16 = _mb_tiles(y, 16)
+        top = jnp.roll(t16[:, :, 15, :], 1, axis=0)
+        left = jnp.roll(t16[:, :, :, 15], 1, axis=1)
+        tl = jnp.roll(jnp.roll(t16[:, :, 15, 15], 1, 0), 1, 1)
+        at = jnp.broadcast_to(jnp.arange(mbh)[:, None] > 0, (mbh, mbw))
+        al = jnp.broadcast_to(jnp.arange(mbw)[None, :] > 0, (mbh, mbw))
+        preds = predict.predict_16x16_all(left, top, tl, al, at)
+        ohm = (jnp.arange(4)[None, None, :, None, None]
+               == i16_mode[:, :, None, None, None]).astype(preds.dtype)
+        pred_i = jnp.sum(ohm * preds, axis=2).reshape(n, 16, 16)
+        dc_lv, ac_lv, rec_i = _encode_luma_i16(src, pred_i, qp)
+        di = rec_i - src
+        ssd_i = jnp.sum(di * di, axis=(1, 2))
+        dc_z = dct.zigzag4(dc_lv[:, None])[:, 0]          # [n,16]
+        ac_z = dct.zigzag4(ac_lv)                         # [n,16,16]
+        nnz_ac = jnp.sum(ac_z[:, :, 1:] != 0, axis=2)
+        nc = _nc_grid_dev(nnz_ac, mbh, mbw, 4)
+        _, dlens, _, _ = residual_blocks_dev(dc_z, nc[:, 0])
+        _, alens, _, _ = residual_blocks_dev(
+            ac_z[:, :, 1:].reshape(n * 16, 15), nc.reshape(-1))
+        # header estimate: I16-in-P mb_type ue(~6..29) ~ 9 bits +
+        # chroma mode ue ~ 3 (chroma residual left out of BOTH sides)
+        bits_i = (jnp.sum(dlens, axis=1)
+                  + jnp.sum(alens.reshape(n, -1), axis=1) + 12)
+        rd_i = ssd_i + lam2 * bits_i
+        is_intra_rd = (rd_i < rd_best).reshape(mbh, mbw)
+    return part_mode, pred_y, mv_parts, is_intra_rd
+
+
+p_stage_rd = partial(jax.jit, static_argnames=(
+    "mbw", "mbh", "p8x8", "two_refs", "intra_rd"))(p_rd_core)
+
+
+def p_intra_core(y, u, v, qp_mb, *, i4):
+    """Stage 3: the always-evaluated intra candidate for P MBs
+    (analyse.c:2939 I16x16-in-P + I4x4): mode costs from source
+    neighbors at per-MB lambda (AQ steers the decision,
+    ratecontrol_mb_qp). Returns (i16_mode, chroma_mode, i4_modes,
+    use_i4, best_intra [mbh,mbw])."""
+    from .intra import decide_modes_full
+    mbh, mbw = qp_mb.shape
+    lam_mb = jnp.maximum(
+        1, jnp.round(2.0 ** ((qp_mb - 12) / 6.0))).astype(jnp.int32)
+    i16_mode, chroma_mode, _, i16_cost = decide_modes_full(
+        y, u, v, lam=lam_mb)
+    if i4:
+        from .intra import decide_modes_i4
+        i4_modes, i4_cost = decide_modes_i4(y, lam=lam_mb)
+        use_i4 = i4_cost < i16_cost
+        best_intra = jnp.minimum(i16_cost, i4_cost)
     else:
-        r0 = _me_one_ref(ref_y_pad, ref_hpel, weighted=wp_w is not None)
-        inter_cost = r0["cost"]
-        pred_y = r0["pred_y"]
-        mvq = r0["mvq"]
-        part_mode = r0["part_mode"]
-        mv_parts = r0["mv_parts"]
-        refidx = jnp.zeros((n,), jnp.int32)
+        i4_modes = None
+        use_i4 = jnp.zeros((mbh, mbw), bool)
+        best_intra = i16_cost
+    return i16_mode, chroma_mode, i4_modes, use_i4, best_intra
+
+
+def p_xfrm_core(y, u, v, ref_cuv_pad, ref1_cuv_pad,
+                inter_cost, pred_y, mvq, part_mode, mv_parts, refidx,
+                i16_mode, chroma_mode, i4_modes, use_i4, best_intra,
+                qp_mb, qpc_mb, pir_band=None, nr_offset=None,
+                trl_tabs=None, is_intra_override=None, *, mbw, mbh,
+                partitions, p8x8, two_refs, i4, intra_in_p, pir, nr,
+                trellis, decimate, me_range):
+    """Stage 4a: intra-vs-inter decision -> MVP/skip/MVD -> chroma MC
+    -> transform/quant(+NR/trellis)/decimate -> inter recon planes.
+    Returns the intermediate dict p_merge_core consumes. (Split from
+    the old monolithic commit stage so the two halves compile
+    CONCURRENTLY — the fused stage was the single largest compile.)"""
+    H, W = y.shape
+    n = mbw * mbh
     mv_field = mvq.reshape(mbh, mbw, 2)
     if partitions:
         part_grid = part_mode.reshape(mbh, mbw)
@@ -947,27 +1102,16 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
                                                         mbw * 4, 2)
     satd_cost = jnp.sum(inter_cost)
 
-    # --- intra candidate (mode decision from source neighbors); costs
-    # carry the reference's mode-signalling bits (analyse.c:730,866,173)
-    # at per-MB lambda so AQ steers the decision (ratecontrol_mb_qp) ---
+    # --- intra candidate vs inter: direct SATD-domain comparison like
+    # analyse.c:3220 (COPY2_IF_LT on i_cost vs i_satd_i16x16/i4x4) ---
     if intra_in_p:
-        lam_mb = jnp.maximum(
-            1, jnp.round(2.0 ** ((qp_mb - 12) / 6.0))).astype(jnp.int32)
-        i16_mode, chroma_mode, _, i16_cost = decide_modes_full(
-            y, u, v, lam=lam_mb)
-        if i4:
-            from .intra import decide_modes_i4
-            i4_modes, i4_cost = decide_modes_i4(y, lam=lam_mb)
-            use_i4 = i4_cost < i16_cost
-            best_intra = jnp.minimum(i16_cost, i4_cost)
+        if is_intra_override is not None:
+            # the subme>=7 RD tier already priced intra-vs-inter with
+            # true bits + SSD (p_rd_core); honor its verdict
+            is_intra = is_intra_override
         else:
-            i4_modes = None
-            use_i4 = jnp.zeros((mbh, mbw), bool)
-            best_intra = i16_cost
-        # direct SATD-domain comparison like analyse.c:3220
-        # (COPY2_IF_LT on i_cost vs i_satd_i16x16/i_satd_i4x4)
-        intra_cost = best_intra.reshape(-1)
-        is_intra = (intra_cost < inter_cost).reshape(mbh, mbw)
+            intra_cost = best_intra.reshape(-1)
+            is_intra = (intra_cost < inter_cost).reshape(mbh, mbw)
         i4_mask = is_intra & use_i4
     else:
         i16_mode = jnp.zeros((mbh, mbw), jnp.int32)
@@ -1110,6 +1254,39 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
     recon_u = merge_plane(urec, 8, H // 2, W // 2).astype(jnp.uint8)
     recon_v = merge_plane(vrec, 8, H // 2, W // 2).astype(jnp.uint8)
 
+    return {
+        "pred_y": pred_y, "lv": lv, "udc": udc, "vdc": vdc,
+        "uac": uac, "vac": vac, "recon_y": recon_y,
+        "recon_u": recon_u, "recon_v": recon_v,
+        "is_intra": is_intra, "i4_mask": i4_mask,
+        "i16_mode": i16_mode, "chroma_mode": chroma_mode,
+        "i4_modes": i4_modes, "mvd": mvd, "mvd2": mvd2, "mvd23": mvd23,
+        "part_mode": part_mode, "refidx": refidx, "ref_grid": ref_grid,
+        "mv_field": mv_field, "mv4_grid": mv4_grid, "pskip": pskip,
+        "qp": qp, "nr_sums": nr_sums, "satd_cost": satd_cost,
+    }
+
+
+def p_merge_core(y, u, v, qp_mb, qpc_mb, xm, *, mbw, mbh, partitions,
+                 p8x8, two_refs, i4, intra_in_p, use_pallas):
+    """Stage 4b: mixed wavefront intra commit + level merge ->
+    cbp/skip decision + MB-histogram scalars. Returns the decision dict
+    the entropy and deblock stages (and the host stats) consume."""
+    H, W = y.shape
+    n = mbw * mbh
+    (pred_y, lv, udc, vdc, uac, vac, recon_y, recon_u, recon_v,
+     is_intra, i4_mask, i16_mode, chroma_mode, i4_modes, mvd, mvd2,
+     mvd23, part_mode, refidx, ref_grid, mv_field, mv4_grid, pskip, qp,
+     nr_sums, satd_cost) = (
+        xm["pred_y"], xm["lv"], xm["udc"], xm["vdc"], xm["uac"],
+        xm["vac"], xm["recon_y"], xm["recon_u"], xm["recon_v"],
+        xm["is_intra"], xm["i4_mask"], xm["i16_mode"],
+        xm["chroma_mode"], xm["i4_modes"], xm["mvd"], xm["mvd2"],
+        xm["mvd23"], xm["part_mode"], xm["refidx"], xm["ref_grid"],
+        xm["mv_field"], xm["mv4_grid"], xm["pskip"], xm["qp"],
+        xm["nr_sums"], xm["satd_cost"])
+    is_intra_f = is_intra.reshape(-1)
+
     # --- mixed wavefront commit: intra MBs reconstructed against true
     # decoded neighbors; runs only when some MB chose intra ---
     if intra_in_p:
@@ -1185,79 +1362,388 @@ def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
                         axis=1)
     cac_blk = jnp.stack([uac.reshape(n, 4, 4, 4), vac.reshape(n, 4, 4, 4)],
                         axis=1)
+    if mv4_grid is None:
+        mv4_out = jnp.repeat(jnp.repeat(mv_field, 4, axis=0), 4, axis=1)
+    else:
+        mv4_out = mv4_grid
+    return {
+        "skip": skip, "mvd": mvd, "mvd2": mvd2, "mvd23": mvd23,
+        "cbp_luma": cbp_luma, "cbp_chroma": cbp_chroma, "qp": qp,
+        "lv": lv, "dc_blk": dc_blk, "cdc_blk": cdc_blk,
+        "cac_blk": cac_blk, "is_intra": is_intra, "is_i4_f": is_i4_f,
+        "i4_modes": (i4_modes.reshape(-1, 16) if i4 else None),
+        "i16_mode": i16_mode, "chroma_mode": chroma_mode,
+        "refidx": refidx, "part_mode": part_mode,
+        "recon_y": recon_y, "recon_u": recon_u, "recon_v": recon_v,
+        "nnz_l": nnz_l, "mv_field": mv_field, "mv4_grid": mv4_out,
+        "ref_grid": ref_grid, "nr_sums": nr_sums,
+        "satd_cost": satd_cost,
+        # host-stat scalars (computed in-program so the staged path
+        # never issues eager per-frame reductions)
+        "skip_n": jnp.sum(skip), "intra_n": jnp.sum(is_intra_f),
+        "i4_n": jnp.sum(is_i4_f),
+        "p16x8_n": jnp.sum((part_mode == 1) & ~is_intra_f),
+        "p8x16_n": jnp.sum((part_mode == 2) & ~is_intra_f),
+        "p8x8_n": jnp.sum((part_mode == 3) & ~is_intra_f),
+        "inter_mask": (~is_intra) & (ref_grid == 0),
+    }
+
+
+def p_commit_core(y, u, v, ref_cuv_pad, ref1_cuv_pad,
+                  inter_cost, pred_y, mvq, part_mode, mv_parts, refidx,
+                  i16_mode, chroma_mode, i4_modes, use_i4, best_intra,
+                  qp_mb, qpc_mb, pir_band=None, nr_offset=None,
+                  trl_tabs=None, is_intra_override=None, *, mbw, mbh,
+                  partitions, p8x8, two_refs, i4, intra_in_p, pir, nr,
+                  trellis, decimate, use_pallas, me_range):
+    """Stages 4a+4b composed (the fused-program path)."""
+    xm = p_xfrm_core(
+        y, u, v, ref_cuv_pad, ref1_cuv_pad, inter_cost, pred_y, mvq,
+        part_mode, mv_parts, refidx, i16_mode, chroma_mode, i4_modes,
+        use_i4, best_intra, qp_mb, qpc_mb, pir_band, nr_offset,
+        trl_tabs, is_intra_override, mbw=mbw, mbh=mbh,
+        partitions=partitions, p8x8=p8x8, two_refs=two_refs, i4=i4,
+        intra_in_p=intra_in_p, pir=pir, nr=nr, trellis=trellis,
+        decimate=decimate, me_range=me_range)
+    return p_merge_core(y, u, v, qp_mb, qpc_mb, xm, mbw=mbw, mbh=mbh,
+                        partitions=partitions, p8x8=p8x8,
+                        two_refs=two_refs, i4=i4, intra_in_p=intra_in_p,
+                        use_pallas=use_pallas)
+
+
+def p_effqp_core(cm, slice_qp, *, mbw, mbh):
+    """Decoder-carried per-MB QP for the CABAC/host path: MBs that parse
+    mb_qp_delta update QP_prev — inter MBs with cbp>0, every I16 MB (dqp
+    always coded), and I4 MBs only with residual."""
+    n = mbw * mbh
+    is_intra_f = cm["is_intra"].reshape(-1)
+    has_resid = (((cm["cbp_luma"] > 0) | (cm["cbp_chroma"] > 0))
+                 & ~cm["skip"]) | (is_intra_f & ~cm["is_i4_f"])
+    idxs = jnp.arange(n, dtype=jnp.int32)
+    last_r = jax.lax.cummax(jnp.where(has_resid, idxs, -1))
+    prev_r = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
+                              last_r[:-1]])
+    prev_qp = jnp.where(prev_r >= 0, cm["qp"][jnp.maximum(prev_r, 0)],
+                        slice_qp)
+    return jnp.where(has_resid, cm["qp"], prev_qp)
+
+
+def p_decisions_core(cm, slice_qp, *, mbw, mbh):
+    """Stage (CABAC path): decoder-carried qp + the narrow decision
+    dict, one program so the staged path issues a single dispatch."""
+    eff_qp = p_effqp_core(cm, slice_qp, mbw=mbw, mbh=mbh)
+    return p_decisions_dict(cm, eff_qp, mbw=mbw, mbh=mbh), eff_qp
+
+
+def p_decisions_dict(cm, eff_qp, *, mbw, mbh):
+    """Decision/level tensors for the host C++ CABAC writer."""
+    n = mbw * mbh
+    zig = jnp.asarray(ZIGZAG4_FRAME)
+    i4m = cm["i4_modes"]
+    # level/mv tensors travel device->host for the C++ writer; int16 is
+    # lossless for 8-bit streams (dctcoef is int16 in the reference
+    # too) and HALVES the transfer, which rides the axon tunnel
+    i16 = jnp.int16
+    return {
+        "skip": cm["skip"], "mvd": cm["mvd"].astype(i16),
+        "cbp_luma": cm["cbp_luma"].astype(jnp.uint8),
+        "cbp_chroma": cm["cbp_chroma"].astype(jnp.uint8),
+        "qp": cm["qp"].astype(jnp.uint8),
+        "luma_z": cm["lv"].reshape(n, 16, 16)[:, :, zig].astype(i16),
+        "cdc": cm["cdc_blk"].reshape(n, 2, 4).astype(i16),
+        "cac_z": cm["cac_blk"].reshape(n, 2, 4, 16)[:, :, :, zig]
+        .astype(i16),
+        "is_intra": cm["is_intra"].reshape(-1),
+        "i16_mode": cm["i16_mode"].reshape(-1).astype(jnp.uint8),
+        "chroma_mode": cm["chroma_mode"].reshape(-1).astype(jnp.uint8),
+        "luma_dc_z": cm["dc_blk"].reshape(n, 16)[:, zig].astype(i16),
+        "part_mode": cm["part_mode"].astype(jnp.uint8),
+        "mvd2": cm["mvd2"].astype(i16),
+        "mvd23": cm["mvd23"].astype(i16),
+        "is_i4": cm["is_i4_f"],
+        "i4_modes": (i4m.astype(jnp.uint8) if i4m is not None
+                     else jnp.zeros((n, 16), jnp.uint8)),
+        "refidx": cm["refidx"].astype(jnp.uint8),
+    }
+
+
+def p_deblock_core(recon_y, recon_u, recon_v, is_intra, nnz_l, mv,
+                   eff_qp, ref_grid=None, *, mbw, mbh, partitions,
+                   two_refs, a_off, b_off, cqpo):
+    """Stage 6: in-loop deblocking (strengths + wavefront filter)."""
+    from ..ops.deblock import compute_strengths, deblock_frame
+    nnz4 = nnz_l.reshape(mbh, mbw, 4, 4).transpose(0, 2, 1, 3) \
+        .reshape(mbh * 4, mbw * 4).astype(jnp.int32)
+    bs_v, bs_h = compute_strengths(
+        is_intra, nnz4, mv, mbw=mbw, mbh=mbh,
+        ref_mb=ref_grid if two_refs else None)
+    return deblock_frame(
+        recon_y, recon_u, recon_v, bs_v, bs_h,
+        eff_qp.reshape(mbh, mbw), mbw=mbw, mbh=mbh,
+        a_off=a_off, b_off=b_off, chroma_qp_offset=cqpo)
+
+
+def _p_pipeline(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
+                qp_mb, qpc_mb, slice_qp, lam,
+                pir_cap, pir_band, ref1_y_pad, ref1_hpel, ref1_cuv_pad,
+                ref1_valid, nr_offset, trl_tabs, wp_w, wp_o,
+                *, mbw, mbh, cap_words, me_range, deblock, a_off, b_off,
+                cqpo, decimate, entropy, intra_in_p, partitions, pir,
+                me_seeded, nr, use_pallas, i4, trellis, two_refs, p8x8,
+                rd, stage_jit):
+    """The shared P-frame pipeline. stage_jit=False composes the cores
+    inline (one fused program when the caller jits); stage_jit=True
+    dispatches each core through its module-level jit wrapper (the
+    staged single-stream path)."""
+    from ..entropy.cavlc_jax import encode_pframe_entropy_dev
+    n = mbw * mbh
+
+    # ---- stage 1+2: motion (fullpel -> subpel -> ref select) ----
+    weighted = two_refs or (wp_w is not None)
+    from .stagewarm import stage as _st
+    fp = _st(p_stage_fullpel) if stage_jit else _p_fullpel_multi
+    sp = _st(p_stage_subpel) if stage_jit else _p_subpel_multi
+    mvs, mvp_est = fp(y, ref_y_pad, ref1_y_pad, lam,
+                      pir_cap if pir else None,
+                      me_range=me_range, shapes=partitions,
+                      me_seeded=me_seeded, two_refs=two_refs)
+    use_rd = rd and partitions
+    (inter_cost, pred_y, mvq, part_mode, mv_parts, refidx, cands) = sp(
+        y, ref_hpel, ref1_hpel, mvs, mvp_est, lam, wp_w, wp_o,
+        ref1_valid,
+        me_range=me_range, partitions=partitions, p8x8=p8x8,
+        two_refs=two_refs, weighted=weighted, return_cands=use_rd)
+    # ---- stage 3: intra candidate ----
+    if intra_in_p:
+        it = _st(p_stage_intra) if stage_jit else p_intra_core
+        (i16_mode, chroma_mode, i4_modes, use_i4,
+         best_intra) = it(y, u, v, qp_mb, i4=i4)
+    else:
+        i16_mode = chroma_mode = i4_modes = use_i4 = None
+        best_intra = jnp.zeros((mbh, mbw), jnp.int32)
+
+    is_intra_rd = None
+    if use_rd:
+        # subme>=7 RD tier (rdo.c:162 / analyse.c:3064): re-rank the
+        # partition shape AND the intra-vs-inter decision by true
+        # SSD + lambda2*bits
+        rdf = _st(p_stage_rd) if stage_jit else p_rd_core
+        mvp_for_rd = mvp_est[0] if two_refs else mvp_est
+        part_mode, pred_y, mv_parts, is_intra_rd = rdf(
+            y, cands[0], cands[1], mvp_for_rd, qp_mb,
+            (ref1_valid if two_refs else jnp.asarray(False)),
+            i16_mode,
+            mbw=mbw, mbh=mbh, p8x8=p8x8, two_refs=two_refs,
+            intra_rd=intra_in_p)
+
+    # ---- stage 4a: transform  /  4b: wavefront merge + cbp/skip ----
+    xf = _st(p_stage_xfrm) if stage_jit else p_xfrm_core
+    xm = xf(y, u, v, ref_cuv_pad, ref1_cuv_pad,
+            inter_cost, pred_y, mvq, part_mode, mv_parts, refidx,
+            i16_mode, chroma_mode, i4_modes, use_i4, best_intra,
+            qp_mb, qpc_mb, pir_band, nr_offset, trl_tabs, is_intra_rd,
+            mbw=mbw, mbh=mbh, partitions=partitions, p8x8=p8x8,
+            two_refs=two_refs, i4=i4, intra_in_p=intra_in_p, pir=pir,
+            nr=nr, trellis=trellis, decimate=decimate,
+            me_range=me_range)
+    mg = _st(p_stage_merge) if stage_jit else p_merge_core
+    cm = mg(y, u, v, qp_mb, qpc_mb, xm, mbw=mbw, mbh=mbh,
+            partitions=partitions, p8x8=p8x8, two_refs=two_refs, i4=i4,
+            intra_in_p=intra_in_p, use_pallas=use_pallas)
+
+    # ---- stage 5: entropy ----
+    qp = cm["qp"]
+    is_intra_f = cm["is_intra"].reshape(-1)
     if entropy:
-        words, total_bits, eff_qp = encode_pframe_entropy_dev(
-            skip, mvd, cbp_luma, cbp_chroma, qp, slice_qp,
-            lv.reshape(n, 16, 4, 4), cdc_blk, cac_blk,
-            mbw=mbw, mbh=mbh, cap_words=cap_words,
-            is_intra=is_intra_f, i16_mode=i16_mode.reshape(-1),
-            chroma_mode=chroma_mode.reshape(-1), luma_dc=dc_blk,
-            part_mode=part_mode, mvd2=mvd2, mvd23=mvd23,
-            is_i4=is_i4_f if i4 else None,
-            i4_modes=(i4_modes.reshape(-1, 16) if i4 else None),
-            refidx=refidx, two_refs=two_refs,
+        ent = (_st(encode_pframe_entropy_dev) if stage_jit
+               else encode_pframe_entropy_dev)
+        words, total_bits, eff_qp = ent(
+            cm["skip"], cm["mvd"], cm["cbp_luma"], cm["cbp_chroma"],
+            qp, slice_qp, cm["lv"].reshape(n, 16, 4, 4), cm["cdc_blk"],
+            cm["cac_blk"], mbw=mbw, mbh=mbh, cap_words=cap_words,
+            is_intra=is_intra_f, i16_mode=cm["i16_mode"].reshape(-1),
+            chroma_mode=cm["chroma_mode"].reshape(-1),
+            luma_dc=cm["dc_blk"], part_mode=cm["part_mode"],
+            mvd2=cm["mvd2"], mvd23=cm["mvd23"],
+            is_i4=cm["is_i4_f"] if i4 else None,
+            i4_modes=cm["i4_modes"] if i4 else None,
+            refidx=cm["refidx"], two_refs=two_refs,
             two_refs_live=ref1_valid)
     else:
-        # decoder-carried QP: MBs that parse mb_qp_delta update QP_prev —
-        # inter MBs with cbp>0, every I16 MB (dqp always coded), and I4
-        # MBs only with residual
-        has_resid = (((cbp_luma > 0) | (cbp_chroma > 0)) & ~skip) \
-            | (is_intra_f & ~is_i4_f)
-        idxs = jnp.arange(n, dtype=jnp.int32)
-        last_r = jax.lax.cummax(jnp.where(has_resid, idxs, -1))
-        prev_r = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
-                                  last_r[:-1]])
-        prev_qp = jnp.where(prev_r >= 0, qp[jnp.maximum(prev_r, 0)],
-                            slice_qp)
-        eff_qp = jnp.where(has_resid, qp, prev_qp)
-        zig = jnp.asarray(ZIGZAG4_FRAME)
-        decisions = {
-            "skip": skip, "mvd": mvd, "cbp_luma": cbp_luma,
-            "cbp_chroma": cbp_chroma, "qp": qp,
-            "luma_z": lv.reshape(n, 16, 16)[:, :, zig],
-            "cdc": cdc_blk.reshape(n, 2, 4),
-            "cac_z": cac_blk.reshape(n, 2, 4, 16)[:, :, :, zig],
-            "is_intra": is_intra_f,
-            "i16_mode": i16_mode.reshape(-1),
-            "chroma_mode": chroma_mode.reshape(-1),
-            "luma_dc_z": dc_blk.reshape(n, 16)[:, zig],
-            "part_mode": part_mode, "mvd2": mvd2, "mvd23": mvd23,
-            "is_i4": is_i4_f,
-            "i4_modes": (i4_modes.reshape(-1, 16) if i4 else
-                         jnp.zeros((n, 16), jnp.int32)),
-            "refidx": refidx,
-        }
-        words, total_bits = decisions, None
+        dq = _st(p_stage_decisions) if stage_jit else p_decisions_core
+        words, eff_qp = dq(cm, slice_qp, mbw=mbw, mbh=mbh)
+        total_bits = None
+
+    # ---- stage 6: deblock ----
+    recon_y, recon_u, recon_v = cm["recon_y"], cm["recon_u"], cm["recon_v"]
     if deblock:
-        from ..ops.deblock import compute_strengths, deblock_frame
-        nnz4 = nnz_l.reshape(mbh, mbw, 4, 4).transpose(0, 2, 1, 3) \
-            .reshape(mbh * 4, mbw * 4).astype(jnp.int32)
-        bs_v, bs_h = compute_strengths(
-            is_intra, nnz4,
-            mv4_grid if partitions else mv_field,
-            mbw=mbw, mbh=mbh,
-            ref_mb=ref_grid if two_refs else None)
-        recon_y, recon_u, recon_v = deblock_frame(
-            recon_y, recon_u, recon_v, bs_v, bs_h,
-            eff_qp.reshape(mbh, mbw), mbw=mbw, mbh=mbh,
-            a_off=a_off, b_off=b_off, chroma_qp_offset=cqpo)
-    if mv4_grid is None:
-        mv4_grid = jnp.repeat(jnp.repeat(mv_field, 4, axis=0), 4, axis=1)
-    stats = {"nr_sums": nr_sums, "skip": jnp.sum(skip),
-             "satd": satd_cost,
-             "intra": jnp.sum(is_intra_f),
-             "i4": jnp.sum(is_i4_f),
-             "p16x8": jnp.sum((part_mode == 1) & ~is_intra_f),
-             "p8x16": jnp.sum((part_mode == 2) & ~is_intra_f),
-             "p8x8": jnp.sum((part_mode == 3) & ~is_intra_f),
+        db = _st(p_stage_deblock) if stage_jit else p_deblock_core
+        recon_y, recon_u, recon_v = db(
+            recon_y, recon_u, recon_v, cm["is_intra"], cm["nnz_l"],
+            cm["mv4_grid"] if partitions else cm["mv_field"], eff_qp,
+            cm["ref_grid"], mbw=mbw, mbh=mbh, partitions=partitions,
+            two_refs=two_refs, a_off=a_off, b_off=b_off, cqpo=cqpo)
+
+    stats = {"nr_sums": cm["nr_sums"], "skip": cm["skip_n"],
+             "satd": cm["satd_cost"],
+             "intra": cm["intra_n"], "i4": cm["i4_n"],
+             "p16x8": cm["p16x8_n"], "p8x16": cm["p8x16_n"],
+             "p8x8": cm["p8x8_n"],
              # colocated fields for B spatial direct (mvpred.c:290):
              # per-MB MV (part 0), the 4x4-granular field (partitioned
              # colocated MBs drive per-quadrant colZero), inter(ref0)
              # mask — colZero (8.4.1.2.2) requires refIdxCol == 0, so
              # ref-1 MBs are excluded from the mask
-             "mvf": mv_field, "mvf4": mv4_grid,
-             "inter_mask": (~is_intra) & (ref_grid == 0)}
+             "mvf": cm["mv_field"], "mvf4": cm["mv4_grid"],
+             "inter_mask": cm["inter_mask"]}
     return words, total_bits, (recon_y, recon_u, recon_v), stats
+
+
+# ---- stage jit wrappers (single-stream path; warmed concurrently by
+# Encoder.precompile — see p_stage_warmers) ----
+
+def _p_fullpel_multi(y, ref_pad0, ref_pad1, lam, pir_cap=None, *,
+                     me_range, shapes, me_seeded, two_refs):
+    if two_refs:
+        ref_pads = jnp.stack([ref_pad0, ref_pad1])
+        return jax.vmap(lambda rp: p_fullpel_core(
+            y, rp, lam, pir_cap, me_range=me_range, shapes=shapes,
+            me_seeded=me_seeded))(ref_pads)
+    return p_fullpel_core(y, ref_pad0, lam, pir_cap, me_range=me_range,
+                          shapes=shapes, me_seeded=me_seeded)
+
+
+def _p_subpel_multi(y, hpel0, hpel1, mvs, mvp_est, lam, wp_w, wp_o,
+                    ref1_valid=None, *, me_range, partitions, p8x8,
+                    two_refs, weighted, return_cands=False):
+    id_w = jnp.asarray(128, jnp.int32)
+    id_o = jnp.asarray(0, jnp.int32)
+    if two_refs:
+        hpels = jnp.stack([hpel0, hpel1])
+        w2 = jnp.stack([wp_w if wp_w is not None else id_w, id_w])
+        o2 = jnp.stack([wp_o if wp_o is not None else id_o, id_o])
+        rr = jax.vmap(lambda hp, mv, mp, w, o: p_subpel_core(
+            y, hp, mv, mp, lam, w, o, me_range=me_range,
+            partitions=partitions, p8x8=p8x8, weighted=True,
+            return_cands=return_cands))(hpels, mvs, mvp_est, w2, o2)
+        r0 = {k: val[0] for k, val in rr.items()}
+        r1 = {k: val[1] for k, val in rr.items()}
+        return p_me_select(r0, r1, ref1_valid)
+    r0 = p_subpel_core(y, hpel0, mvs, mvp_est, lam,
+                       wp_w if wp_w is not None else id_w,
+                       wp_o if wp_o is not None else id_o,
+                       me_range=me_range, partitions=partitions,
+                       p8x8=p8x8, weighted=weighted,
+                       return_cands=return_cands)
+    n = r0["cost"].shape[0]
+    cands = ((r0["cand_pred"], r0["cand_mv"])
+             if return_cands else None)
+    return (r0["cost"], r0["pred_y"], r0["mvq"], r0["part_mode"],
+            r0["mv_parts"], jnp.zeros((n,), jnp.int32), cands)
+
+
+p_stage_fullpel = partial(jax.jit, static_argnames=(
+    "me_range", "shapes", "me_seeded", "two_refs"))(_p_fullpel_multi)
+p_stage_subpel = partial(jax.jit, static_argnames=(
+    "me_range", "partitions", "p8x8", "two_refs", "weighted",
+    "return_cands"))(_p_subpel_multi)
+p_stage_intra = partial(jax.jit, static_argnames=("i4",))(p_intra_core)
+p_stage_xfrm = partial(jax.jit, static_argnames=(
+    "mbw", "mbh", "partitions", "p8x8", "two_refs", "i4", "intra_in_p",
+    "pir", "nr", "trellis", "decimate", "me_range"))(p_xfrm_core)
+p_stage_merge = partial(jax.jit, static_argnames=(
+    "mbw", "mbh", "partitions", "p8x8", "two_refs", "i4", "intra_in_p",
+    "use_pallas"))(p_merge_core)
+p_stage_decisions = partial(jax.jit, static_argnames=("mbw", "mbh"))(
+    p_decisions_core)
+p_stage_deblock = partial(jax.jit, static_argnames=(
+    "mbw", "mbh", "partitions", "two_refs", "a_off", "b_off",
+    "cqpo"))(p_deblock_core)
+
+
+@partial(jax.jit, static_argnames=("mbw", "mbh", "cap_words", "me_range",
+                                   "deblock", "a_off", "b_off", "cqpo",
+                                   "decimate", "entropy", "intra_in_p",
+                                   "partitions", "pir", "me_seeded",
+                                   "nr", "use_pallas", "i4", "trellis",
+                                   "two_refs", "p8x8", "rd"))
+def encode_pframe_device(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
+                         qp_mb, qpc_mb, slice_qp, lam,
+                         pir_cap=None, pir_band=None,
+                         ref1_y_pad=None, ref1_hpel=None,
+                         ref1_cuv_pad=None,
+                         ref1_valid=None,
+                         *, mbw, mbh, cap_words, me_range, deblock=False,
+                         a_off=0, b_off=0, cqpo=0, decimate=True,
+                         entropy=True, intra_in_p=True, partitions=False,
+                         pir=False, me_seeded=False, nr=False,
+                         nr_offset=None, use_pallas=False, i4=False,
+                         wp_w=None, wp_o=None, trellis=False,
+                         trl_tabs=None, two_refs=False, p8x8=False,
+                         rd=False):
+    """Fused P-frame device pass: ME -> intra-vs-inter decision ->
+    MVP/skip -> MC -> transform (+ mixed wavefront commit when any MB
+    goes intra) -> entropy -> packed payload. Returns (words, total_bits,
+    recon, stats). ONE program — used where an outer jit wraps the whole
+    frame step (farm vmap, mesh shard_map). The single-stream encoder
+    uses encode_pframe_staged instead (same math, per-stage programs).
+
+    The intra candidate mirrors the reference's always-evaluated
+    I16x16-in-P (analyse.c:2939): mode costs from source neighbors (the
+    same two-phase approximation as I frames), exact reconstruction with
+    true mixed neighbors via the skewed wavefront (intra.commit path),
+    taken only when any MB actually chose intra (lax.cond).
+
+    With entropy=False (CABAC path) the device CAVLC stage is skipped and
+    the decision/level tensors are returned for the host C++ CABAC writer:
+    (decisions_dict, recon, stats).
+
+    ref1_valid (traced bool scalar, two_refs only): False masks the
+    second reference off — selection sticks to ref 0 and no te() ref_idx
+    bits are emitted — so the SAME compiled program serves both the
+    first-P-after-IDR (1 usable ref) and steady-state (2 refs) frames
+    instead of tracing two ~2-minute XLA programs (r4 verdict item 4)."""
+    return _p_pipeline(
+        y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad, qp_mb, qpc_mb,
+        slice_qp, lam, pir_cap, pir_band, ref1_y_pad, ref1_hpel,
+        ref1_cuv_pad, ref1_valid, nr_offset, trl_tabs, wp_w, wp_o,
+        mbw=mbw, mbh=mbh, cap_words=cap_words, me_range=me_range,
+        deblock=deblock, a_off=a_off, b_off=b_off, cqpo=cqpo,
+        decimate=decimate, entropy=entropy, intra_in_p=intra_in_p,
+        partitions=partitions, pir=pir, me_seeded=me_seeded, nr=nr,
+        use_pallas=use_pallas, i4=i4, trellis=trellis,
+        two_refs=two_refs, p8x8=p8x8, rd=rd, stage_jit=False)
+
+
+def encode_pframe_staged(y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad,
+                         qp_mb, qpc_mb, slice_qp, lam,
+                         pir_cap=None, pir_band=None,
+                         ref1_y_pad=None, ref1_hpel=None,
+                         ref1_cuv_pad=None,
+                         ref1_valid=None,
+                         *, mbw, mbh, cap_words, me_range, deblock=False,
+                         a_off=0, b_off=0, cqpo=0, decimate=True,
+                         entropy=True, intra_in_p=True, partitions=False,
+                         pir=False, me_seeded=False, nr=False,
+                         nr_offset=None, use_pallas=False, i4=False,
+                         wp_w=None, wp_o=None, trellis=False,
+                         trl_tabs=None, two_refs=False, p8x8=False,
+                         rd=False):
+    """The staged twin of encode_pframe_device: same inputs, same
+    outputs, but each pipeline stage runs under its own jit so the
+    programs compile independently (concurrent warmup; no superlinear
+    whole-program XLA optimization cost). Host Python between stages is
+    free: dispatch is async, so the device queue stays full."""
+    return _p_pipeline(
+        y, u, v, ref_y_pad, ref_hpel, ref_cuv_pad, qp_mb, qpc_mb,
+        slice_qp, lam, pir_cap, pir_band, ref1_y_pad, ref1_hpel,
+        ref1_cuv_pad, ref1_valid, nr_offset, trl_tabs, wp_w, wp_o,
+        mbw=mbw, mbh=mbh, cap_words=cap_words, me_range=me_range,
+        deblock=deblock, a_off=a_off, b_off=b_off, cqpo=cqpo,
+        decimate=decimate, entropy=entropy, intra_in_p=intra_in_p,
+        partitions=partitions, pir=pir, me_seeded=me_seeded, nr=nr,
+        use_pallas=use_pallas, i4=i4, trellis=trellis,
+        two_refs=two_refs, p8x8=p8x8, rd=rd, stage_jit=True)
 
 
 def cabac_finalize_pframe(enc, decisions, qp_mb, slice_qp, sh,
@@ -1354,10 +1840,16 @@ def dispatch_pframe(enc, planes, ftype, qp, ref_tag=None, tree_off=None,
     ref1_valid = ref1 is not None
     if two_refs_prog and ref1 is None:
         ref1 = ref
-    # weighted prediction (x264 --weightp): fit on this frame vs its ref
+    # weighted prediction (x264 --weightp): fit on this frame vs its
+    # ref's SOURCE plane (reference slicetype.c:284 weights_analyse uses
+    # fenc, not recon) — host numpy, so the fit neither syncs on the
+    # previous frame's device work (it would collapse the 1-deep frame
+    # pipe: in-order device queues) nor costs a tunnel round-trip
     wp = None
     if enc.p.analyse.weighted_pred > 0:
-        wp = weightp_analyse(y, ref["y_pad"])
+        src_ref = getattr(enc, "_src_luma", {}).get(ref["tag"])
+        if src_ref is not None:
+            wp = weightp_analyse_host(np.asarray(planes[0]), src_ref)
         # ref 1 keeps implicit unity weights (luma_weight_l0_flag = 0)
         sh.weight_l0 = [wp] + ([None] if ref1_valid else [])
         if wp is not None:
@@ -1407,7 +1899,7 @@ def dispatch_pframe(enc, planes, ftype, qp, ref_tag=None, tree_off=None,
                 cap = np.where((cols < start_col) & guard, lim, cap)
             pir_cap = jnp.asarray(
                 np.broadcast_to(cap, (mbh, mbw)).astype(np.int32))
-        words, total_bits, recon, stats = encode_pframe_device(
+        words, total_bits, recon, stats = encode_pframe_staged(
             y, u, v, ref["y_pad"], ref["hpel"], ref["cuv_pad"],
             qp_mb, qpc_mb, qp_try, lam,
             pir_cap=pir_cap, pir_band=pir_band, pir=pir is not None,
@@ -1437,7 +1929,9 @@ def dispatch_pframe(enc, planes, ftype, qp, ref_tag=None, tree_off=None,
             i4=bool(enc.p.analyse.intra & ANALYSE_I4x4),
             wp_w=jnp.asarray(wp[0] if wp else 128, jnp.int32),
             wp_o=jnp.asarray(wp[1] if wp else 0, jnp.int32),
-            trellis=use_trellis, trl_tabs=trl_tabs)
+            trellis=use_trellis, trl_tabs=trl_tabs,
+            # subme>=7: RD partition re-rank (analyse.c:3064 tier)
+            rd=enc.p.analyse.subpel_refine >= 7)
         enc._pending_ref_fields = {"mvf": stats["mvf"],
                                    "mvf4": stats["mvf4"],
                                    "inter_mask": stats["inter_mask"]}
@@ -1512,6 +2006,32 @@ def _weightp_sads(y, ref_y_pad, w, o):
                   mc.PAD:mc.PAD + W:4].astype(jnp.int32)
     rw = jnp.clip(((r * w + 64) >> 7) + o, 0, 255)
     return (jnp.sum(jnp.abs(c - r)), jnp.sum(jnp.abs(c - rw)))
+
+
+def weightp_analyse_host(y, ref_y):
+    """Host-numpy weight fit (see weightp_analyse; same math, source
+    reference plane, 4x4 subsampled)."""
+    c = y[::4, ::4].astype(np.float32)
+    r = ref_y[::4, ::4].astype(np.float32)
+    mcur = float(c.mean())
+    mref = float(r.mean())
+    cov = float(((c - mcur) * (r - mref)).mean())
+    var = float(((r - mref) ** 2).mean())
+    scale = cov / max(var, 1.0)
+    w = int(round(scale * 128))
+    o = int(round(mcur - (w / 128.0) * mref))
+    if w == 128 and -1 <= o <= 1:
+        return None
+    w = max(-127, min(127, w))
+    o = max(-128, min(127, o))
+    ci = c.astype(np.int32)
+    ri = r.astype(np.int32)
+    rw = np.clip(((ri * w + 64) >> 7) + o, 0, 255)
+    sad_u = int(np.abs(ci - ri).sum())
+    sad_w = int(np.abs(ci - rw).sum())
+    if sad_w * 100 >= sad_u * 98:          # demand a >=2% SAD win
+        return None
+    return (w, o)
 
 
 def weightp_analyse(y, ref_y_pad):

@@ -644,6 +644,140 @@ def analyze_iframe_device(y, u, v, qp_mb, qpc_mb, slice_qp, *, mbw, mbh,
             i4_modes.reshape(n, 16))
 
 
+# ---------------------------------------------------------------------
+# Staged I-frame pipeline (r4 verdict item 4: compile time). Same math
+# as encode_iframe_device / analyze_iframe_device, but each stage under
+# its own jit so the programs compile independently and
+# Encoder.precompile can warm them CONCURRENTLY (encoder/stagewarm.py).
+# ---------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("i4",))
+def i_stage_decide(y, u, v, qp_mb, *, i4):
+    """Stage: intra mode decision at per-MB lambda (analyse.c:668)."""
+    lam_mb = jnp.maximum(
+        1, jnp.round(2.0 ** ((qp_mb - 12) / 6.0))).astype(jnp.int32)
+    i16_mode, chroma_mode, satd_cost, i16_cost = decide_modes_full(
+        y, u, v, lam=lam_mb)
+    if i4:
+        i4_modes, i4_cost = decide_modes_i4(y, lam=lam_mb)
+        i4_mask = i4_cost < i16_cost
+    else:
+        mbh, mbw = qp_mb.shape
+        i4_mask = jnp.zeros((mbh, mbw), bool)
+        i4_modes = jnp.zeros((mbh, mbw, 16), jnp.int32)
+    return i16_mode, chroma_mode, satd_cost, i4_mask, i4_modes
+
+
+@partial(jax.jit, static_argnames=("mbw", "mbh", "use_pallas", "with_i4"))
+def i_stage_commit(y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
+                   i4_mask=None, i4_modes=None, *, mbw, mbh, use_pallas,
+                   with_i4):
+    """Stage: wavefront commit (exact recon + levels)."""
+    if with_i4:
+        return commit_dispatch(y, u, v, i16_mode, chroma_mode, qp_mb,
+                               qpc_mb, mbw, mbh, use_pallas=use_pallas,
+                               i4_mask=i4_mask, i4_modes=i4_modes)
+    return commit_dispatch(y, u, v, i16_mode, chroma_mode, qp_mb,
+                           qpc_mb, mbw, mbh, use_pallas=use_pallas)
+
+
+@partial(jax.jit, static_argnames=("mbw", "mbh", "a_off", "b_off",
+                                   "cqpo"))
+def i_stage_deblock(ry, ru, rv, eff_qp, *, mbw, mbh, a_off, b_off, cqpo):
+    """Stage: all-intra in-loop deblock (MB edges strong)."""
+    from ..ops.deblock import deblock_frame
+    bs = jnp.full((mbh, mbw, 4, 4), 3, jnp.int32)
+    bs = bs.at[:, :, 0, :].set(4)
+    return deblock_frame(ry, ru, rv, bs, bs, eff_qp.reshape(mbh, mbw),
+                         mbw=mbw, mbh=mbh, a_off=a_off, b_off=b_off,
+                         chroma_qp_offset=cqpo)
+
+
+@partial(jax.jit, static_argnames=("mbw", "mbh"))
+def i_stage_pack_cabac(coeffs, i4_mask, qp_mb, slice_qp, *, mbw, mbh):
+    """Stage: decoder-carried qp chain + zigzag packing for the host
+    C++ CABAC writer (mirrors the tail of analyze_iframe_device)."""
+    n = mbw * mbh
+    qp_flat = qp_mb.reshape(-1)
+    luma_any = (coeffs["ac"].reshape(n, -1) != 0).any(axis=1)
+    chroma_any = ((coeffs["udc"].reshape(n, -1) != 0).any(axis=1)
+                  | (coeffs["vdc"].reshape(n, -1) != 0).any(axis=1)
+                  | (coeffs["uac"].reshape(n, -1) != 0).any(axis=1)
+                  | (coeffs["vac"].reshape(n, -1) != 0).any(axis=1))
+    has_dqp = (~i4_mask.reshape(-1)) | luma_any | chroma_any
+    idxs = jnp.arange(n, dtype=jnp.int32)
+    last_d = jax.lax.cummax(jnp.where(has_dqp, idxs, -1))
+    prev_d = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
+                              last_d[:-1]])
+    prev_qp = jnp.where(prev_d >= 0, qp_flat[jnp.maximum(prev_d, 0)],
+                        slice_qp)
+    eff_qp = jnp.where(has_dqp, qp_flat, prev_qp)
+    zig = jnp.asarray(ZIGZAG4_FRAME)
+    dc_z = coeffs["dc"].reshape(n, 16)[:, zig]
+    ac_z = coeffs["ac"].reshape(n, 16, 16)[:, :, zig]
+    cdc = jnp.stack([coeffs["udc"], coeffs["vdc"]],
+                    axis=1).reshape(n, 2, 4)
+    cac = jnp.stack([coeffs["uac"], coeffs["vac"]],
+                    axis=1).reshape(n, 2, 4, 16)[:, :, :, zig]
+    return dc_z, ac_z, cdc, cac, eff_qp
+
+
+def encode_iframe_staged(y, u, v, qp_mb, qpc_mb, slice_qp, *, mbw, mbh,
+                         cap_words, deblock=False, a_off=0, b_off=0,
+                         cqpo=0, use_pallas=False, i4=False):
+    """Staged twin of encode_iframe_device (same outputs)."""
+    from ..entropy.cavlc_jax import encode_i16x16_frame_dev
+    from .stagewarm import stage as _st
+    i16_mode, chroma_mode, satd_cost, i4_mask, i4_modes = \
+        _st(i_stage_decide)(y, u, v, qp_mb, i4=i4)
+    coeffs, recon = _st(i_stage_commit)(
+        y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
+        i4_mask if i4 else None, i4_modes if i4 else None,
+        mbw=mbw, mbh=mbh, use_pallas=use_pallas, with_i4=i4)
+    dc_blk = coeffs["dc"]
+    ac_blk = coeffs["ac"]
+    cdc_blk = jnp.stack([coeffs["udc"], coeffs["vdc"]], axis=1)
+    cac_blk = jnp.stack([coeffs["uac"], coeffs["vac"]], axis=1)
+    qp_flat = qp_mb.reshape(-1)
+    words, total_bits, eff_qp = _st(encode_i16x16_frame_dev)(
+        i16_mode.reshape(-1), chroma_mode.reshape(-1), qp_flat,
+        slice_qp, dc_blk, ac_blk, cdc_blk, cac_blk,
+        mbw=mbw, mbh=mbh, cap_words=cap_words,
+        is_i4=(i4_mask.reshape(-1) if i4 else None),
+        i4_modes=(i4_modes.reshape(-1, 16) if i4 else None))
+    if deblock:
+        recon = _st(i_stage_deblock)(
+            recon[0], recon[1], recon[2], eff_qp, mbw=mbw, mbh=mbh,
+            a_off=a_off, b_off=b_off, cqpo=cqpo)
+    n_i4 = (jnp.sum(i4_mask) if i4 else jnp.asarray(0, jnp.int32))
+    return words, total_bits, recon, satd_cost, n_i4
+
+
+def analyze_iframe_staged(y, u, v, qp_mb, qpc_mb, slice_qp, *, mbw, mbh,
+                          deblock=False, a_off=0, b_off=0, cqpo=0,
+                          use_pallas=False, i4=False):
+    """Staged twin of analyze_iframe_device (same outputs)."""
+    from .stagewarm import stage as _st
+    i16_mode, chroma_mode, satd_cost, i4_mask, i4_modes = \
+        _st(i_stage_decide)(y, u, v, qp_mb, i4=i4)
+    coeffs, recon = _st(i_stage_commit)(
+        y, u, v, i16_mode, chroma_mode, qp_mb, qpc_mb,
+        i4_mask if i4 else None, i4_modes if i4 else None,
+        mbw=mbw, mbh=mbh, use_pallas=use_pallas, with_i4=i4)
+    n = mbw * mbh
+    dc_z, ac_z, cdc, cac, eff_qp = _st(i_stage_pack_cabac)(
+        coeffs, i4_mask, qp_mb, slice_qp, mbw=mbw, mbh=mbh)
+    if deblock:
+        recon = _st(i_stage_deblock)(
+            recon[0], recon[1], recon[2], eff_qp, mbw=mbw, mbh=mbh,
+            a_off=a_off, b_off=b_off, cqpo=cqpo)
+    return (i16_mode.reshape(-1), chroma_mode.reshape(-1), dc_z, ac_z,
+            cdc, cac, recon, satd_cost, i4_mask.reshape(-1),
+            i4_modes.reshape(n, 16))
+
+
+
 def finalize_slice_cabac(enc, payload: bytes, sh, nal_type, ref_idc):
     """Slice header + cabac_alignment_one_bits + CABAC payload -> NAL."""
     bw = slice_header_write(sh, ref_idc)
@@ -706,7 +840,7 @@ def dispatch_iframe_cabac(enc, planes, ftype, qp, tree_off=None):
         qp_mb, qpc_mb = build_qp_maps(enc, y, u, v, qp_try, tree_off)
         from ..params import ANALYSE_I4x4
         (mode_m, mode_c, dc_z, ac_z, cdc, cac, recon,
-         satd_cost, is_i4, i4_modes) = analyze_iframe_device(
+         satd_cost, is_i4, i4_modes) = analyze_iframe_staged(
             y, u, v, qp_mb, qpc_mb, qp_try, mbw=mbw, mbh=mbh,
             deblock=enc.p.deblocking_filter,
             a_off=enc.p.deblocking_filter_alphac0 * 2,
@@ -808,7 +942,7 @@ def dispatch_iframe(enc, planes, ftype, qp, tree_off=None):
         cap_bpm = cap_bytes_per_mb(qp_try)
         cap_words = (mbw * mbh * cap_bpm) // 4
         from ..params import ANALYSE_I4x4
-        words, total_bits, recon, satd_cost, n_i4 = encode_iframe_device(
+        words, total_bits, recon, satd_cost, n_i4 = encode_iframe_staged(
             y, u, v, qp_mb, qpc_mb, qp_try,
             mbw=mbw, mbh=mbh, cap_words=cap_words,
             deblock=enc.p.deblocking_filter,

@@ -461,38 +461,19 @@ def _i4_mode_codes_dev(is_i4, i4_modes, mbh, mbw):
     return m_codes[:, zorder], m_lens[:, zorder]
 
 
-@partial(jax.jit, static_argnames=("mbw", "mbh", "cap_words", "two_refs"))
-def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
-                              slice_qp, luma_lv, cdc_blk, cac_blk,
-                              *, mbw: int, mbh: int, cap_words: int,
-                              is_intra=None, i16_mode=None,
-                              chroma_mode=None, luma_dc=None,
-                              part_mode=None, mvd2=None, mvd23=None,
-                              is_i4=None, i4_modes=None,
-                              refidx=None, two_refs: bool = False,
-                              two_refs_live=None):
-    """P-slice MB layer on device (P_L0_16x16/16x8/8x16/P_8x8 + P_Skip +
-    I16-in-P, 1 or 2 refs).
-
-    With two_refs, refidx [N] in {0,1} is coded te() (spec 9.1.1,
-    cMax=1: bit = !value) once per partition before the mvd pairs
-    (cavlc.c:510 both-partition loop); both partitions of an MB share
-    one reference here. two_refs_live (traced bool scalar) gates the
-    ref_idx bits at runtime so the first-P-after-IDR (l0_active = 1)
-    shares the compiled program with steady-state 2-ref frames.
-
-    skip [N] bool; mvd [N,2]; cbp_* [N]; luma_lv [N,16,4,4] (full 16-coeff
-    inter blocks / pos0-zeroed intra AC blocks, raster); cdc_blk
-    [N,2,2,2]; cac_blk [N,2,4,4,4]. Intra-in-P (spec mb_type 5..30 in P,
-    analyse.c:2939): is_intra [N] bool + i16_mode/chroma_mode [N] +
-    luma_dc [N,4,4] hadamard-domain DC levels. Partitions (spec table
-    7-13, cavlc.c:487 P branches): part_mode [N] 0=16x16 1=16x8 2=8x16
-    3=P_8x8 (= the mb_type ue code) with mvd2 [N,2] the second
-    partition's mvd and mvd23 [N,2,2] quadrants 2-3 (P_8x8 only; its
-    sub_mb_pred codes four sub_mb_type ue(0)=P_L0_8x8 bits, then all
-    ref_idx, then the four mvd pairs — spec 7.3.5.2).
-    Returns (words, total_bits, eff_qp) — eff_qp is the decoder-carried
-    per-MB QP (uncoded MBs inherit), needed by the deblock strength qp."""
+def _pframe_mb_codes(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
+                     slice_qp, luma_lv, cdc_blk, cac_blk,
+                     *, mbw: int, mbh: int,
+                     is_intra=None, i16_mode=None,
+                     chroma_mode=None, luma_dc=None,
+                     part_mode=None, mvd2=None, mvd23=None,
+                     is_i4=None, i4_modes=None,
+                     refidx=None, two_refs: bool = False,
+                     two_refs_live=None):
+    """P-slice MB layer element table: (codes [N,S], lens [N,S],
+    eff_qp [N], lvl_over scalar, trailing scalar). Shared by the packing
+    writer (encode_pframe_entropy_dev) and the RD tier (encoder/rdo.py),
+    which needs exact per-MB bit counts = lens.sum(1)."""
     n = mbw * mbh
     if part_mode is None:
         part_mode = jnp.zeros((n,), jnp.int32)
@@ -661,6 +642,63 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
     lens = jnp.concatenate([
         h_lens, dc_lens, l_lens.reshape(n, -1),
         cdc_lens.reshape(n, -1), cac_lens.reshape(n, -1)], axis=1)
+    # level overflow only matters for blocks that are actually written
+    lvl_over = (jnp.any(l_ov.reshape(n, 16) & (l_lens.sum(2) > 0))
+                | jnp.any(dc_ov.reshape(n) & (dc_lens.sum(1) > 0))
+                | jnp.any(cdc_ov.reshape(n, 2) & (cdc_lens.sum(2) > 0))
+                | jnp.any(cac_ov.reshape(n, 8) & (cac_lens.sum(2) > 0)))
+    return codes, lens, eff_qp, lvl_over, trailing
+
+
+def pframe_mb_bits(*args, **kwargs):
+    """Exact per-MB CAVLC bit counts [N] for one full-frame candidate
+    assignment — the RD tier's bit model (rdo.c:162 re-expressed: instead
+    of re-encoding one MB in isolation, the whole frame's element table
+    is built batched and summed per MB row)."""
+    _, lens, _, _, _ = _pframe_mb_codes(*args, **kwargs)
+    return jnp.sum(lens, axis=1)
+
+
+@partial(jax.jit, static_argnames=("mbw", "mbh", "cap_words", "two_refs"))
+def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
+                              slice_qp, luma_lv, cdc_blk, cac_blk,
+                              *, mbw: int, mbh: int, cap_words: int,
+                              is_intra=None, i16_mode=None,
+                              chroma_mode=None, luma_dc=None,
+                              part_mode=None, mvd2=None, mvd23=None,
+                              is_i4=None, i4_modes=None,
+                              refidx=None, two_refs: bool = False,
+                              two_refs_live=None):
+    """P-slice MB layer on device (P_L0_16x16/16x8/8x16/P_8x8 + P_Skip +
+    I16-in-P, 1 or 2 refs).
+
+    With two_refs, refidx [N] in {0,1} is coded te() (spec 9.1.1,
+    cMax=1: bit = !value) once per partition before the mvd pairs
+    (cavlc.c:510 both-partition loop); both partitions of an MB share
+    one reference here. two_refs_live (traced bool scalar) gates the
+    ref_idx bits at runtime so the first-P-after-IDR (l0_active = 1)
+    shares the compiled program with steady-state 2-ref frames.
+
+    skip [N] bool; mvd [N,2]; cbp_* [N]; luma_lv [N,16,4,4] (full 16-coeff
+    inter blocks / pos0-zeroed intra AC blocks, raster); cdc_blk
+    [N,2,2,2]; cac_blk [N,2,4,4,4]. Intra-in-P (spec mb_type 5..30 in P,
+    analyse.c:2939): is_intra [N] bool + i16_mode/chroma_mode [N] +
+    luma_dc [N,4,4] hadamard-domain DC levels. Partitions (spec table
+    7-13, cavlc.c:487 P branches): part_mode [N] 0=16x16 1=16x8 2=8x16
+    3=P_8x8 (= the mb_type ue code) with mvd2 [N,2] the second
+    partition's mvd and mvd23 [N,2,2] quadrants 2-3 (P_8x8 only; its
+    sub_mb_pred codes four sub_mb_type ue(0)=P_L0_8x8 bits, then all
+    ref_idx, then the four mvd pairs — spec 7.3.5.2).
+    Returns (words, total_bits, eff_qp) — eff_qp is the decoder-carried
+    per-MB QP (uncoded MBs inherit), needed by the deblock strength qp."""
+    n = mbw * mbh
+    codes, lens, eff_qp, lvl_over, trailing = _pframe_mb_codes(
+        skip, mvd, cbp_luma, cbp_chroma, qp_flat, slice_qp, luma_lv,
+        cdc_blk, cac_blk, mbw=mbw, mbh=mbh, is_intra=is_intra,
+        i16_mode=i16_mode, chroma_mode=chroma_mode, luma_dc=luma_dc,
+        part_mode=part_mode, mvd2=mvd2, mvd23=mvd23, is_i4=is_i4,
+        i4_modes=i4_modes, refidx=refidx, two_refs=two_refs,
+        two_refs_live=two_refs_live)
     # trailing skip run element: one extra group row in the stream
     tc, tl = ue_dev(jnp.maximum(trailing, 0))
     tl = jnp.where(trailing > 0, tl, 0)
@@ -669,11 +707,6 @@ def encode_pframe_entropy_dev(skip, mvd, cbp_luma, cbp_chroma, qp_flat,
     trow_l = jnp.zeros((1, S), jnp.int32).at[0, 0].set(tl)
     codes = jnp.concatenate([codes, trow_c], axis=0)
     lens = jnp.concatenate([lens, trow_l], axis=0)
-    # level overflow only matters for blocks that are actually written
-    lvl_over = (jnp.any(l_ov.reshape(n, 16) & (l_lens.sum(2) > 0))
-                | jnp.any(dc_ov.reshape(n) & (dc_lens.sum(1) > 0))
-                | jnp.any(cdc_ov.reshape(n, 2) & (cdc_lens.sum(2) > 0))
-                | jnp.any(cac_ov.reshape(n, 8) & (cac_lens.sum(2) > 0)))
     words, total_bits = pack_mb_stream(codes, lens, cap_words // n,
                                        cap_words, force_over=lvl_over)
     return words, total_bits, eff_qp
